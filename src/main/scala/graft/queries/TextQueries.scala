@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** LLM training-data text pipeline (SURVEY.md §2.B-LLM): exact +
+  * MinHash/SimHash/Jaccard dedup, tokenization/term-frequency, language-ID
+  * and quality heuristics, document fingerprinting, token counting,
+  * multimodal (binary column) plumbing.
+  *
+  * Everything is expression-level (higher-order functions over split
+  * arrays), so per-document work is embarrassingly parallel, and the only
+  * shuffles are the final group-bys / the candidate-pair joins. All hashes
+  * are md5-derived so the DuckDB oracle recomputes them exactly.
+  */
+object TextQueries {
+  import Canon._
+  import TextFunctions._
+
+  /** DuckDB-side tokenization matching TextFunctions.tokens. */
+  private val duckToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_dedup_exact",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val deduped = d.dropDuplicates("lang", "text")
+          .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+        d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .join(deduped, Seq("lang"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+             FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
+      "q_dedup_minhash",
+      (s, dir) => {
+        val sh = shingles(tokens(col("text")), 5)
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            minhashSignature(sh, 8).as("sig"),
+            substring(minhash(sh, 0), 1, 8).as("band0"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = duckToks
+        val sh = s"""CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')]
+                  ELSE list_transform(range(1, len($toks) - 3),
+                       i -> array_to_string($toks[i:i+4], ' ')) END"""
+        val mh = (seed: Int) =>
+          s"list_min(list_transform($sh, s -> md5($seed || ':' || s)))"
+        s"""SELECT doc_id,
+           concat_ws('|', ${(0 until 8).map(mh).mkString(", ")}) AS sig,
+           substring(${mh(0)}, 1, 8) AS band0
+           FROM documents ORDER BY doc_id"""
+      }),
+
+    GQuery(
+      "q_dedup_simhash",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), simhash(tokens(col("text")), 16).as("sh"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bit = (i: Int) =>
+          s"""CASE WHEN list_sum(list_transform($duckToks, t ->
+             (((strpos('0123456789abcdef', substring(md5(t), ${i / 4 + 1}, 1)) - 1)
+               >> ${i % 4}) & 1) * 2 - 1)) >= 0
+             THEN ${1L << i} ELSE 0 END"""
+        s"""SELECT doc_id, CAST(${(0 until 16).map(bit).mkString(" + ")} AS BIGINT) AS sh
+           FROM documents ORDER BY doc_id"""
+      }),
+
+    GQuery(
+      "q_dedup_jaccard",
+      (s, dir) => {
+        // Unigram-set Jaccard over a deterministic sample; candidate pairs
+        // restricted to same-lang (the blocking key), exploded token join.
+        val d = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        val t = d.select(
+          col("doc_id"), col("lang"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+        val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val shared = t.toDF("a_id", "lang", "token")
+          .join(t.toDF("b_id", "b_lang", "b_token"),
+            col("token") === col("b_token") && col("lang") === col("b_lang") &&
+              col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.toDF("a_id", "a_sz"), "a_id")
+          .join(sizes.toDF("b_id", "b_sz"), "b_id")
+          .withColumn("jac",
+            col("shared").cast("double") / (col("a_sz") + col("b_sz") - col("shared")))
+          .filter(col("jac") >= 0.6)
+          .select(col("a_id"), col("b_id"), r4(col("jac")).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+                list_distinct($duckToks) AS toks
+                FROM documents WHERE doc_id % 5 = 0),
+              t AS (SELECT doc_id, lang, unnest(toks) AS token FROM d),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+              shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+                FROM t a JOIN t b ON a.token = b.token AND a.lang = b.lang
+                  AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT a_id, b_id,
+                round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
+              FROM shared
+              JOIN sizes sa ON sa.doc_id = a_id
+              JOIN sizes sb ON sb.doc_id = b_id
+              WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6
+              ORDER BY a_id, b_id""")),
+
+    GQuery(
+      "q_text_tokens",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("token"))
+          .limit(20)
+      },
+      Some(s"""SELECT token, count(*) AS doc_count FROM (
+                SELECT doc_id, unnest(list_distinct($duckToks)) AS token
+                FROM documents)
+              GROUP BY 1 ORDER BY doc_count DESC, token LIMIT 20""")),
+
+    GQuery(
+      "q_text_stats",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy("lang", "source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            r4(davg(col("n_chars"))).as("avg_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang", "source")
+      },
+      Some(s"""SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars,
+              round(${sql.davg("n_chars")}, 4) AS avg_chars,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars
+              FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    GQuery(
+      "q_text_langid",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), langId(tokens(col("text"))).as("detected"))
+          .groupBy("detected").agg(count(lit(1)).as("n"))
+          .orderBy("detected")
+      },
+      Some {
+        val score = (words: Seq[String]) =>
+          s"len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+        val scores = TextFunctions.stopwords.map { case (l, ws) => l -> score(ws) }
+        val m = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val pick = scores
+          .map { case (l, sc) => s"WHEN $sc = m THEN '$l'" }
+          .mkString(" ")
+        s"""WITH d AS (SELECT doc_id, $m AS m,
+           ${scores.map { case (l, sc) => s"$sc AS s_$l" }.mkString(", ")}
+           FROM documents)
+           SELECT detected, count(*) AS n FROM (
+             SELECT CASE WHEN m = 0 THEN 'und'
+               ${TextFunctions.stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")}
+               END AS detected FROM d)
+           GROUP BY 1 ORDER BY 1"""
+      }),
+
+    GQuery(
+      "q_text_quality",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            nTokens(col("text")).as("n_tokens"),
+            r4(meanTokenLen(col("text"))).as("mean_tok_len"),
+            r4(stopwordRatio(col("text"))).as("sw_ratio"),
+            r4(nonAlnumRatio(col("text"))).as("nonalnum_ratio"),
+            r4(qualityScore(col("text"))).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val all = TextFunctions.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH d AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+           q AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+               AS mean_tok_len,
+             CAST(len(list_filter(toks, t -> t IN ($all))) AS DOUBLE) / len(toks)
+               AS sw_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+               AS DOUBLE) / length(text) AS nonalnum_ratio
+           FROM d)
+           SELECT doc_id, n_tokens, round(mean_tok_len, 4) AS mean_tok_len,
+             round(sw_ratio, 4) AS sw_ratio,
+             round(nonalnum_ratio, 4) AS nonalnum_ratio,
+             round(greatest(0.0,
+               least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+               least(sw_ratio * 5.0, 1.0) * 0.5 - nonalnum_ratio), 4) AS quality
+           FROM q ORDER BY doc_id"""
+      }),
+
+    GQuery(
+      "q_text_fingerprint",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+             SELECT doc_id,
+               list_min(list_transform(
+                 list_transform(range(1, greatest((length(t) - 4) // 4, 1) + 1),
+                   i -> substring(t, (i - 1) * 4 + 1, 8)),
+                 g -> md5(g))) AS fp
+             FROM d ORDER BY doc_id""")),
+
+    GQuery(
+      "q_token_count",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            nTokens(col("text")).as("ws_tokens"),
+            regexTokenCount(col("text")).as("re_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              len($duckToks) AS ws_tokens,
+              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS re_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    GQuery(
+      "q_mm_meta",
+      (s, dir) => {
+        // Multimodal plumbing: an opaque binary column + typed metadata
+        // derived by a (stubbed) decode — deterministic fake per the brief;
+        // the schema/partitioning/batching shape is real.
+        val bin = encode(col("text"), "UTF-8")
+        val nBytes = length(bin)
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            nBytes.as("n_bytes"),
+            (lit(320) + pmod(nBytes, lit(320))).as("width"),
+            (lit(240) + pmod(nBytes, lit(240))).as("height"),
+            element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+              (pmod(nBytes, lit(3)) + 1).cast("int")).as("format"),
+            size(sequence(lit(0), least(pmod(nBytes, lit(10)), lit(5)))).as("n_frames"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
+             CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
+             (['jpeg','png','webp'])[octet_length(encode(text)) % 3 + 1] AS format,
+             CAST(least(octet_length(encode(text)) % 10, 5) + 1 AS INT) AS n_frames
+             FROM documents ORDER BY doc_id""")))
+}

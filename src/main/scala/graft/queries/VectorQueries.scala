@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embeddings (SURVEY.md §2.B-LLM) — the engine's
+  * vector-DB query surface, the capability the reference's downstream
+  * (ChromaDB, README.md:156) owns.
+  *
+  * Scale design: the brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one pass, no shuffle of the corpus, `local topk per
+  * partition → global topk` via window on the tiny (queries × corpus-partition
+  * winners) set. The IVF variant prunes the corpus to the query's cell
+  * (here the `label` column as the coarse quantizer) before scoring —
+  * at 100 TB the cell assignment comes from a k-means centroid table and the
+  * corpus is partitioned/bucketed by cell, so a query touches 1/N of data.
+  */
+object VectorQueries {
+  import Canon._
+
+  /** DuckDB-side cosine matching VectorFunctions: double-promoted,
+    * sequential fold — avoids DuckDB's float-typed list_cosine_similarity.
+    */
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_sum(list_transform(range(1, len($x) + 1),
+         i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+    s"""(CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0 THEN 0.0
+       ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"""
+  }
+
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_sim_pairs",
+      (s, dir) => {
+        // Pairwise cosine for given id pairs (Q-d3).
+        val e = Tables.embeddings(s, dir)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+          .filter(col("a_id") < 10)
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+          .filter(col("b_id").between(10, 19))
+        a.join(b, col("a_id") + 10 === col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            r4(cosineSimilarity(col("a_emb"), col("b_emb"))).as("cos"))
+          .orderBy("a_id")
+      },
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id + 10 = b.vec_id
+              WHERE a.vec_id < 10 AND b.vec_id BETWEEN 10 AND 19
+              ORDER BY a_id""")),
+
+    GQuery(
+      "q_dedup_embcos",
+      (s, dir) => {
+        // Embedding near-dup pairs, blocked by label (same-cluster only).
+        val e = Tables.embeddings(s, dir)
+        val a = e.toDF("a_id", "a_emb", "label")
+        val b = e.toDF("b_id", "b_emb", "b_label")
+        a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+          .withColumn("cos", cosineSimilarity(col("a_emb"), col("b_emb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("a_id"), col("b_id"), col("label"), r4(col("cos")).as("cos"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+              round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4
+              ORDER BY a_id, b_id""")),
+
+    GQuery(
+      "q_sim_topk",
+      (s, dir) => {
+        // Brute-force top-5 cosine neighbors for query vectors vec_id < 10:
+        // broadcast the query side, one streaming pass over the corpus.
+        // Ranking key is round(cos, 6) then vec_id so float noise can't
+        // reorder near-ties across engines.
+        val e = Tables.embeddings(s, dir)
+        val q = broadcast(
+          e.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        q.join(e, col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(cosineSimilarity(col("q_emb"), col("embedding")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH scored AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk FROM scored)
+              SELECT q_id, rnk, vec_id, round(cos_r, 4) AS cos
+              FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    GQuery(
+      "q_sim_topk_ivf",
+      (s, dir) => {
+        // IVF-style pruned search: only the query's cell (label) is scored.
+        val e = Tables.embeddings(s, dir)
+        val q = broadcast(
+          e.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label").as("q_cell")))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        q.join(e, col("q_cell") === col("label") && col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(cosineSimilarity(col("q_emb"), col("embedding")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH scored AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN embeddings c
+                  ON q.label = c.label AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk FROM scored)
+              SELECT q_id, rnk, vec_id, round(cos_r, 4) AS cos
+              FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    GQuery(
+      "q_sim_topk_lsh",
+      (s, dir) => {
+        // Hyperplane-LSH bucketed candidate generation (rows-only check:
+        // the md5-derived planes are deterministic but the SQL expansion is
+        // impractical as an oracle). Buckets join replaces the cross join.
+        val e = Tables.embeddings(s, dir)
+          .withColumn("bucket", lshSignature(col("embedding"), 4))
+        val q = e.filter(col("vec_id") < 10).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        q.join(e, Seq("bucket")).filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(cosineSimilarity(col("q_emb"), col("embedding")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      None),
+
+    GQuery(
+      "q_emb_centroid",
+      (s, dir) => {
+        // Per-label centroid, emitted as (label, dim, value) rows — the
+        // row form sidesteps cross-engine array-compare pitfalls.
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(r4(sum(col("v").cast(DecimalType(28, 10))).cast("double") / count(lit(1)))
+            .as("c"))
+          .orderBy("label", "dim")
+      },
+      Some("""SELECT label, i - 1 AS dim,
+             round(CAST(SUM(CAST(embedding[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS c
+             FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+             GROUP BY 1, 2 ORDER BY 1, 2""")))
+}

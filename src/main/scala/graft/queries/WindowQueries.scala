@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function family: ranking, analytic (lag/lead/first/last), frame
+  * specs (rows / range / unbounded), top-K per group (SURVEY.md §2.B).
+  *
+  * Each query partitions by its natural key so at scale the sort is per-key
+  * within a shuffle partition — no global sort. Window sums run over exact
+  * decimal so frame evaluation order can't perturb the oracle hash.
+  */
+object WindowQueries {
+  import Canon._
+
+  private def eventsWithSec(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("ts_s"))
+
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_win_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn, rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+             ORDER BY o_custkey, o_orderkey""")),
+
+    GQuery(
+      "q_win_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+        eventsWithSec(s, dir)
+          .select(
+            col("event_id"), col("user_id"),
+            r4(col("value") - lag(col("value"), 1).over(w)).as("delta"),
+            (lead(col("ts_s"), 1).over(w) - col("ts_s")).as("gap_s"),
+            first(col("event_id")).over(w).as("first_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+             SELECT event_id, user_id,
+                    round(value - lag(value, 1) OVER w, 4) AS delta,
+                    (lead(ts_s, 1) OVER w) - ts_s AS gap_s,
+                    first_value(event_id) OVER w AS first_id
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+             ORDER BY event_id""")),
+
+    GQuery(
+      "q_win_frames",
+      (s, dir) => {
+        val base = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+        val dv = col("value").cast(DecimalType(28, 4))
+        val byTs = Window.partitionBy("user_id").orderBy(col("ts_s"))
+        eventsWithSec(s, dir)
+          .select(
+            col("event_id"), col("user_id"),
+            r4(sum(dv).over(base.rowsBetween(-2, 0)).cast("double")).as("mov3"),
+            r4(sum(dv).over(base.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+              .as("runsum"),
+            r4(sum(dv).over(byTs.rangeBetween(-600, 0)).cast("double")).as("sum10m"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+             SELECT event_id, user_id,
+                    round(CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+                      PARTITION BY user_id ORDER BY ts_s, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS mov3,
+                    round(CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+                      PARTITION BY user_id ORDER BY ts_s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS runsum,
+                    round(CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+                      PARTITION BY user_id ORDER BY ts_s
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS sum10m
+             FROM e ORDER BY event_id""")),
+
+    GQuery(
+      "q_win_topk",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), r4(col("o_totalprice")).as("price"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, price FROM (
+               SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders)
+             WHERE rn <= 3 ORDER BY o_custkey, rn""")))
+}
