@@ -1,0 +1,109 @@
+package graft.pipeline
+
+/** Sink-side HTTP retry envelope (reference: internal/client/rest.go:65-158):
+  * ≤3 retries, exponential backoff 1 s → 30 s ×2 with 75-100 % jitter, 4xx
+  * fails fast (client error — retrying can't help), empty payloads skipped.
+  *
+  * Plain Scala (no Catalyst involvement): this runs inside
+  * `foreachBatch`/`foreachPartition` on executors, one instance per
+  * partition, so connection state never crosses task boundaries. `post`,
+  * `sleep`, and `jitter` are injectable for deterministic tests (the
+  * reference tests the same seams with httptest servers).
+  */
+final case class RetryConfig(
+    maxRetries: Int = 3,
+    initialBackoffMs: Long = 1000,
+    maxBackoffMs: Long = 30000,
+    multiplier: Double = 2.0)
+
+final class RestSink(
+    post: String => Int, // payload JSON → HTTP status
+    config: RetryConfig = RetryConfig(),
+    sleep: Long => Unit = Thread.sleep,
+    jitter: () => Double = () => 0.75 + scala.util.Random.nextDouble() * 0.25)
+    extends Serializable {
+
+  /** Result of one send: Delivered, or failed terminally. */
+  sealed trait Result
+  case object Delivered extends Result
+  case object SkippedEmpty extends Result
+  final case class ClientError(status: Int) extends Result // 4xx: no retry
+  final case class Exhausted(lastStatus: Int) extends Result
+
+  /** Backoff before retry n (0-based): min(initial·mult^n, max) · jitter,
+    * jitter ∈ [0.75, 1.0] (rest.go:150-158).
+    */
+  def backoffMs(attempt: Int): Long = {
+    val base = config.initialBackoffMs * math.pow(config.multiplier, attempt.toDouble)
+    (math.min(base, config.maxBackoffMs.toDouble) * jitter()).toLong
+  }
+
+  def send(payloadJson: String): Result = {
+    if (payloadJson == null || payloadJson.isEmpty || payloadJson == "{}")
+      return SkippedEmpty // rest.go:83-85
+    var attempt = 0
+    var last = 0
+    while (attempt <= config.maxRetries) {
+      val status =
+        try post(payloadJson)
+        catch { case _: java.io.IOException => 599 } // transport error: retryable
+      if (status >= 200 && status < 300) return Delivered
+      if (status >= 400 && status < 500) return ClientError(status) // rest.go:139-144
+      last = status
+      if (attempt < config.maxRetries) sleep(backoffMs(attempt))
+      attempt += 1
+    }
+    Exhausted(last)
+  }
+}
+
+/** Payload assembly matching the reference's wire contract
+  * (README.md:135-154, debounce.go:16-19, 115-118, 200-203): a payload
+  * carries upserts *or* deletes, never both; upserts chunk at the max batch
+  * size; timestamps serialize as UTC `yyyy-MM-dd'T'HH:mm:ss'Z'`.
+  */
+object Payloads {
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  private def jmap(m: Map[String, String]): String =
+    if (m == null) "null"
+    else m.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+
+  def instanceJson(r: ResourceEventRow): String = {
+    val created =
+      if (r.createdAt == null) "null" else jstr(tsFmt.format(r.createdAt.toInstant))
+    s"""{"id":${jstr(r.id)},"namespace":${jstr(r.namespace)},"name":${jstr(r.name)},""" +
+      s""""kind":${jstr(r.kind)},"apiVersion":${jstr(r.apiVersion)},""" +
+      s""""apiGroup":${jstr(r.apiGroup)},"labels":${jmap(r.labels)},""" +
+      s""""annotations":${jmap(r.annotations)},"createdAt":$created}"""
+  }
+
+  /** Split a micro-batch of actions into wire payloads: every delete batch
+    * first (the fast path), then upserts chunked at `maxBatch`
+    * (BATCH_MAX_SIZE=50, config.go:50).
+    */
+  def fromActions(actions: Seq[SyncAction], maxBatch: Int = 50): Seq[String] = {
+    val (dels, ups) = actions.partition(_.action == SyncAction.Delete)
+    val delPayloads =
+      if (dels.isEmpty) Nil
+      else Seq(dels.map(d => jstr(d.id)).mkString("""{"deletes":[""", ",", "]}"))
+    val upPayloads = ups.flatMap(_.instance).grouped(math.max(1, maxBatch)).map { chunk =>
+      chunk.map(instanceJson).mkString("""{"upserts":[""", ",", "]}")
+    }.toSeq
+    delPayloads ++ upPayloads
+  }
+}

@@ -23,5 +23,6 @@ object Catalog {
       ScalarQueries.qs ++
       StreamBatchQueries.qs ++
       TextQueries.qs ++
-      VectorQueries.qs
+      VectorQueries.qs ++
+      SourceQueries.qs
 }

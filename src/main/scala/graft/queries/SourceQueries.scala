@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import graft.functions.Multimodal
+import graft.pipeline.Extract
+import org.apache.spark.sql.functions._
+
+/** Source formats beyond parquet (JSON lines, CSV — SURVEY.md §2.B sources),
+  * the batch change-detection diff (A10/A19), and the multimodal decode
+  * plumbing. The scan queries are write-then-read round-trips: the engine
+  * exports a table to the format, reads it back with an explicit schema, and
+  * aggregates — the oracle runs the same aggregate over the original parquet,
+  * so any fidelity loss in the scan path breaks the hash.
+  */
+object SourceQueries {
+  import Canon._
+
+  private def roundTrip(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      fmt: String): org.apache.spark.sql.DataFrame = {
+    val out = s"/tmp/graft_src/${fmt}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val src = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val w = src.coalesce(4).write.mode("overwrite")
+    (if (fmt == "csv") w.option("header", "true").csv(out) else w.json(out))
+    val schema = "event_id LONG, event_type STRING, value DOUBLE"
+    val back =
+      if (fmt == "csv") s.read.schema(schema).option("header", "true").csv(out)
+      else s.read.schema(schema).json(out)
+    back
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("total"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
+  private val roundTripOracle =
+    s"""SELECT event_type, count(*) AS n,
+       round(${Canon.sql.dsum("value")}, 4) AS total,
+       sum(event_id) AS id_sum
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  val qs: Seq[GQuery] = Seq(
+    GQuery("q_src_jsonl", (s, dir) => roundTrip(s, dir, "json"), Some(roundTripOracle)),
+    GQuery("q_src_csv", (s, dir) => roundTrip(s, dir, "csv"), Some(roundTripOracle)),
+
+    GQuery(
+      "q_sync_diff",
+      (s, dir) => {
+        // Batch change detection (reference watcher.go:315-331 via
+        // Extract.diff): two synthetic snapshots derived from events —
+        // new-only ids upsert as new, changed metadata upserts as changed,
+        // vanished ids delete.
+        val e = Tables.events(s, dir)
+        val prev = e.filter(col("event_id") % 3 =!= 0).select(
+          col("event_id").as("id"),
+          map(lit("type"), col("event_type")).as("labels"),
+          map(lit("p"), col("props")).as("annotations"))
+        val newSnap = e.filter(col("event_id") % 5 =!= 0).select(
+          col("event_id").as("id"),
+          map(lit("type"),
+            when(col("user_id") % 7 === 0, upper(col("event_type")))
+              .otherwise(col("event_type"))).as("labels"),
+          map(lit("p"), col("props")).as("annotations"))
+        Extract.diff(newSnap, prev).orderBy("action", "id")
+      },
+      Some("""WITH prev AS (
+               SELECT event_id AS id, event_type AS t FROM events WHERE event_id % 3 <> 0),
+             nw AS (
+               SELECT event_id AS id,
+                 CASE WHEN user_id % 7 = 0 THEN upper(event_type) ELSE event_type END AS t
+               FROM events WHERE event_id % 5 <> 0)
+             SELECT coalesce(nw.id, prev.id) AS id,
+               CASE WHEN prev.id IS NULL THEN 'upsert-new'
+                    WHEN nw.id IS NULL THEN 'delete'
+                    WHEN nw.t <> prev.t THEN 'upsert-changed'
+                    ELSE 'unchanged' END AS action
+             FROM nw FULL JOIN prev ON nw.id = prev.id
+             WHERE CASE WHEN prev.id IS NULL THEN 'upsert-new'
+                    WHEN nw.id IS NULL THEN 'delete'
+                    WHEN nw.t <> prev.t THEN 'upsert-changed'
+                    ELSE 'unchanged' END <> 'unchanged'
+             ORDER BY action, id""")),
+
+    GQuery(
+      "q_mm_decode",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        Multimodal.decodeMeta(Tables.documents(s, dir)).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
+             CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
+             (['jpeg','png','webp'])[octet_length(encode(text)) % 3 + 1] AS format,
+             CAST(least(octet_length(encode(text)) % 10, 5) + 1 AS INT) AS n_frames
+             FROM documents ORDER BY doc_id""")))
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's unit coverage for the metadata scalar transforms
+  * (extract_test.go, filter_test.go — SURVEY.md §5 tier 1).
+  */
+class KubeFunctionsSpec extends SparkSpec {
+  import KubeFunctions._
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
+  }
+
+  test("buildId joins namespace/apiVersion/kind/name") {
+    assert(one[String](buildId(lit("default"), lit("apps/v1"), lit("Deployment"), lit("nginx")))
+      == "default/apps/v1/Deployment/nginx")
+  }
+
+  test("cluster-scoped resources get the _cluster sentinel namespace") {
+    assert(one[String](buildId(lit(""), lit("v1"), lit("Namespace"), lit("kube-system")))
+      == "_cluster/v1/Namespace/kube-system")
+    assert(one[String](namespaceOrCluster(lit(null).cast("string"))) == "_cluster")
+  }
+
+  test("extractApiGroup splits grouped versions and empties core") {
+    assert(one[String](extractApiGroup(lit("apps/v1"))) == "apps")
+    assert(one[String](extractApiGroup(lit("v1"))) == "")
+    assert(one[String](extractApiGroup(lit("cert-manager.io/v1"))) == "cert-manager.io")
+  }
+
+  test("filterAnnotations drops noise prefixes, keeps the rest, nulls empties") {
+    val m = map(
+      lit("kubectl.kubernetes.io/last-applied-configuration"), lit("x"),
+      lit("meta.helm.sh/release-name"), lit("y"),
+      lit("description"), lit("Main web server"),
+      lit("app.kubernetes.io/managed-by"), lit("Helm"))
+    val kept = one[Map[String, String]](filterAnnotations(m))
+    assert(kept == Map("description" -> "Main web server",
+      "app.kubernetes.io/managed-by" -> "Helm"))
+    // fully filtered → NULL, not empty map (extract.go:84-101)
+    val allNoise = map(lit("helm.sh/chart"), lit("z"))
+    val row = spark.range(1).select(filterAnnotations(allNoise).as("v")).collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("shouldWatch: non-empty allowlist wins, else blocklist; case-insensitive") {
+    def check(kind: String, allow: Seq[String], block: Seq[String]): Boolean =
+      spark.range(1).select(shouldWatch(lit(kind), allow, block).as("v"))
+        .collect()(0).getBoolean(0)
+    assert(check("Pods", Seq("pods"), Seq("pods"))) // allowlist beats blocklist
+    assert(!check("secrets", Seq("pods"), Nil))
+    assert(!check("Events", Nil, Seq("events")))
+    assert(check("widgets", Nil, Seq("events")))
+  }
+}

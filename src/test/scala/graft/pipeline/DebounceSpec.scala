@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-logic coverage of the debounce transition function — the same
+  * invariants the reference asserts in debounce_test.go (delete bypass :33,
+  * last-state-wins :109, delete-cancels-pending :161, payload separation
+  * :267) without any streaming machinery.
+  */
+class DebounceSpec extends AnyFunSuite {
+
+  private def ev(id: String, typ: String, seq: Long, label: String = ""): ResourceEventRow =
+    ResourceEventRow(typ, seq, new Timestamp(seq * 1000), id, "default", id,
+      "Deployment", "apps/v1", "apps", Map("version" -> label), null,
+      new Timestamp(0))
+
+  test("upserts are held (armed), not emitted, until the timer fires") {
+    val (state, out, arm) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 1)))
+    assert(out.isEmpty)
+    assert(arm)
+    assert(state.exists(_.seq == 1))
+  }
+
+  test("last-state-wins: newest event replaces pending (debounce_test.go:109)") {
+    val events = (1L to 5L).map(i => ev("rapid-app", "UPDATE", i, s"v$i"))
+    val (state, out, _) = Debounce.applyEvents(None, events)
+    assert(out.isEmpty)
+    assert(state.get.row.labels == Map("version" -> "v5"))
+    // out-of-order arrival: older seq never overwrites newer
+    val (state2, _, _) = Debounce.applyEvents(state, Seq(ev("rapid-app", "UPDATE", 3, "v3")))
+    assert(state2.get.row.labels == Map("version" -> "v5"))
+  }
+
+  test("delete bypasses debounce and cancels pending upsert (debounce_test.go:33,:161)") {
+    val (pending, _, _) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 1)))
+    val (state, out, arm) = Debounce.applyEvents(pending, Seq(ev("a", "DELETE", 2)))
+    assert(out == List(SyncAction.delete("a")))
+    assert(state.isEmpty) // pending upsert cancelled
+    assert(!arm) // no timer re-arm after delete clears the key
+  }
+
+  test("add-after-delete within one batch re-pends the key") {
+    val (state, out, arm) = Debounce.applyEvents(None,
+      Seq(ev("a", "ADD", 1), ev("a", "DELETE", 2), ev("a", "ADD", 3, "re")))
+    assert(out == List(SyncAction.delete("a")))
+    assert(state.get.row.labels == Map("version" -> "re"))
+    assert(arm)
+  }
+
+  test("payloads never mix upserts and deletes (debounce_test.go:267)") {
+    val actions = Seq(
+      SyncAction.upsert(ev("a", "ADD", 1)),
+      SyncAction.delete("b"),
+      SyncAction.upsert(ev("c", "ADD", 2)),
+      SyncAction.delete("d"))
+    val payloads = Payloads.fromActions(actions, maxBatch = 50)
+    assert(payloads.size == 2)
+    assert(payloads.head == """{"deletes":["b","d"]}""")
+    assert(payloads(1).startsWith("""{"upserts":["""))
+    assert(!payloads(1).contains("deletes"))
+  }
+
+  test("upserts chunk at maxBatch (config.go:50)") {
+    val actions = (1 to 120).map(i => SyncAction.upsert(ev(s"k$i", "ADD", i.toLong)))
+    val payloads = Payloads.fromActions(actions, maxBatch = 50)
+    assert(payloads.size == 3) // 50 + 50 + 20
+  }
+
+  test("instance JSON matches the wire contract shape (README.md:135-154)") {
+    val row = ResourceEventRow("ADD", 1, new Timestamp(0),
+      "default/apps/v1/Deployment/nginx", "default", "nginx", "Deployment",
+      "apps/v1", "apps", Map("app" -> "nginx"),
+      Map("description" -> "Main web server"),
+      Timestamp.valueOf("2026-02-20 10:00:00"))
+    val json = Payloads.instanceJson(row)
+    assert(json.contains(""""id":"default/apps/v1/Deployment/nginx""""))
+    assert(json.contains(""""labels":{"app":"nginx"}"""))
+    assert(json.contains(""""createdAt":"2026-02-20T10:00:00Z""""))
+    // null annotations serialize as null, not {} (extract.go:84-101)
+    assert(Payloads.instanceJson(row.copy(annotations = null))
+      .contains(""""annotations":null"""))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming end-to-end semantics, mirroring internal/integration_test.go:
+  * delete visible while a long debounce holds upserts (:211-255), exactly one
+  * upsert after rapid updates (:257-312), resync replay (watcher.go:349-383).
+  *
+  * NOTE: `processAllAvailable()` cannot be used with ProcessingTimeTimeout —
+  * FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true there, so
+  * `noNewData` never latches and the call never returns. The tests poll the
+  * recording sink with deadlines instead (the reference's integration tests
+  * poll an httptest collector the same way).
+  */
+class SyncPipelineSpec extends SparkSpec {
+
+  private def ev(name: String, typ: String, seq: Long, label: String = ""): ResourceEventRow =
+    ResourceEventRow(typ, seq, new Timestamp(seq * 1000),
+      s"default/apps/v1/Deployment/$name", "default", name,
+      "Deployment", "apps/v1", "apps", Map("version" -> label), null,
+      new Timestamp(0))
+
+  private def eventually[T](timeoutMs: Long = 30000)(f: => Option[T]): T = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var r = f
+    while (r.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); r = f
+    }
+    r.getOrElse(fail(s"condition not met within ${timeoutMs}ms"))
+  }
+
+  private def startPipeline(debounceMs: Long): (
+      MemoryStream[ResourceEventRow],
+      ArrayBuffer[String],
+      org.apache.spark.sql.streaming.StreamingQuery) = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[ResourceEventRow] =
+      org.apache.spark.sql.Encoders.product[ResourceEventRow]
+    val received = ArrayBuffer.empty[String]
+    val sink = new RestSink(post = p => { received.synchronized { received += p }; 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val source = MemoryStream[ResourceEventRow]
+    val query = SyncPipeline.start(source.toDS(), sink,
+      SyncPipeline.Config(debounceMs = debounceMs, flushIntervalMs = 100, maxBatch = 50,
+        checkpointDir = java.nio.file.Files.createTempDirectory("ckpt").toString))
+    (source, received, query)
+  }
+
+  test("delete reaches the sink while a long debounce still holds the upsert") {
+    // 60s debounce: the held upsert cannot possibly leak during the test
+    val (source, received, query) = startPipeline(debounceMs = 60000)
+    try {
+      val t0 = System.currentTimeMillis()
+      source.addData(ev("held-app", "ADD", 1, "v1"), ev("old-app", "DELETE", 2))
+      val delete = eventually() {
+        received.synchronized { received.find(_.contains("deletes")) }
+      }
+      val deleteLatencyMs = System.currentTimeMillis() - t0
+      assert(delete == """{"deletes":["default/apps/v1/Deployment/old-app"]}""")
+      // the upsert is still pending — payload separation + debounce hold
+      assert(received.synchronized { !received.exists(_.contains("held-app")) })
+      info(s"delete latency: ${deleteLatencyMs}ms (reference asserts <1s after warmup)")
+    } finally query.stop()
+  }
+
+  test("rapid updates quiesce to exactly one last-state-wins upsert") {
+    val (source, received, query) = startPipeline(debounceMs = 1000)
+    try {
+      source.addData((1L to 5L).map(i => ev("rapid-app", "UPDATE", i, s"v$i")): _*)
+      val upsert = eventually() {
+        received.synchronized { received.find(_.contains("rapid-app")) }
+      }
+      assert(upsert.contains(""""labels":{"version":"v5"}"""))
+      // quiet period passed and emitted once; nothing further arrives
+      Thread.sleep(1500)
+      assert(received.synchronized { received.count(_.contains("rapid-app")) } == 1)
+    } finally query.stop()
+  }
+
+  test("resync replays a full snapshot through the same payload path") {
+    import spark.implicits._
+    val received = ArrayBuffer.empty[String]
+    val sink = new RestSink(post = p => { received += p; 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val snapshot = (1 to 120).map(i => ev(s"app-$i", "ADD", i.toLong, "v1")).toDS()
+    val n = SyncPipeline.resync(snapshot, sink, maxBatch = 50)
+    assert(n == 120)
+    assert(received.size == 3) // 50 + 50 + 20, chunked at BATCH_MAX_SIZE
+    assert(received.forall(_.startsWith("""{"upserts":[""")))
+  }
+
+  test("extract projects raw k8s-shaped objects into the fixed record") {
+    val raw = spark.read.schema(Extract.rawSchema).json(spark.createDataset(Seq(
+      """{"kind":"Deployment","apiVersion":"apps/v1","metadata":{"name":"nginx","namespace":"default","labels":{"app":"nginx"},"annotations":{"description":"web","kubectl.kubernetes.io/x":"y"},"creationTimestamp":"2026-02-20T10:00:00Z"},"spec":{"replicas":3}}""",
+      """{"kind":"Namespace","apiVersion":"v1","metadata":{"name":"kube-system","creationTimestamp":"2026-01-15T08:30:00Z"}}"""))(
+      org.apache.spark.sql.Encoders.STRING))
+    val out = Extract.instances(raw).orderBy("id").collect()
+    assert(out.length == 2)
+    val ns = out(0)
+    assert(ns.getAs[String]("id") == "_cluster/v1/Namespace/kube-system")
+    assert(ns.getAs[String]("apiGroup") == "")
+    val dep = out(1)
+    assert(dep.getAs[String]("id") == "default/apps/v1/Deployment/nginx")
+    assert(dep.getAs[String]("apiGroup") == "apps")
+    assert(dep.getAs[Map[String, String]]("annotations") == Map("description" -> "web"))
+  }
+}
