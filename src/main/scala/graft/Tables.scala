@@ -19,17 +19,20 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
     name match {
       case "events" => events(spark, dir)
       case _        => spark.read.parquet(path(dir, name))
     }
+  }
 
   /** events.ts is TIMESTAMP(NANOS); Spark has no nanosecond timestamp type,
     * so read it as nanos-since-epoch long and floor-divide to microseconds
     * (matching DuckDB's ns→us truncation).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExpressions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(dir, "events"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ with double accumulation. */
-  def dotProduct(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ with double accumulation — the native codegen expression
+    * ([[FloatVecDot]]); requires `GraftExpressions.register(spark)` (done by
+    * the Tables loaders and test harness). Bit-identical to the HOF form
+    * below, ~10× faster on the pair-join hot path.
+    */
+  def dotProduct(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** The pure-Column fallback form (interpreted HOF) — kept for reference
+    * and for non-float arrays.
+    */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -24,8 +33,17 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** Cosine similarity, 0.0 when either vector has zero norm. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
+  def cosineSimilarity(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, l2Norm(a), l2Norm(b))
+
+  /** Cosine with precomputed norms — the join-heavy queries compute each
+    * row's norm once BEFORE the pair join (a narrow projection), so scoring a
+    * pair is one dot product, not three. Numerically identical to
+    * `cosineSimilarity` (same expression shapes, same fold order), so oracle
+    * hashes are unchanged.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
     when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
   }
 
@@ -36,25 +54,32 @@ object VectorFunctions {
   def vecScale(a: Column, s: Column): Column =
     transform(a, x => x.cast("double") * s)
 
-  /** Random-hyperplane LSH bit: sign of the projection of `v` onto a
-    * deterministic pseudo-random plane derived from (seed, dim) via md5 —
-    * reproducible on any engine, no RNG state.
+  /** Deterministic ±1 hyperplane for (seed, dim): component i is the parity
+    * of the first 4 hex chars of md5("seed:i"). Computed once on the driver
+    * and shipped as an array literal — the per-row work is one dot product,
+    * not 64 md5 calls per bit.
     */
-  def lshBit(v: Column, seed: Int): Column = {
-    // plane component for dim i: maps md5(seed:i) hex prefix to ±1
+  def lshPlane(seed: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val hex = md.digest(s"$seed:$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH bit: sign of the projection of `v` onto the
+    * deterministic plane — reproducible in any engine, no RNG state.
+    */
+  def lshBit(v: Column, seed: Int, dim: Int): Column = {
     val proj = aggregate(
-      zip_with(
-        v,
-        sequence(lit(0), size(v) - 1),
-        (x, i) => x.cast("double") *
-          (when(conv(substring(md5(concat_ws(":", lit(seed), i)), 1, 4), 16, 10)
-            .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))),
+      zip_with(v, typedLit(lshPlane(seed, dim)), (x, p) => x.cast("double") * p),
       lit(0.0),
       (acc, x) => acc + x)
     when(proj >= 0, lit(1)).otherwise(lit(0))
   }
 
   /** k-bit signature for hyperplane LSH bucketing. */
-  def lshSignature(v: Column, bits: Int): Column =
-    (0 until bits).map(i => lshBit(v, i) * lit(1 << i)).reduce(_ + _)
+  def lshSignature(v: Column, bits: Int, dim: Int = 64): Column =
+    (0 until bits).map(i => lshBit(v, i, dim) * lit(1 << i)).reduce(_ + _)
 }

@@ -152,8 +152,21 @@ object TextQueries {
     GQuery(
       "q_text_langid",
       (s, dir) => {
-        Tables.documents(s, dir)
-          .select(col("doc_id"), langId(tokens(col("text"))).as("detected"))
+        // Stepwise projection: tokenize once, score each language as its own
+        // column, argmax via when-chain. The one-expression langId() reduce
+        // would re-inline the tokenizer 2^|langs| times (CollapseProject
+        // can't CSE across struct field accesses of higher-order functions).
+        val scored = Tables.documents(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id") +: stopwords.map { case (l, ws) =>
+            stopwordHits(col("toks"), ws).as(s"s_$l")
+          }: _*)
+        val m = greatest(stopwords.map(l => col(s"s_${l._1}")): _*)
+        val detected = stopwords.foldLeft(when(m === 0, lit("und"))) {
+          case (acc, (l, _)) => acc.when(col(s"s_$l") === m, lit(l))
+        }
+        scored
+          .select(detected.as("detected"))
           .groupBy("detected").agg(count(lit(1)).as("n"))
           .orderBy("detected")
       },

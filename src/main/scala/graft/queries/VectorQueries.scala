@@ -36,15 +36,16 @@ object VectorQueries {
     GQuery(
       "q_sim_pairs",
       (s, dir) => {
-        // Pairwise cosine for given id pairs (Q-d3).
-        val e = Tables.embeddings(s, dir)
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-          .filter(col("a_id") < 10)
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-          .filter(col("b_id").between(10, 19))
+        // Pairwise cosine for given id pairs (Q-d3); norms computed pre-join.
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("nrm").as("a_n")).filter(col("a_id") < 10)
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("nrm").as("b_n")).filter(col("b_id").between(10, 19))
         a.join(b, col("a_id") + 10 === col("b_id"))
           .select(col("a_id"), col("b_id"),
-            r4(cosineSimilarity(col("a_emb"), col("b_emb"))).as("cos"))
+            r4(cosineWithNorms(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")))
+              .as("cos"))
           .orderBy("a_id")
       },
       Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -57,11 +58,14 @@ object VectorQueries {
       "q_dedup_embcos",
       (s, dir) => {
         // Embedding near-dup pairs, blocked by label (same-cluster only).
-        val e = Tables.embeddings(s, dir)
-        val a = e.toDF("a_id", "a_emb", "label")
-        val b = e.toDF("b_id", "b_emb", "b_label")
+        // Norms are a narrow pre-join projection: scoring each candidate
+        // pair costs one 64-d dot product instead of three.
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
+        val a = e.toDF("a_id", "a_emb", "label", "a_n")
+        val b = e.toDF("b_id", "b_emb", "b_label", "b_n")
         a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-          .withColumn("cos", cosineSimilarity(col("a_emb"), col("b_emb")))
+          .withColumn("cos",
+            cosineWithNorms(col("a_emb"), col("b_emb"), col("a_n"), col("b_n")))
           .filter(col("cos") >= 0.4)
           .select(col("a_id"), col("b_id"), col("label"), r4(col("cos")).as("cos"))
           .orderBy("a_id", "b_id")
@@ -80,14 +84,16 @@ object VectorQueries {
         // broadcast the query side, one streaming pass over the corpus.
         // Ranking key is round(cos, 6) then vec_id so float noise can't
         // reorder near-ties across engines.
-        val e = Tables.embeddings(s, dir)
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
         val q = broadcast(
           e.filter(col("vec_id") < 10).select(
-            col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_n")))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos_r").desc, col("vec_id").asc)
         q.join(e, col("q_id") =!= col("vec_id"))
-          .withColumn("cos_r", round(cosineSimilarity(col("q_emb"), col("embedding")), 6))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
@@ -107,14 +113,16 @@ object VectorQueries {
       "q_sim_topk_ivf",
       (s, dir) => {
         // IVF-style pruned search: only the query's cell (label) is scored.
-        val e = Tables.embeddings(s, dir)
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
         val q = broadcast(
           e.filter(col("vec_id") < 10).select(
-            col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label").as("q_cell")))
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("q_cell"), col("nrm").as("q_n")))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos_r").desc, col("vec_id").asc)
         q.join(e, col("q_cell") === col("label") && col("q_id") =!= col("vec_id"))
-          .withColumn("cos_r", round(cosineSimilarity(col("q_emb"), col("embedding")), 6))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
@@ -139,12 +147,15 @@ object VectorQueries {
         // impractical as an oracle). Buckets join replaces the cross join.
         val e = Tables.embeddings(s, dir)
           .withColumn("bucket", lshSignature(col("embedding"), 4))
+          .withColumn("nrm", l2Norm(col("embedding")))
         val q = e.filter(col("vec_id") < 10).select(
-          col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"),
+          col("nrm").as("q_n"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos_r").desc, col("vec_id").asc)
         q.join(e, Seq("bucket")).filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos_r", round(cosineSimilarity(col("q_emb"), col("embedding")), 6))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
