@@ -31,7 +31,48 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val ups = pipelineThroughput(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+      s""""pipeline_upserts_per_s":$ups,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** BASELINE.md pipeline gate: sustain ≥100 upserts/s (10× the reference's
+    * config-implied ceiling of 50 per 5 s flush) through the real streaming
+    * path — MemoryStream → keyed debounce state → foreachBatch payload sink.
+    */
+  private def pipelineThroughput(spark: SparkSession): Double = {
+    import graft.pipeline._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[ResourceEventRow] =
+      org.apache.spark.sql.Encoders.product[ResourceEventRow]
+    val n = 20000
+    val delivered = new java.util.concurrent.atomic.AtomicLong
+    val sink = new RestSink(
+      post = p => { delivered.addAndGet(countIds(p)); 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val source = MemoryStream[ResourceEventRow]
+    val query = SyncPipeline.start(source.toDS(), sink,
+      SyncPipeline.Config(debounceMs = 300, flushIntervalMs = 100, maxBatch = 50,
+        checkpointDir = java.nio.file.Files.createTempDirectory("bench_ckpt").toString))
+    val t0 = System.nanoTime()
+    try {
+      val ts = new java.sql.Timestamp(0)
+      (0 until n).grouped(2000).foreach { chunk =>
+        source.addData(chunk.map(i => ResourceEventRow(
+          "ADD", i.toLong, ts, s"ns/apps/v1/Deployment/app-$i", "ns", s"app-$i",
+          "Deployment", "apps/v1", "apps", Map("i" -> i.toString), null, ts)))
+      }
+      val deadline = System.currentTimeMillis() + 120000
+      while (delivered.get() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally query.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (delivered.get() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
+  }
+
+  private def countIds(payload: String): Long =
+    "\"id\":".r.findAllMatchIn(payload).length.toLong
 }

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The CRD capabilities pipeline — the reference's second, name-keyed stream
+  * (watcher.go:41-44, crd_debounce.go; SURVEY.md A11): same
+  * debounce/dedup/delete-bypass semantics as the instance pipeline but keyed
+  * by fully-qualified CRD name, with two contract differences:
+  *
+  *   - CRD UPDATE events are dropped at the router (watcher.go:240-243,
+  *     prds/done/5-crd-change-detection.md:175) — only ADD/DELETE flow.
+  *   - Payloads carry bare name strings, not instance objects
+  *     (crd_debounce.go:16-19): {"upserts":["<plural>.<group>"...]} /
+  *     {"deletes":[...]}.
+  */
+object CrdPipeline {
+
+  final case class CrdEventRow(
+      event_type: String, event_seq: Long, ts: Timestamp, crd_name: String)
+
+  final case class CrdAction(action: String, crd_name: String)
+
+  final case class Pending(seq: Long)
+
+  /** Same keyed-state shape as Debounce.stateFunc, over names. */
+  def stateFunc(debounceMs: Long)(
+      name: String,
+      events: Iterator[CrdEventRow],
+      state: GroupState[Pending]): Iterator[CrdAction] = {
+    if (state.hasTimedOut) {
+      val emit = state.getOption.map(_ => CrdAction(SyncAction.Upsert, name))
+      state.remove()
+      emit.iterator
+    } else {
+      var out = List.empty[CrdAction]
+      events.toSeq.sortBy(_.event_seq).foreach { e =>
+        if (e.event_type == "DELETE") {
+          if (state.exists) state.remove()
+          out ::= CrdAction(SyncAction.Delete, name)
+        } else if (e.event_type == "ADD") {
+          state.update(Pending(e.event_seq))
+        } // UPDATE dropped (watcher.go:240-243)
+      }
+      if (state.exists) state.setTimeoutDuration(debounceMs)
+      out.reverse.iterator
+    }
+  }
+
+  def debounced(events: Dataset[CrdEventRow], debounceMs: Long)(
+      implicit spark: SparkSession): Dataset[CrdAction] = {
+    import spark.implicits._
+    events
+      .filter(_.event_type != "UPDATE")
+      .groupByKey(_.crd_name)
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout)(stateFunc(debounceMs))
+  }
+
+  /** Name payloads: deletes first (fast path), upserts chunked. */
+  def payloads(actions: Seq[CrdAction], maxBatch: Int = 50): Seq[String] = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val (dels, ups) = actions.partition(_.action == SyncAction.Delete)
+    val d =
+      if (dels.isEmpty) Nil
+      else Seq(dels.map(a => jstr(a.crd_name)).mkString("""{"deletes":[""", ",", "]}"))
+    val u = ups.grouped(math.max(1, maxBatch)).map { chunk =>
+      chunk.map(a => jstr(a.crd_name)).mkString("""{"upserts":[""", ",", "]}")
+    }.toSeq
+    d ++ u
+  }
+
+  def start(
+      events: Dataset[CrdEventRow],
+      sink: RestSink,
+      config: SyncPipeline.Config = SyncPipeline.Config())(
+      implicit spark: SparkSession): StreamingQuery = {
+    val actions = debounced(events, config.debounceMs)
+    val writer = actions.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(config.flushIntervalMs))
+      .foreachBatch { (batch: Dataset[CrdAction], _: Long) =>
+        payloads(batch.collect().toSeq, config.maxBatch).foreach(sink.send)
+        ()
+      }
+    val w =
+      if (config.checkpointDir.nonEmpty)
+        writer.option("checkpointLocation", config.checkpointDir)
+      else writer
+    w.start()
+  }
+}

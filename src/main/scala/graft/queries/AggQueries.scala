@@ -113,6 +113,27 @@ object AggQueries {
               ORDER BY rf, ls""")),
 
     GQuery(
+      "q_agg_gsets",
+      (s, dir) => {
+        // Explicit GROUPING SETS with grouping_id, via the SQL surface.
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 grouping_id(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+                 FROM orders_v
+                 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                         (o_orderstatus), ())
+                 ORDER BY gid, status, priority""")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             grouping_id(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                     (o_orderstatus), ())
+             ORDER BY gid, status, priority""")),
+
+    GQuery(
       "q_agg_filtered",
       (s, dir) => {
         Tables.customer(s, dir)

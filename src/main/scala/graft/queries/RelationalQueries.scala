@@ -243,6 +243,36 @@ object RelationalQueries {
              WHERE event_type = 'purchase' ORDER BY event_id""")),
 
     GQuery(
+      "q_sort_global",
+      (s, dir) => {
+        // Global total-order sort (range-partitioned exchange + per-partition
+        // sort at scale).
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), r4(col("o_totalprice")).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 4) AS price
+             FROM orders ORDER BY price DESC, o_orderkey""")),
+
+    GQuery(
+      "q_sort_topk",
+      (s, dir) => {
+        // orderBy + limit → TakeOrderedAndProject: per-partition top-k then a
+        // driver merge of k·P rows, never a full global sort. The 100 TB-safe
+        // top-k.
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+          .orderBy(col("net").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 4) AS net
+             FROM lineitem
+             ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""")),
+
+    GQuery(
       "q_join_star",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)

@@ -93,6 +93,37 @@ class SyncPipelineSpec extends SparkSpec {
     assert(received.forall(_.startsWith("""{"upserts":[""")))
   }
 
+  test("CRD pipeline: name payloads, UPDATE dropped, delete fast path") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[CrdPipeline.CrdEventRow] =
+      org.apache.spark.sql.Encoders.product[CrdPipeline.CrdEventRow]
+    val received = ArrayBuffer.empty[String]
+    val sink = new RestSink(post = p => { received.synchronized { received += p }; 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val source = MemoryStream[CrdPipeline.CrdEventRow]
+    val query = CrdPipeline.start(source.toDS(), sink,
+      SyncPipeline.Config(debounceMs = 800, flushIntervalMs = 100,
+        checkpointDir = java.nio.file.Files.createTempDirectory("crd_ckpt").toString))
+    try {
+      val ts = new java.sql.Timestamp(0)
+      source.addData(
+        CrdPipeline.CrdEventRow("ADD", 1, ts, "certificates.cert-manager.io"),
+        CrdPipeline.CrdEventRow("UPDATE", 2, ts, "widgets.example.com"), // dropped
+        CrdPipeline.CrdEventRow("DELETE", 3, ts, "oldcrd.example.com"))
+      val delete = eventually() {
+        received.synchronized { received.find(_.contains("deletes")) }
+      }
+      assert(delete == """{"deletes":["oldcrd.example.com"]}""")
+      val upsert = eventually() {
+        received.synchronized { received.find(_.contains("upserts")) }
+      }
+      assert(upsert == """{"upserts":["certificates.cert-manager.io"]}""")
+      // the UPDATE-only CRD never reaches the sink (watcher.go:240-243)
+      assert(received.synchronized { !received.exists(_.contains("widgets")) })
+    } finally query.stop()
+  }
+
   test("extract projects raw k8s-shaped objects into the fixed record") {
     val raw = spark.read.schema(Extract.rawSchema).json(spark.createDataset(Seq(
       """{"kind":"Deployment","apiVersion":"apps/v1","metadata":{"name":"nginx","namespace":"default","labels":{"app":"nginx"},"annotations":{"description":"web","kubectl.kubernetes.io/x":"y"},"creationTimestamp":"2026-02-20T10:00:00Z"},"spec":{"replicas":3}}""",
