@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-operator semantics (SURVEY.md §2.B streaming table): watermark +
+  * tumbling window aggregation with late-data drop, streaming dedup, and
+  * stream-static join. These use event-time (no processing-time timers), so
+  * `processAllAvailable()` is safe here.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private case class Ev(ts: Timestamp, user: Long, value: Double)
+  private def t(min: Int) = new Timestamp(min * 60000L)
+
+  test("watermark + tumbling window: closed windows drop late events") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Timestamp, Long, Double)]
+    val agg = source.toDS().toDF("ts", "user", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val query = agg.writeStream.outputMode("append").format("memory")
+      .queryName("win_agg").start()
+    try {
+      // batch 1: two windows' worth of events
+      source.addData((t(1), 1L, 10.0), (t(2), 1L, 20.0), (t(6), 2L, 5.0))
+      query.processAllAvailable()
+      // batch 2: advance event time far past watermark → closes window [0,5)
+      source.addData((t(30), 3L, 1.0))
+      query.processAllAvailable()
+      // batch 3: a late event for the closed [0,5) window must be dropped
+      source.addData((t(3), 9L, 999.0))
+      query.processAllAvailable()
+      // batch 4: advance again so [5,10) also closes
+      source.addData((t(60), 3L, 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT window.start AS ws, n, total FROM win_agg ORDER BY ws""").collect()
+      val w0 = rows.find(_.getAs[Timestamp]("ws").getTime == 0L).get
+      assert(w0.getAs[Long]("n") == 2) // late 999.0 event NOT counted
+      assert(w0.getAs[Double]("total") == 30.0)
+      val w5 = rows.find(_.getAs[Timestamp]("ws").getTime == 5 * 60000L).get
+      assert(w5.getAs[Long]("n") == 1 && w5.getAs[Double]("total") == 5.0)
+    } finally { query.stop(); spark.catalog.dropTempView("win_agg") }
+  }
+
+  test("streaming dropDuplicates with watermark dedups across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Timestamp, Long, Double)]
+    val deduped = source.toDS().toDF("ts", "id", "value")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("id")
+    val query = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_s").start()
+    try {
+      source.addData((t(1), 100L, 1.0), (t(2), 100L, 2.0), (t(3), 200L, 3.0))
+      query.processAllAvailable()
+      source.addData((t(4), 100L, 4.0), (t(5), 300L, 5.0)) // 100 is a dup
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dedup_s ORDER BY id").collect().map(_.getLong(0))
+      assert(ids.toSeq == Seq(100L, 200L, 300L)) // each id exactly once
+    } finally { query.stop(); spark.catalog.dropTempView("dedup_s") }
+  }
+
+  test("stream-static join enriches events with a dimension table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val source = MemoryStream[(Timestamp, Long, Double)]
+    val joined = source.toDS().toDF("ts", "user", "value")
+      .join(broadcast(dim), Seq("user"), "left_outer")
+      .select(col("user"), col("tier"), col("value"))
+    val query = joined.writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      source.addData((t(1), 1L, 10.0), (t(2), 2L, 20.0), (t(3), 7L, 30.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT user, tier FROM enriched ORDER BY user").collect()
+      assert(rows.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+        Seq(1L -> "gold", 2L -> "silver", 7L -> null))
+    } finally { query.stop(); spark.catalog.dropTempView("enriched") }
+  }
+
+  test("file streaming source tails event JSON (the informer analog)") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("evt_src").toString
+    val query = graft.pipeline.SyncPipeline
+      .fileSource(spark, dir)
+      .groupBy("event_type").count()
+      .writeStream.outputMode("complete").format("memory").queryName("file_src").start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "a.json"),
+        """{"event_type":"ADD","event_seq":1,"ts":"2026-01-01T00:00:00Z","id":"x","namespace":"ns","name":"x","kind":"Pod","apiVersion":"v1","apiGroup":"","labels":{},"annotations":null,"createdAt":"2026-01-01T00:00:00Z"}
+          |{"event_type":"DELETE","event_seq":2,"ts":"2026-01-01T00:00:01Z","id":"y","namespace":"ns","name":"y","kind":"Pod","apiVersion":"v1","apiGroup":"","labels":{},"annotations":null,"createdAt":"2026-01-01T00:00:00Z"}
+          |""".stripMargin)
+      query.processAllAvailable()
+      val counts = spark.sql("SELECT event_type, count FROM file_src ORDER BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(counts == Seq("ADD" -> 1L, "DELETE" -> 1L))
+    } finally { query.stop(); spark.catalog.dropTempView("file_src") }
+  }
+}
