@@ -22,7 +22,18 @@ object SyncPipeline {
       debounceMs: Long = 10000, // DEBOUNCE_WINDOW_MS (config.go:48)
       flushIntervalMs: Long = 500, // trigger cadence; ≤ delete-latency bound
       maxBatch: Int = 50, // BATCH_MAX_SIZE (config.go:50)
-      checkpointDir: String = "")
+      checkpointDir: String = "",
+      // 100 TB design point: per-key debounce state spills to RocksDB instead
+      // of the executor heap (the reference's pending map is unbounded
+      // in-memory, SURVEY.md §4). Session-wide conf; set before .start().
+      rocksDbState: Boolean = false)
+
+  private[pipeline] def applyStateStoreConf(spark: SparkSession, config: Config): Unit =
+    if (config.rocksDbState) {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
 
   /** Wire the pipeline onto any streaming Dataset of events. `send` is the
     * transport (real HTTP in prod, a recording stub in tests); it is invoked
@@ -34,6 +45,7 @@ object SyncPipeline {
       events: Dataset[ResourceEventRow],
       sink: RestSink,
       config: Config = Config())(implicit spark: SparkSession): StreamingQuery = {
+    applyStateStoreConf(spark, config)
     val actions = Debounce(events, config.debounceMs)
     val writer = actions.writeStream
       .outputMode("append")

@@ -197,6 +197,32 @@ object AggQueries {
              FROM r GROUP BY 1 ORDER BY 1""")),
 
     GQuery(
+      "q_agg_salted",
+      (s, dir) => {
+        // Skew-safe two-phase aggregation (functions.Skew): l_returnflag has
+        // only 3 values — at 100 TB each is a hot key; salting spreads the
+        // partial phase over 16 sub-keys. Semantically identical to a plain
+        // group-by (decomposable aggs in exact decimal), so the oracle is
+        // the unsalted SQL.
+        import graft.functions.Skew
+        import org.apache.spark.sql.types.DecimalType
+        Skew.saltedAgg(
+          Tables.lineitem(s, dir),
+          Seq("l_returnflag"),
+          col("l_orderkey") * 10 + col("l_linenumber"),
+          buckets = 16)(
+          // keep phase-1 partials in exact decimal; cast once after merge
+          "sum_qty" -> sum(col("l_quantity").cast(DecimalType(28, 4))),
+          "n" -> count(lit(1)))
+          .select(col("l_returnflag"),
+            r4(col("sum_qty").cast("double")).as("sum_qty"), col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, round(${sql.dsum("l_quantity")}, 4) AS sum_qty,
+              count(*) AS n
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
       "q_agg_weighted",
       (s, dir) => {
         val wavg = udaf(WeightedAvg)

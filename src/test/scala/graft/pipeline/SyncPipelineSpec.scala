@@ -93,6 +93,39 @@ class SyncPipelineSpec extends SparkSpec {
     assert(received.forall(_.startsWith("""{"upserts":[""")))
   }
 
+  test("debounce state runs on the RocksDB state store (100 TB spill path)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[ResourceEventRow] =
+      org.apache.spark.sql.Encoders.product[ResourceEventRow]
+    import spark.implicits._
+    val received = ArrayBuffer.empty[String]
+    val sink = new RestSink(post = p => { received.synchronized { received += p }; 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val source = MemoryStream[ResourceEventRow]
+    val query = SyncPipeline.start(source.toDS(), sink,
+      SyncPipeline.Config(debounceMs = 500, flushIntervalMs = 100,
+        checkpointDir = java.nio.file.Files.createTempDirectory("rocks_ckpt").toString,
+        rocksDbState = true))
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      source.addData(ev("rocks-app", "ADD", 1, "v1"), ev("gone-app", "DELETE", 2))
+      val delete = eventually() {
+        received.synchronized { received.find(_.contains("deletes")) }
+      }
+      assert(delete.contains("gone-app"))
+      val upsert = eventually() {
+        received.synchronized { received.find(_.contains("rocks-app")) }
+      }
+      assert(upsert.contains(""""labels":{"version":"v1"}"""))
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
+  }
+
   test("CRD pipeline: name payloads, UPDATE dropped, delete fast path") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
