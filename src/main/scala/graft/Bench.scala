@@ -54,9 +54,13 @@ object Bench {
       post = p => { delivered.addAndGet(countIds(p)); 200 },
       sleep = _ => (), jitter = () => 1.0)
     val source = MemoryStream[ResourceEventRow]
-    val query = SyncPipeline.start(source.toDS(), sink,
-      SyncPipeline.Config(debounceMs = 300, flushIntervalMs = 100, maxBatch = 50,
-        checkpointDir = java.nio.file.Files.createTempDirectory("bench_ckpt").toString))
+    // reference-named env config (A20) with bench-friendly debounce/flush
+    val cfg = SyncPipeline.Config.fromEnv(sys.env ++ Map(
+      "DEBOUNCE_WINDOW_MS" -> sys.env.getOrElse("BENCH_DEBOUNCE_MS", "300"),
+      "BATCH_FLUSH_INTERVAL_MS" -> "100"))
+      .copy(checkpointDir =
+        java.nio.file.Files.createTempDirectory("bench_ckpt").toString)
+    val query = SyncPipeline.start(source.toDS(), sink, cfg)
     val t0 = System.nanoTime()
     try {
       val ts = new java.sql.Timestamp(0)

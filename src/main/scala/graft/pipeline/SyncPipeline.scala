@@ -28,6 +28,22 @@ object SyncPipeline {
       // in-memory, SURVEY.md §4). Session-wide conf; set before .start().
       rocksDbState: Boolean = false)
 
+  object Config {
+    /** A20 (reference config.go:44-57): env-var config with the reference's
+      * defaults; CSV lists parse trimmed + lowercased (config.go:85-99).
+      */
+    def fromEnv(env: Map[String, String] = sys.env): Config = Config(
+      debounceMs = env.get("DEBOUNCE_WINDOW_MS").flatMap(_.toLongOption).getOrElse(10000L),
+      flushIntervalMs =
+        env.get("BATCH_FLUSH_INTERVAL_MS").flatMap(_.toLongOption).getOrElse(500L),
+      maxBatch = env.get("BATCH_MAX_SIZE").flatMap(_.toIntOption).getOrElse(50),
+      checkpointDir = env.getOrElse("CHECKPOINT_DIR", ""))
+
+    /** CSV normalize: split, trim, lowercase, drop empties (config.go:85-99). */
+    def parseCsv(s: String): Seq[String] =
+      s.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+  }
+
   private[pipeline] def applyStateStoreConf(spark: SparkSession, config: Config): Unit =
     if (config.rocksDbState) {
       spark.conf.set(

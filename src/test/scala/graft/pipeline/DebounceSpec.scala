@@ -67,6 +67,19 @@ class DebounceSpec extends AnyFunSuite {
     assert(payloads.size == 3) // 50 + 50 + 20
   }
 
+  test("config loads from env with reference defaults; CSV normalizes (config.go)") {
+    val defaults = SyncPipeline.Config.fromEnv(Map.empty)
+    assert(defaults.debounceMs == 10000L) // DEBOUNCE_WINDOW_MS default
+    assert(defaults.maxBatch == 50) // BATCH_MAX_SIZE default
+    val custom = SyncPipeline.Config.fromEnv(Map(
+      "DEBOUNCE_WINDOW_MS" -> "250", "BATCH_MAX_SIZE" -> "7",
+      "BATCH_FLUSH_INTERVAL_MS" -> "nonsense")) // bad value → default
+    assert(custom.debounceMs == 250L && custom.maxBatch == 7)
+    assert(custom.flushIntervalMs == 500L)
+    assert(SyncPipeline.Config.parseCsv(" Pods, SECRETS ,,events ")
+      == Seq("pods", "secrets", "events"))
+  }
+
   test("instance JSON matches the wire contract shape (README.md:135-154)") {
     val row = ResourceEventRow("ADD", 1, new Timestamp(0),
       "default/apps/v1/Deployment/nginx", "default", "nginx", "Deployment",
