@@ -41,7 +41,8 @@ object TextFunctions {
     * sign of Σ_tokens (2·bit−1).
     */
   def simhash(toks: Column, nbits: Int): Column = {
-    require(nbits <= 32 * 4)
+    // packed into one Long: bit 63 is the sign and `1L << i` wraps at 64
+    require(nbits > 0 && nbits <= 63, s"simhash supports 1..63 bits, got $nbits")
     val bitCols = (0 until nbits).map { i =>
       def digit(t: Column): Column =
         conv(substring(md5(t), i / 4 + 1, 1), 16, 10).cast("int")

@@ -79,7 +79,11 @@ object VectorFunctions {
     when(proj >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** k-bit signature for hyperplane LSH bucketing. */
-  def lshSignature(v: Column, bits: Int, dim: Int = 64): Column =
-    (0 until bits).map(i => lshBit(v, i, dim) * lit(1 << i)).reduce(_ + _)
+  /** k-bit signature for hyperplane LSH bucketing (long-packed; `1 << i`
+    * as Int would wrap/turn negative from bit 31).
+    */
+  def lshSignature(v: Column, bits: Int, dim: Int = 64): Column = {
+    require(bits > 0 && bits <= 63, s"lshSignature supports 1..63 bits, got $bits")
+    (0 until bits).map(i => lshBit(v, i, dim) * lit(1L << i)).reduce(_ + _)
+  }
 }

@@ -22,26 +22,31 @@ object CrdPipeline {
 
   final case class CrdAction(action: String, crd_name: String)
 
-  final case class Pending(seq: Long)
+  final case class Pending(seq: Long, tombstone: Boolean = false)
 
-  /** Same keyed-state shape as Debounce.stateFunc, over names. */
+  /** Same keyed-state shape as Debounce.stateFunc, over names: tombstones
+    * block cross-batch out-of-order resurrection and expire via timeout.
+    */
   def stateFunc(debounceMs: Long)(
       name: String,
       events: Iterator[CrdEventRow],
       state: GroupState[Pending]): Iterator[CrdAction] = {
     if (state.hasTimedOut) {
-      val emit = state.getOption.map(_ => CrdAction(SyncAction.Upsert, name))
+      val emit = state.getOption.filterNot(_.tombstone)
+        .map(_ => CrdAction(SyncAction.Upsert, name))
       state.remove()
       emit.iterator
     } else {
       var out = List.empty[CrdAction]
       events.toSeq.sortBy(_.event_seq).foreach { e =>
-        if (e.event_type == "DELETE") {
-          if (state.exists) state.remove()
-          out ::= CrdAction(SyncAction.Delete, name)
-        } else if (e.event_type == "ADD") {
-          state.update(Pending(e.event_seq))
-        } // UPDATE dropped (watcher.go:240-243)
+        if (state.getOption.forall(_.seq < e.event_seq)) {
+          if (e.event_type == "DELETE") {
+            state.update(Pending(e.event_seq, tombstone = true))
+            out ::= CrdAction(SyncAction.Delete, name)
+          } else if (e.event_type == "ADD") {
+            state.update(Pending(e.event_seq))
+          } // UPDATE dropped (watcher.go:240-243)
+        }
       }
       if (state.exists) state.setTimeoutDuration(debounceMs)
       out.reverse.iterator
@@ -59,17 +64,15 @@ object CrdPipeline {
         GroupStateTimeout.ProcessingTimeTimeout)(stateFunc(debounceMs))
   }
 
-  /** Name payloads: deletes first (fast path), upserts chunked. */
+  /** Name payloads: deletes first (fast path), upserts chunked — same
+    * split/chunk/escape contract as the instance pipeline (Payloads.build).
+    */
   def payloads(actions: Seq[CrdAction], maxBatch: Int = 50): Seq[String] = {
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val (dels, ups) = actions.partition(_.action == SyncAction.Delete)
-    val d =
-      if (dels.isEmpty) Nil
-      else Seq(dels.map(a => jstr(a.crd_name)).mkString("""{"deletes":[""", ",", "]}"))
-    val u = ups.grouped(math.max(1, maxBatch)).map { chunk =>
-      chunk.map(a => jstr(a.crd_name)).mkString("""{"upserts":[""", ",", "]}")
-    }.toSeq
-    d ++ u
+    Payloads.build(
+      dels.map(a => Payloads.jstr(a.crd_name)),
+      ups.map(a => Payloads.jstr(a.crd_name)),
+      maxBatch)
   }
 
   def start(
@@ -82,8 +85,7 @@ object CrdPipeline {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(config.flushIntervalMs))
       .foreachBatch { (batch: Dataset[CrdAction], _: Long) =>
-        payloads(batch.collect().toSeq, config.maxBatch).foreach(sink.send)
-        ()
+        Payloads.deliver(sink, payloads(batch.collect().toSeq, config.maxBatch))
       }
     val w =
       if (config.checkpointDir.nonEmpty)

@@ -29,15 +29,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Debounce {
 
-  /** One pending (not yet quiesced) upsert per key. */
-  final case class Pending(row: ResourceEventRow, seq: Long)
+  /** Per-key state: a pending (not yet quiesced) upsert, or a tombstone left
+    * behind by a DELETE. The tombstone carries the delete's seq so an
+    * older-seq upsert arriving in a LATER micro-batch (cross-batch reorder)
+    * cannot resurrect the deleted key; it expires via the same timeout that
+    * flushes upserts, so state stays bounded.
+    */
+  final case class Pending(row: ResourceEventRow, seq: Long, tombstone: Boolean = false)
 
   /** Pure per-key transition: fold a batch of events for one key into the
     * (new state, emissions, arm-timer?) triple. Unit-testable without Spark.
     *
-    * Events are applied in `event_seq` order. A DELETE clears pending state
-    * and emits immediately; upserts replace pending (keeping the max seq) and
-    * arm the quiet-period timer.
+    * Events are applied in `event_seq` order. A DELETE cancels pending state
+    * and emits immediately (leaving a tombstone); upserts replace pending
+    * (keeping the max seq) and arm the quiet-period timer.
     */
   def applyEvents(
       pending: Option[Pending],
@@ -45,11 +50,14 @@ object Debounce {
     var state = pending
     var out = List.empty[SyncAction]
     events.sortBy(_.event_seq).foreach { e =>
-      if (e.event_type == "DELETE") {
-        state = None // cancel pending upsert (debounce.go:108-114)
-        out ::= SyncAction.delete(e.id)
-      } else {
-        if (state.forall(_.seq < e.event_seq)) state = Some(Pending(e, e.event_seq))
+      if (state.forall(_.seq < e.event_seq)) {
+        if (e.event_type == "DELETE") {
+          // cancel pending upsert (debounce.go:108-114), remember the seq
+          state = Some(Pending(e, e.event_seq, tombstone = true))
+          out ::= SyncAction.delete(e.id)
+        } else {
+          state = Some(Pending(e, e.event_seq))
+        }
       }
     }
     (state, out.reverse, state.isDefined)
@@ -63,7 +71,8 @@ object Debounce {
       events: Iterator[ResourceEventRow],
       state: GroupState[Pending]): Iterator[SyncAction] = {
     if (state.hasTimedOut) {
-      val emit = state.getOption.map(p => SyncAction.upsert(p.row))
+      // quiesced upsert flushes; an expired tombstone just evicts
+      val emit = state.getOption.filterNot(_.tombstone).map(p => SyncAction.upsert(p.row))
       state.remove()
       emit.iterator
     } else {

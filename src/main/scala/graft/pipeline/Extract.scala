@@ -58,10 +58,14 @@ object Extract {
     * (map key order is undefined in both engines).
     */
   def diff(newSnap: DataFrame, prev: DataFrame): DataFrame = {
+    // coalesce each side to a distinct "null" token: concat_ws SKIPS nulls,
+    // so without it (labels=null, annotations=m) and (labels=m,
+    // annotations=null) would produce the same signature and a real
+    // metadata change would be missed
     def sig(labels: org.apache.spark.sql.Column, ann: org.apache.spark.sql.Column) =
       concat_ws("#",
-        to_json(array_sort(map_entries(labels))),
-        to_json(array_sort(map_entries(ann))))
+        coalesce(to_json(array_sort(map_entries(labels))), lit("null")),
+        coalesce(to_json(array_sort(map_entries(ann))), lit("null")))
     val n = newSnap.select(
       col("id").as("n_id"),
       sig(col("labels"), col("annotations")).as("n_sig"))

@@ -67,7 +67,7 @@ object Payloads {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
-  private def jstr(s: String): String =
+  private[pipeline] def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
@@ -92,18 +92,43 @@ object Payloads {
       s""""annotations":${jmap(r.annotations)},"createdAt":$created}"""
   }
 
-  /** Split a micro-batch of actions into wire payloads: every delete batch
-    * first (the fast path), then upserts chunked at `maxBatch`
-    * (BATCH_MAX_SIZE=50, config.go:50).
+  /** Assemble wire payloads from pre-serialized JSON values: every delete
+    * batch first (the fast path), then upserts chunked at `maxBatch`
+    * (BATCH_MAX_SIZE=50, config.go:50). Shared by the instance and CRD
+    * pipelines so the split/chunk/escape contract lives in one place.
     */
-  def fromActions(actions: Seq[SyncAction], maxBatch: Int = 50): Seq[String] = {
-    val (dels, ups) = actions.partition(_.action == SyncAction.Delete)
+  def build(deleteJsons: Seq[String], upsertJsons: Seq[String], maxBatch: Int): Seq[String] = {
     val delPayloads =
-      if (dels.isEmpty) Nil
-      else Seq(dels.map(d => jstr(d.id)).mkString("""{"deletes":[""", ",", "]}"))
-    val upPayloads = ups.flatMap(_.instance).grouped(math.max(1, maxBatch)).map { chunk =>
-      chunk.map(instanceJson).mkString("""{"upserts":[""", ",", "]}")
+      if (deleteJsons.isEmpty) Nil
+      else Seq(deleteJsons.mkString("""{"deletes":[""", ",", "]}"))
+    val upPayloads = upsertJsons.grouped(math.max(1, maxBatch)).map {
+      _.mkString("""{"upserts":[""", ",", "]}")
     }.toSeq
     delPayloads ++ upPayloads
   }
+
+  /** Instance-pipeline payloads from a micro-batch of actions. */
+  def fromActions(actions: Seq[SyncAction], maxBatch: Int = 50): Seq[String] = {
+    val (dels, ups) = actions.partition(_.action == SyncAction.Delete)
+    build(dels.map(d => jstr(d.id)), ups.flatMap(_.instance).map(instanceJson), maxBatch)
+  }
+
+  /** Deliver payloads, honoring the delivery contract: a transient failure
+    * (retries exhausted on 5xx/transport) throws so the streaming epoch
+    * fails and replays — exactly-once is preserved by the idempotent
+    * downstream keyed on id. A 4xx is permanent (replay cannot heal it —
+    * same payload, same answer): logged and dropped, matching the
+    * reference's fail-fast classification (rest.go:139-144).
+    */
+  def deliver(sink: RestSink, payloads: Seq[String]): Unit =
+    payloads.foreach { p =>
+      sink.send(p) match {
+        case sink.Exhausted(status) =>
+          throw new java.io.IOException(
+            s"payload delivery failed after retries (last status $status)")
+        case sink.ClientError(status) =>
+          System.err.println(s"[sink] dropping payload rejected with $status")
+        case _ => ()
+      }
+    }
 }

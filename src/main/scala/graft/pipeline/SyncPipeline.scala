@@ -45,11 +45,14 @@ object SyncPipeline {
   }
 
   private[pipeline] def applyStateStoreConf(spark: SparkSession, config: Config): Unit =
-    if (config.rocksDbState) {
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    }
+    // config is authoritative either way — a one-way set would leak RocksDB
+    // into later pipelines started on the same session with the default
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      if (config.rocksDbState)
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
 
   /** Wire the pipeline onto any streaming Dataset of events. `send` is the
     * transport (real HTTP in prod, a recording stub in tests); it is invoked
@@ -68,8 +71,7 @@ object SyncPipeline {
       .trigger(Trigger.ProcessingTime(config.flushIntervalMs))
       .foreachBatch { (batch: Dataset[SyncAction], _: Long) =>
         val acts = batch.collect().toSeq // bounded: ≤ keys quiesced this tick
-        Payloads.fromActions(acts, config.maxBatch).foreach(sink.send)
-        ()
+        Payloads.deliver(sink, Payloads.fromActions(acts, config.maxBatch))
       }
     val w =
       if (config.checkpointDir.nonEmpty)
@@ -91,7 +93,7 @@ object SyncPipeline {
     import scala.jdk.CollectionConverters._
     instances.toLocalIterator().asScala.grouped(math.max(1, maxBatch)).foreach { chunk =>
       n += chunk.size
-      Payloads.fromActions(chunk.map(SyncAction.upsert), maxBatch).foreach(sink.send)
+      Payloads.deliver(sink, Payloads.fromActions(chunk.map(SyncAction.upsert), maxBatch))
     }
     n
   }

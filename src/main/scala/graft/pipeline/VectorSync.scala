@@ -35,14 +35,19 @@ object VectorSync {
     val applications = new java.util.concurrent.atomic.AtomicLong
 
     /** Apply one micro-batch; returns false if the epoch was already applied
-      * (replay after recovery) and was skipped.
+      * (replay after recovery) and was skipped. The epoch is recorded only
+      * AFTER every mutation succeeds — marking first would turn a mid-apply
+      * failure into a permanently half-applied epoch (the replay would be
+      * skipped as "done"). A real DB-backed implementation must keep the
+      * same order (or make mark+mutations one transaction).
       */
     def applyEpoch(epochId: Long, events: Seq[VecEvent]): Boolean = {
-      if (!epochs.add(epochId)) return false // idempotent replay
+      if (epochs.contains(epochId)) return false // idempotent replay
       events.sortBy(_.event_seq).foreach { e =>
         if (e.event_type == "DELETE") rows.remove(e.vec_id)
         else rows.put(e.vec_id, (e.embedding, e.label))
       }
+      epochs.add(epochId)
       applications.incrementAndGet()
       true
     }

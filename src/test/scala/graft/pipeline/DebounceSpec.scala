@@ -36,8 +36,20 @@ class DebounceSpec extends AnyFunSuite {
     val (pending, _, _) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 1)))
     val (state, out, arm) = Debounce.applyEvents(pending, Seq(ev("a", "DELETE", 2)))
     assert(out == List(SyncAction.delete("a")))
-    assert(state.isEmpty) // pending upsert cancelled
-    assert(!arm) // no timer re-arm after delete clears the key
+    assert(state.exists(_.tombstone)) // pending upsert cancelled, tombstone left
+    assert(arm) // timer re-armed to evict the tombstone
+  }
+
+  test("a late out-of-order upsert cannot resurrect a deleted key across batches") {
+    val (afterDelete, _, _) = Debounce.applyEvents(None, Seq(ev("a", "DELETE", 5)))
+    // cross-batch reorder: an older ADD (seq 3) arrives after the delete
+    val (state, out, _) = Debounce.applyEvents(afterDelete, Seq(ev("a", "ADD", 3, "stale")))
+    assert(out.isEmpty)
+    assert(state.exists(_.tombstone)) // stale ADD ignored, tombstone holds
+    // a genuinely newer ADD does re-create the key
+    val (state2, _, arm2) = Debounce.applyEvents(state, Seq(ev("a", "ADD", 6, "fresh")))
+    assert(state2.exists(p => !p.tombstone && p.row.labels("version") == "fresh"))
+    assert(arm2)
   }
 
   test("add-after-delete within one batch re-pends the key") {

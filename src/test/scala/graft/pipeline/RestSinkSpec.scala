@@ -73,6 +73,16 @@ class RestSinkSpec extends AnyFunSuite {
     assert(s.backoffMs(0) == 750)
   }
 
+  test("deliver: exhausted retries fail the batch; 4xx drops without failing") {
+    val (bad5xx, _) = sink(Seq(500, 500, 500, 500))
+    intercept[java.io.IOException] {
+      Payloads.deliver(bad5xx, Seq("""{"upserts":[1]}"""))
+    } // transient → epoch replay
+    val (bad4xx, calls) = sink(Seq(422))
+    Payloads.deliver(bad4xx, Seq("""{"upserts":[1]}""")) // permanent → dropped, no throw
+    assert(calls.size == 1)
+  }
+
   test("sleeps happen between retries, not after the last") {
     val sleeps = ArrayBuffer.empty[Long]
     val (s, _) = sink(Seq(500, 500, 500, 500), sleeps)
