@@ -87,3 +87,21 @@ object GraftExpressions {
     }
   }
 }
+
+/** Production registration path: `SparkSessionExtensions` injection, usable
+  * as `SparkSession.builder.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on spark-submit —
+  * every session (including thrift/connect ones) gets the engine's native
+  * expressions without imperative setup. The Verify/Bench/Plans mains build
+  * their sessions through this.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+  }
+}
