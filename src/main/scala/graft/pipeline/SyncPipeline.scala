@@ -15,6 +15,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * upserts are still held by a 10 s debounce. Checkpointing upgrades the
   * reference's at-most-once delivery (drops on full channels) to
   * exactly-once per epoch with idempotent upserts keyed on id.
+  *
+  * Recovery caveat: state (pending upserts + their timers) is restored from
+  * the checkpoint, but a recovered processing-time timer only fires when a
+  * micro-batch executes, and the engine runs no batch until new data
+  * arrives. A quiet source after restart therefore holds recovered upserts
+  * indefinitely — deployments should emit a periodic keep-alive event (or
+  * trigger a resync) after recovery. Covered by the A18 recovery test.
   */
 object SyncPipeline {
 
