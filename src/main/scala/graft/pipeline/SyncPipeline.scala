@@ -107,11 +107,22 @@ object SyncPipeline {
 
   /** Convenience: file-based streaming source of event JSON lines (the
     * engine's analog of the reference's informer tail, A1).
+    * `maxFilesPerTrigger` is the source-side rate limit — the engine's
+    * backpressure analog of the reference's bounded channels (A15/BATCH_MAX:
+    * instead of dropping on overload, intake is throttled per micro-batch).
     */
-  def fileSource(spark: SparkSession, dir: String): Dataset[ResourceEventRow] = {
+  def fileSource(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 0): Dataset[ResourceEventRow] = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[ResourceEventRow].schema
-    spark.readStream.schema(schema).json(dir).as[ResourceEventRow]
+    val reader = spark.readStream.schema(schema)
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    limited.json(dir).as[ResourceEventRow]
   }
 
   /** Split a batch of actions the way the sink does — exposed for the

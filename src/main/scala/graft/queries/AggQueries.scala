@@ -197,6 +197,27 @@ object AggQueries {
              FROM r GROUP BY 1 ORDER BY 1""")),
 
     GQuery(
+      "q_agg_quantile",
+      (s, dir) => {
+        // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+        // quantile_cont); approximate sketches are q_agg_approx's job.
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            r4(expr("percentile(l_quantity, 0.25)")).as("q25"),
+            r4(expr("percentile(l_quantity, 0.5)")).as("median"),
+            r4(expr("percentile(l_quantity, 0.75)")).as("q75"),
+            r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median,
+             round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
       "q_agg_salted",
       (s, dir) => {
         // Skew-safe two-phase aggregation (functions.Skew): l_returnflag has

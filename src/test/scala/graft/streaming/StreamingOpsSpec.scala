@@ -86,12 +86,12 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { query.stop(); spark.catalog.dropTempView("enriched") }
   }
 
-  test("file streaming source tails event JSON (the informer analog)") {
+  test("file streaming source tails event JSON with per-trigger rate limit") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val dir = java.nio.file.Files.createTempDirectory("evt_src").toString
     val query = graft.pipeline.SyncPipeline
-      .fileSource(spark, dir)
+      .fileSource(spark, dir, maxFilesPerTrigger = 1)
       .groupBy("event_type").count()
       .writeStream.outputMode("complete").format("memory").queryName("file_src").start()
     try {
@@ -100,10 +100,17 @@ class StreamingOpsSpec extends SparkSpec {
         """{"event_type":"ADD","event_seq":1,"ts":"2026-01-01T00:00:00Z","id":"x","namespace":"ns","name":"x","kind":"Pod","apiVersion":"v1","apiGroup":"","labels":{},"annotations":null,"createdAt":"2026-01-01T00:00:00Z"}
           |{"event_type":"DELETE","event_seq":2,"ts":"2026-01-01T00:00:01Z","id":"y","namespace":"ns","name":"y","kind":"Pod","apiVersion":"v1","apiGroup":"","labels":{},"annotations":null,"createdAt":"2026-01-01T00:00:00Z"}
           |""".stripMargin)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "b.json"),
+        """{"event_type":"UPDATE","event_seq":3,"ts":"2026-01-01T00:00:02Z","id":"x","namespace":"ns","name":"x","kind":"Pod","apiVersion":"v1","apiGroup":"","labels":{},"annotations":null,"createdAt":"2026-01-01T00:00:00Z"}""")
       query.processAllAvailable()
       val counts = spark.sql("SELECT event_type, count FROM file_src ORDER BY event_type")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      assert(counts == Seq("ADD" -> 1L, "DELETE" -> 1L))
+      assert(counts == Seq("ADD" -> 1L, "DELETE" -> 1L, "UPDATE" -> 1L))
+      // maxFilesPerTrigger=1: the 3 rows arrived across ≥2 micro-batches,
+      // never all in one (file a has 2 rows, file b has 1)
+      val inputRows = query.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(inputRows.length >= 2 && inputRows.forall(_ <= 2))
     } finally { query.stop(); spark.catalog.dropTempView("file_src") }
   }
 }
