@@ -23,6 +23,17 @@ object KubeFunctions {
   def buildId(ns: Column, apiVersion: Column, kind: Column, name: Column): Column =
     concat_ws("/", namespaceOrCluster(ns), apiVersion, kind, name)
 
+  /** Scala-UDF variant of buildId — the declared UDF surface (SURVEY.md
+    * §2.B). The Column-expression form above is the hot path (codegen'd,
+    * optimizer-visible); this exists for API parity and as the pattern for
+    * logic that genuinely can't be expressed in Columns.
+    */
+  val buildIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ns: String, apiVersion: String, kind: String, name: String) =>
+      val n = if (ns == null || ns.isEmpty) "_cluster" else ns
+      s"$n/$apiVersion/$kind/$name"
+    }
+
   /** `"apps/v1" → "apps"`, `"v1" → ""` — the API group is everything before
     * the first '/' when present (reference: internal/metadata/extract.go:62-68).
     */

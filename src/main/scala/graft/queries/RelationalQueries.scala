@@ -243,6 +243,24 @@ object RelationalQueries {
              WHERE event_type = 'purchase' ORDER BY event_id""")),
 
     GQuery(
+      "q_join_merge",
+      (s, dir) => {
+        // Explicit sort-merge join (large-large): the merge hint suppresses
+        // the broadcast that small SFs would otherwise pick, exercising the
+        // shuffle-sort-merge path both fact tables take at 100 TB.
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(r4(dsum(col("l_quantity"))).as("qty"), count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, round(${sql.dsum("l_quantity")}, 4) AS qty,
+              count(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
       "q_sort_global",
       (s, dir) => {
         // Global total-order sort (range-partitioned exchange + per-partition
