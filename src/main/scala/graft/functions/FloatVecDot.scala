@@ -29,12 +29,17 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
-          s"vec_dot requires (array<float>, array<float>), got ($l, $r)")
+          s"vec_dot requires array<float|double> args, got ($l, $r)")
     }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVecDot =
@@ -45,11 +50,15 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val lDouble = isDouble(left)
+    val rDouble = isDouble(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -60,6 +69,8 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val getA = if (isDouble(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getB = if (isDouble(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -68,7 +79,7 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += $getA * $getB;
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF index construction: a k-means centroid table (the coarse quantizer)
+  * plus cell assignments, so similarity search scans one cell instead of the
+  * corpus — the 100 TB scale path SURVEY.md §2.B-LLM sketches, where the
+  * corpus is partitioned/bucketed by cell.
+  *
+  * Lloyd's algorithm, Spark-shaped and deterministic:
+  *   - init: the first k vectors by vec_id (no RNG)
+  *   - assign: broadcast the k centroids, one pass over the corpus taking
+  *     the max-cosine cell (ties → lowest cell id)
+  *   - update: per-cell mean via posexplode + groupBy(cell, dim) — a partial
+  *     +final aggregation, never collecting vectors to the driver
+  *
+  * Each iteration is two narrow passes + one dim-keyed aggregation; nothing
+  * scales with corpus² — at 1000 executors the assign step is embarrassingly
+  * parallel and the update shuffles k·dim rows.
+  */
+object VectorIndex {
+
+  /** (cell INT, centroid ARRAY<DOUBLE>) after `iters` Lloyd iterations. */
+  def kmeansCentroids(
+      spark: SparkSession,
+      embeddings: DataFrame, // (vec_id LONG, embedding ARRAY<FLOAT>)
+      k: Int,
+      iters: Int): DataFrame = {
+    var centroids = embeddings
+      .orderBy("vec_id").limit(k)
+      .select(
+        (row_number().over(Window.orderBy("vec_id")) - 1).as("cell"),
+        col("embedding").cast("array<double>").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(embeddings, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("v")).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
+        .select(col("cell"),
+          expr("transform(entries, e -> e.c)").as("centroid"))
+    }
+    centroids
+  }
+
+  /** Tag each vector with its nearest (max-cosine) cell; ties → lowest id.
+    * Centroids are broadcast — one corpus pass, no shuffle.
+    */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("sim",
+        cosineSimilarity(col("embedding").cast("array<double>"), col("centroid")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "sim", "centroid")
+  }
+}

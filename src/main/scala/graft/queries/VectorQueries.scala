@@ -164,6 +164,33 @@ object VectorQueries {
       None),
 
     GQuery(
+      "q_sim_ivf_kmeans",
+      (s, dir) => {
+        // Full IVF path: build the coarse quantizer (deterministic k-means,
+        // VectorIndex), assign cells, then top-3 neighbors within the
+        // query's cell only. Rows-only check: parallel float averaging in
+        // the centroid update is not bit-reproducible in SQL.
+        import graft.functions.VectorIndex
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val centroids = VectorIndex.kmeansCentroids(s, e, k = 8, iters = 2)
+        val cells = VectorIndex.assignCells(e, centroids)
+          .withColumn("nrm", l2Norm(col("embedding")))
+        val q = cells.filter(col("vec_id") < 10).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cell"), col("nrm").as("q_n"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        q.join(cells, Seq("cell")).filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      None),
+
+    GQuery(
       "q_emb_centroid",
       (s, dir) => {
         // Per-label centroid, emitted as (label, dim, value) rows — the

@@ -58,6 +58,28 @@ class TextVectorSpec extends SparkSpec {
     assert(got == 2) // 101 vs 110
   }
 
+  test("IVF k-means: k cells, every vector assigned, centroids are real means") {
+    import spark.implicits._
+    // 3 obvious clusters on the axes of R^3
+    val vecs = (0 until 30).map { i =>
+      val base = Array(0f, 0f, 0f)
+      base(i % 3) = 10f + (i / 3).toFloat * 0.1f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val centroids = graft.functions.VectorIndex.kmeansCentroids(spark, vecs, k = 3, iters = 3)
+    assert(centroids.count() == 3)
+    val cells = graft.functions.VectorIndex.assignCells(vecs, centroids)
+    assert(cells.count() == 30)
+    // cosine clustering on axis-aligned vectors must recover the 3 axes:
+    // every cell has exactly 10 members
+    val sizes = cells.groupBy("cell").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq == Seq(10L, 10L, 10L))
+    // deterministic: same inputs → same assignment
+    val again = graft.functions.VectorIndex.assignCells(vecs,
+      graft.functions.VectorIndex.kmeansCentroids(spark, vecs, k = 3, iters = 3))
+    assert(cells.select("vec_id", "cell").except(again.select("vec_id", "cell")).count() == 0)
+  }
+
   test("multimodal decode stub is deterministic with real partition plumbing") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
