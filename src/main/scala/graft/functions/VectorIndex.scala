@@ -29,6 +29,7 @@ object VectorIndex {
       embeddings: DataFrame, // (vec_id LONG, embedding ARRAY<FLOAT>)
       k: Int,
       iters: Int): DataFrame = {
+    import spark.implicits._
     var centroids = embeddings
       .orderBy("vec_id").limit(k)
       .select(
@@ -36,7 +37,7 @@ object VectorIndex {
         col("embedding").cast("array<double>").as("centroid"))
     (0 until iters).foreach { _ =>
       val assigned = assignCells(embeddings, centroids)
-      centroids = assigned
+      val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg(avg(col("v")).as("c"))
@@ -44,6 +45,11 @@ object VectorIndex {
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
         .select(col("cell"),
           expr("transform(entries, e -> e.c)").as("centroid"))
+      // truncate lineage: each Lloyd iteration would otherwise recompute all
+      // prior iterations per action; the centroid table is k·dim doubles, so
+      // collect it and restart the plan from a literal dataset
+      val rows = updated.as[(Int, Seq[Double])].collect().toSeq
+      centroids = rows.toDF("cell", "centroid")
     }
     centroids
   }
