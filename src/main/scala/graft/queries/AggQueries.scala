@@ -197,6 +197,29 @@ object AggQueries {
              FROM r GROUP BY 1 ORDER BY 1""")),
 
     GQuery(
+      "q_agg_pivot",
+      (s, dir) => {
+        // Pivot: one column per order status, counts + decimal-exact sums.
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), r4(dsum(col("o_totalprice"))).as("total"))
+          .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+              count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+              round(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                AS DECIMAL(28,4))) AS DOUBLE), 4) AS F_total,
+              count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+              round(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END
+                AS DECIMAL(28,4))) AS DOUBLE), 4) AS O_total,
+              count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+              round(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END
+                AS DECIMAL(28,4))) AS DOUBLE), 4) AS P_total
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
       "q_agg_quantile",
       (s, dir) => {
         // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
