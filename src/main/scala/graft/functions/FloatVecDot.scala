@@ -36,7 +36,12 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
           s"vec_dot requires array<float|double> args, got ($l, $r)")
     }
 
-  private def isDouble(e: Expression): Boolean = e.dataType match {
+  // element types are fixed per plan — derive once, not per row
+  @transient private lazy val leftIsDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+  @transient private lazy val rightIsDouble: Boolean = right.dataType match {
     case ArrayType(DoubleType, _) => true
     case _                        => false
   }
@@ -50,14 +55,12 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val lDouble = isDouble(left)
-    val rDouble = isDouble(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
-      val yv = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      val xv = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
       acc += xv * yv
       i += 1
     }
@@ -69,8 +72,8 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      val getA = if (isDouble(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
-      val getB = if (isDouble(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+      val getA = if (leftIsDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val getB = if (rightIsDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -93,9 +96,16 @@ object GraftExpressions {
     val registry = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
     if (!registry.functionExists(id)) {
-      registry.createOrReplaceTempFunction(
-        "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+      registry.createOrReplaceTempFunction("vec_dot", build, "built-in")
     }
+  }
+
+  /** Arity-checked builder shared by both registration paths. */
+  private[functions] def build(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): FloatVecDot = {
+    require(exprs.length == 2,
+      s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+    FloatVecDot(exprs.head, exprs(1))
   }
 }
 
@@ -113,6 +123,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => GraftExpressions.build(exprs)))
   }
 }

@@ -31,7 +31,9 @@ object KubeFunctions {
   val buildIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (ns: String, apiVersion: String, kind: String, name: String) =>
       val n = if (ns == null || ns.isEmpty) "_cluster" else ns
-      s"$n/$apiVersion/$kind/$name"
+      // concat_ws skips null segments — mirror that so both forms always
+      // produce the same primary key
+      (n +: Seq(apiVersion, kind, name).filter(_ != null)).mkString("/")
     }
 
   /** `"apps/v1" → "apps"`, `"v1" → ""` — the API group is everything before

@@ -47,24 +47,28 @@ object VectorIndex {
           expr("transform(entries, e -> e.c)").as("centroid"))
       // truncate lineage: each Lloyd iteration would otherwise recompute all
       // prior iterations per action; the centroid table is k·dim doubles, so
-      // collect it and restart the plan from a literal dataset
-      val rows = updated.as[(Int, Seq[Double])].collect().toSeq
+      // collect it and restart the plan from a literal dataset. A cell with
+      // zero members produces no update row — keep its previous centroid
+      // rather than letting k silently shrink.
+      val updatedMap = updated.as[(Int, Seq[Double])].collect().toMap
+      val prevMap = centroids.as[(Int, Seq[Double])].collect().toMap
+      val rows = (0 until k).map(c => (c, updatedMap.getOrElse(c, prevMap(c))))
       centroids = rows.toDF("cell", "centroid")
     }
     centroids
   }
 
   /** Tag each vector with its nearest (max-cosine) cell; ties → lowest id.
-    * Centroids are broadcast — one corpus pass, no shuffle.
+    * Centroids are broadcast; the argmax is a partial+final max_by
+    * aggregation, so the exchange carries one pre-combined row per vector —
+    * not the corpus×k rows a window-over-vec_id would shuffle.
     */
-  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = embeddings.crossJoin(broadcast(centroids))
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(centroids))
       .withColumn("sim",
         cosineSimilarity(col("embedding").cast("array<double>"), col("centroid")))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "sim", "centroid")
-  }
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding")) // identical across the k copies
 }

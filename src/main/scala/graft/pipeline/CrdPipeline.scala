@@ -80,6 +80,7 @@ object CrdPipeline {
       sink: RestSink,
       config: SyncPipeline.Config = SyncPipeline.Config())(
       implicit spark: SparkSession): StreamingQuery = {
+    SyncPipeline.applyStateStoreConf(spark, config)
     val actions = debounced(events, config.debounceMs)
     val writer = actions.writeStream
       .outputMode("append")

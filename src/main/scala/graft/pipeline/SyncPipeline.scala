@@ -40,10 +40,15 @@ object SyncPipeline {
       * defaults; CSV lists parse trimmed + lowercased (config.go:85-99).
       */
     def fromEnv(env: Map[String, String] = sys.env): Config = Config(
-      debounceMs = env.get("DEBOUNCE_WINDOW_MS").flatMap(_.toLongOption).getOrElse(10000L),
-      flushIntervalMs =
-        env.get("BATCH_FLUSH_INTERVAL_MS").flatMap(_.toLongOption).getOrElse(500L),
-      maxBatch = env.get("BATCH_MAX_SIZE").flatMap(_.toIntOption).getOrElse(50),
+      // non-positive values would crash the query at runtime
+      // (setTimeoutDuration / Trigger.ProcessingTime reject them) — treat
+      // them like unparseable input and fall back to the defaults
+      debounceMs = env.get("DEBOUNCE_WINDOW_MS").flatMap(_.toLongOption)
+        .filter(_ > 0).getOrElse(10000L),
+      flushIntervalMs = env.get("BATCH_FLUSH_INTERVAL_MS").flatMap(_.toLongOption)
+        .filter(_ > 0).getOrElse(500L),
+      maxBatch = env.get("BATCH_MAX_SIZE").flatMap(_.toIntOption)
+        .filter(_ > 0).getOrElse(50),
       checkpointDir = env.getOrElse("CHECKPOINT_DIR", ""))
 
     /** CSV normalize: split, trim, lowercase, drop empties (config.go:85-99). */

@@ -24,6 +24,18 @@ class KubeFunctionsSpec extends SparkSpec {
     assert(one[String](namespaceOrCluster(lit(null).cast("string"))) == "_cluster")
   }
 
+  test("buildIdUdf matches the expression form when a segment is null") {
+    import spark.implicits._
+    val row = Seq(("default", "apps/v1", null: String, "nginx"))
+      .toDF("ns", "ver", "kind", "name")
+      .select(
+        KubeFunctions.buildId(col("ns"), col("ver"), col("kind"), col("name")).as("a"),
+        KubeFunctions.buildIdUdf(col("ns"), col("ver"), col("kind"), col("name")).as("b"))
+      .collect()(0)
+    assert(row.getString(0) == row.getString(1)) // both skip the null segment
+    assert(row.getString(0) == "default/apps/v1/nginx")
+  }
+
   test("extractApiGroup splits grouped versions and empties core") {
     assert(one[String](extractApiGroup(lit("apps/v1"))) == "apps")
     assert(one[String](extractApiGroup(lit("v1"))) == "")

@@ -40,6 +40,17 @@ class DebounceSpec extends AnyFunSuite {
     assert(arm) // timer re-armed to evict the tombstone
   }
 
+  test("a stale out-of-order DELETE loses to a newer pending upsert (seq order wins)") {
+    // last-state-wins is by event_seq for ALL event types: if the pending
+    // upsert is newer than a reordered delete, the true latest state is the
+    // upsert, so the delete is ignored (the mirror of tombstone-vs-stale-ADD)
+    val (pending, _, _) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 5, "new")))
+    val (state, out, arm) = Debounce.applyEvents(pending, Seq(ev("a", "DELETE", 3)))
+    assert(out.isEmpty)
+    assert(state.exists(p => !p.tombstone && p.seq == 5))
+    assert(arm)
+  }
+
   test("a late out-of-order upsert cannot resurrect a deleted key across batches") {
     val (afterDelete, _, _) = Debounce.applyEvents(None, Seq(ev("a", "DELETE", 5)))
     // cross-batch reorder: an older ADD (seq 3) arrives after the delete
