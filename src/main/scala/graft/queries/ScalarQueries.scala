@@ -190,8 +190,8 @@ object ScalarQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type,
-             SUM(CAST(regexp_extract(props, ': *([0-9]+)', 1) AS INT)) AS sum_k,
-             SUM(CAST(regexp_extract(props, ': *([0-9]+)', 1) AS INT)) AS sum_k2,
+             CAST(SUM(CAST(regexp_extract(props, ': *([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k,
+             CAST(SUM(CAST(regexp_extract(props, ': *([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k2,
              count(*) AS n
              FROM events GROUP BY 1 ORDER BY 1""")),
 

@@ -37,7 +37,7 @@ object SourceQueries {
   private val roundTripOracle =
     s"""SELECT event_type, count(*) AS n,
        round(${Canon.sql.dsum("value")}, 4) AS total,
-       sum(event_id) AS id_sum
+       CAST(sum(event_id) AS BIGINT) AS id_sum
        FROM events GROUP BY 1 ORDER BY 1"""
 
   val qs: Seq[GQuery] = Seq(

@@ -144,7 +144,7 @@ object TextQueries {
             max(col("n_chars")).as("max_chars"))
           .orderBy("lang", "source")
       },
-      Some(s"""SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars,
+      Some(s"""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
               round(${sql.davg("n_chars")}, 4) AS avg_chars,
               min(n_chars) AS min_chars, max(n_chars) AS max_chars
               FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),

@@ -16,6 +16,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Integer width is invisible to the driver's hasher (int32 rank vs int64
+    # rank hash-passed in r1), so widen all ints to int64 before the dtype
+    # check. What DID hash-fail was DuckDB HUGEINT, which pandas materializes
+    # as float64/object — that family difference survives this widening.
+    for c in df.columns:
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
+            df[c] = df[c].astype("int64")
     return df.reset_index(drop=True)
 
 
@@ -50,6 +57,15 @@ def main():
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            n_fail += 1
+            continue
+        # dtype parity first: the driver hashes typed values, so a DuckDB
+        # HUGEINT vs Spark int64 divergence fails there even when == passes.
+        dt = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+              if str(got[c].dtype) != str(want[c].dtype)]
+        if dt:
+            c, a, b = dt[0]
+            print(f"FAIL {name}: dtype col {c}: spark={a} oracle={b} ({len(dt)} cols)")
             n_fail += 1
             continue
         # exact compare (NaN==NaN); dtype-insensitive via object cast
