@@ -20,22 +20,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * race cannot exist — `GroupState` + ProcessingTimeTimeout replaces
   * `time.AfterFunc` + mutex + generation.
   *
+  *   - A10 no-op suppression: the reference drops UPDATE events whose
+  *     labels/annotations did not change (watcher.go:315-331, gated at
+  *     :240-247) using the informer cache's old object. The stream has no
+  *     old object, so the equivalent here is remembering the last *flushed*
+  *     row per key and suppressing an UPDATE flush whose synced metadata is
+  *     identical. ADDs always flush, as in the reference (only UpdateFunc is
+  *     gated).
+  *
   * Scale: state is hash-partitioned by id across executors (the shuffle before
-  * the stateful operator is the only exchange), per-key state is one row, and
-  * eviction is deterministic (emit-on-timeout removes state), so state size is
-  * bounded by the number of keys *currently inside a debounce window* — not by
-  * stream history. RocksDB state store handles spill at the 100 TB design
-  * point.
+  * the stateful operator is the only exchange) and per-key state is one row.
+  * A flushed key keeps its last-sent row as suppression memory, so state is
+  * bounded by the number of LIVE keys — the same bound as the reference's
+  * informer cache, which also holds every live object. Deletes evict fully
+  * (tombstone expires at timeout), and the RocksDB state store option handles
+  * key spaces beyond executor memory at the 100 TB design point.
   */
 object Debounce {
 
-  /** Per-key state: a pending (not yet quiesced) upsert, or a tombstone left
-    * behind by a DELETE. The tombstone carries the delete's seq so an
-    * older-seq upsert arriving in a LATER micro-batch (cross-batch reorder)
-    * cannot resurrect the deleted key; it expires via the same timeout that
-    * flushes upserts, so state stays bounded.
+  /** Per-key state: a pending (not yet quiesced) upsert, a tombstone left
+    * behind by a DELETE, or — after a flush — the last-sent row kept as
+    * no-op-suppression memory (`flushed = true`, no timer armed).
+    *
+    * The tombstone carries the delete's seq so an older-seq upsert arriving
+    * in a LATER micro-batch (cross-batch reorder) cannot resurrect the
+    * deleted key; it expires via the same timeout that flushes upserts.
+    * `last` rides along on a pending upsert so the flush can compare against
+    * what the sink already has.
     */
-  final case class Pending(row: ResourceEventRow, seq: Long, tombstone: Boolean = false)
+  final case class Pending(
+      row: ResourceEventRow,
+      seq: Long,
+      tombstone: Boolean = false,
+      flushed: Boolean = false,
+      last: Option[ResourceEventRow] = None)
+
+  /** A10: the reference's metadataChanged (watcher.go:315-331), inverted —
+    * true when the synced metadata (labels + annotations) is identical.
+    */
+  def metadataUnchanged(a: ResourceEventRow, b: ResourceEventRow): Boolean =
+    a.labels == b.labels && a.annotations == b.annotations
 
   /** Pure per-key transition: fold a batch of events for one key into the
     * (new state, emissions, arm-timer?) triple. Unit-testable without Spark.
@@ -52,16 +76,36 @@ object Debounce {
     events.sortBy(_.event_seq).foreach { e =>
       if (state.forall(_.seq < e.event_seq)) {
         if (e.event_type == "DELETE") {
-          // cancel pending upsert (debounce.go:108-114), remember the seq
+          // cancel pending upsert (debounce.go:108-114), remember the seq;
+          // suppression memory is dropped — after a delete, the next upsert
+          // must always be sent
           state = Some(Pending(e, e.event_seq, tombstone = true))
           out ::= SyncAction.delete(e.id)
         } else {
-          state = Some(Pending(e, e.event_seq))
+          // carry the last-flushed row forward (None after a tombstone)
+          val last = state.filterNot(_.tombstone)
+            .flatMap(p => if (p.flushed) Some(p.row) else p.last)
+          state = Some(Pending(e, e.event_seq, last = last))
         }
       }
     }
-    (state, out.reverse, state.isDefined)
+    // flushed-memory state holds no timer; pendings and tombstones do
+    (state, out.reverse, state.exists(p => !p.flushed))
   }
+
+  /** Pure timeout transition: tombstones and stale flush-memory evict; a
+    * quiesced upsert flushes — unless it is an UPDATE whose synced metadata
+    * equals the last flushed row (A10 no-op suppression). Either way the
+    * flushed row is retained as the key's suppression memory.
+    */
+  def onTimeout(p: Pending): (Option[Pending], Option[SyncAction]) =
+    if (p.tombstone || p.flushed) (None, None)
+    else {
+      val noop = p.row.event_type == "UPDATE" &&
+        p.last.exists(metadataUnchanged(_, p.row))
+      val next = Some(Pending(p.row, p.seq, flushed = true))
+      (next, if (noop) None else Some(SyncAction.upsert(p.row)))
+    }
 
   /** GroupState wrapper: timeout fires after `debounceMs` of per-key quiet;
     * each new event re-arms it (timer reset, debounce.go:139-147).
@@ -71,9 +115,13 @@ object Debounce {
       events: Iterator[ResourceEventRow],
       state: GroupState[Pending]): Iterator[SyncAction] = {
     if (state.hasTimedOut) {
-      // quiesced upsert flushes; an expired tombstone just evicts
-      val emit = state.getOption.filterNot(_.tombstone).map(p => SyncAction.upsert(p.row))
-      state.remove()
+      val (next, emit) = onTimeout(state.get)
+      next match {
+        // flush memory persists WITHOUT a timer — revisited only when the
+        // key's next event arrives (informer-cache-equivalent residency)
+        case Some(p) => state.update(p)
+        case None    => state.remove()
+      }
       emit.iterator
     } else {
       val (next, out, arm) = applyEvents(state.getOption, events.toSeq)

@@ -71,6 +71,42 @@ class DebounceSpec extends AnyFunSuite {
     assert(arm)
   }
 
+  test("A10: an UPDATE whose labels/annotations did not change is suppressed at flush") {
+    val (s1, _, _) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 1, "v1")))
+    val (s2, e1) = Debounce.onTimeout(s1.get)
+    assert(e1.exists(_.action == SyncAction.Upsert))
+    assert(s2.exists(_.flushed)) // last-sent row retained as suppression memory
+    // identical UPDATE (same labels/annotations) → held, then dropped at flush
+    val (s3, out3, arm3) = Debounce.applyEvents(s2, Seq(ev("a", "UPDATE", 2, "v1")))
+    assert(out3.isEmpty && arm3)
+    val (s4, e2) = Debounce.onTimeout(s3.get)
+    assert(e2.isEmpty) // no-op upsert dropped (watcher.go:315-331)
+    // changed labels → second upsert
+    val (s5, _, _) = Debounce.applyEvents(s4, Seq(ev("a", "UPDATE", 3, "v2")))
+    val (_, e3) = Debounce.onTimeout(s5.get)
+    assert(e3.exists(_.instance.exists(_.labels("version") == "v2")))
+  }
+
+  test("A10 gates UPDATEs only: an identical ADD still flushes (watcher.go gates UpdateFunc)") {
+    val (s1, _, _) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 1, "v1")))
+    val (s2, _) = Debounce.onTimeout(s1.get)
+    val (s3, _, _) = Debounce.applyEvents(s2, Seq(ev("a", "ADD", 2, "v1")))
+    val (_, e) = Debounce.onTimeout(s3.get)
+    assert(e.exists(_.action == SyncAction.Upsert)) // resync replay must re-send
+  }
+
+  test("A10 memory clears on delete: the first post-delete upsert always sends") {
+    val (s1, _, _) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 1, "v1")))
+    val (s2, _) = Debounce.onTimeout(s1.get)
+    val (s3, del, _) = Debounce.applyEvents(s2, Seq(ev("a", "DELETE", 2)))
+    assert(del == List(SyncAction.delete("a")))
+    val (s4, none) = Debounce.onTimeout(s3.get) // tombstone evicts fully
+    assert(s4.isEmpty && none.isEmpty)
+    val (s5, _, _) = Debounce.applyEvents(s4, Seq(ev("a", "UPDATE", 3, "v1")))
+    val (_, e) = Debounce.onTimeout(s5.get)
+    assert(e.exists(_.action == SyncAction.Upsert))
+  }
+
   test("payloads never mix upserts and deletes (debounce_test.go:267)") {
     val actions = Seq(
       SyncAction.upsert(ev("a", "ADD", 1)),
