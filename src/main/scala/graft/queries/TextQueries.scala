@@ -60,6 +60,65 @@ object TextQueries {
       }),
 
     GQuery(
+      "q_dedup_minhash_pairs",
+      (s, dir) => {
+        // Banded LSH: 8-seed signature → 4 bands × 2 rows. Docs sharing any
+        // band bucket become candidates (group-by-band join — the 100 TB
+        // near-dup shape: bucket sizes, not corpus², bound the join), then
+        // pairs are verified by the matching-minhash fraction, an unbiased
+        // Jaccard estimate needing no second pass over the text.
+        val sh = shingles(tokens(col("text")), 5)
+        val sigs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            array((0 until 8).map(minhash(sh, _)): _*).as("mh"))
+        val banded = sigs.select(
+          col("doc_id"), col("mh"),
+          posexplode(transform(sequence(lit(0), lit(3)), b =>
+            concat_ws("|",
+              element_at(col("mh"), b * 2 + 1),
+              element_at(col("mh"), b * 2 + 2)))).as(Seq("band", "bsig")))
+        val a = banded.toDF("a_id", "a_mh", "band", "bsig")
+        val b = banded.toDF("b_id", "b_mh", "band", "bsig")
+        a.join(b, Seq("band", "bsig"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("a_mh"), col("b_mh"))
+          .distinct() // a pair may collide in several bands — emit once
+          .withColumn("est", aggregate(
+            zip_with(col("a_mh"), col("b_mh"),
+              (p, q) => when(p === q, 1).otherwise(0)),
+            lit(0), _ + _).cast("double") / 8.0)
+          .filter(col("est") >= 0.5)
+          .select(col("a_id"), col("b_id"), r4(col("est")).as("est_jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val toks = duckToks
+        val sh = s"""CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')]
+                  ELSE list_transform(range(1, len($toks) - 3),
+                       i -> array_to_string($toks[i:i+4], ' ')) END"""
+        val mh = (seed: Int) =>
+          s"list_min(list_transform($sh, s -> md5($seed || ':' || s)))"
+        s"""WITH sigs AS (SELECT doc_id,
+              [${(0 until 8).map(mh).mkString(", ")}] AS mh FROM documents),
+            banded AS (SELECT doc_id, mh, band,
+              mh[band * 2 + 1] || '|' || mh[band * 2 + 2] AS bsig
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band)),
+            pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              a.mh AS a_mh, b.mh AS b_mh
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+            SELECT a_id, b_id,
+              round(CAST(list_sum(list_transform(range(1, 9),
+                i -> CASE WHEN a_mh[i] = b_mh[i] THEN 1 ELSE 0 END))
+                AS DOUBLE) / 8.0, 4) AS est_jaccard
+            FROM pairs
+            WHERE CAST(list_sum(list_transform(range(1, 9),
+              i -> CASE WHEN a_mh[i] = b_mh[i] THEN 1 ELSE 0 END))
+              AS DOUBLE) / 8.0 >= 0.5
+            ORDER BY a_id, b_id"""
+      }),
+
+    GQuery(
       "q_dedup_simhash",
       (s, dir) => {
         Tables.documents(s, dir)
