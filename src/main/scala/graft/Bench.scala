@@ -24,17 +24,21 @@ object Bench {
     Seq("q_scan_count", "q_agg_pricing", "q_sim_pairs").foreach { w =>
       qs.get(w).foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     }
+    // A thrown query records the -1.0 sentinel (and its name under "failed"),
+    // never its time-to-failure — breakage must not read as a timing.
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val ups = pipelineThroughput(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""pipeline_upserts_per_s":$ups,"sf":"$sfDir"}""")
+      s""""failed":$failed,"pipeline_upserts_per_s":$ups,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -33,11 +33,66 @@ object SyncPipeline {
       // 100 TB design point: per-key debounce state spills to RocksDB instead
       // of the executor heap (the reference's pending map is unbounded
       // in-memory, SURVEY.md §4). Session-wide conf; set before .start().
-      rocksDbState: Boolean = false)
+      rocksDbState: Boolean = false,
+      // remaining A20 surface (config.go:44-57)
+      instancesEndpoint: String = Config.DefaultInstancesEndpoint,
+      capabilitiesEndpoint: String = "", // empty ⇒ CRD pipeline off (cmd/main.go:169-171)
+      resyncIntervalMin: Long = 1440, // RESYNC_INTERVAL_MIN (config.go:51)
+      watchResourceTypes: Seq[String] = Nil, // empty = all (config.go:52)
+      excludeResourceTypes: Seq[String] = Config.DefaultExcludes, // config.go:53
+      apiBindAddress: String = ":8082", // config.go:54
+      logLevel: String = "info", // config.go:55
+      // deliver payloads from executors (foreachPartition) instead of the
+      // driver-side single-sender loop — the 100 TB sink path; the driver
+      // mode stays default for strict reference parity (single ordered sender)
+      executorSideSink: Boolean = false) {
+
+    /** CRD capabilities pipeline gate (cmd/main.go:136-171). */
+    def crdPipelineEnabled: Boolean = capabilitiesEndpoint.nonEmpty
+
+    /** A2 filter predicate for this config's allow/blocklists. */
+    def watchFilter(kind: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.KubeFunctions.shouldWatch(
+        kind, watchResourceTypes, excludeResourceTypes)
+
+    /** A21 (watcher.go:198-205): the effective watched-type set — the
+      * allowlist (or "all" sentinel) force-unioned with the CRD type whenever
+      * the capabilities pipeline is on, bypassing both filter lists.
+      */
+    def effectiveWatchTypes: Seq[String] = {
+      val base =
+        if (watchResourceTypes.nonEmpty) watchResourceTypes.map(_.toLowerCase)
+        else Seq("*")
+      if (crdPipelineEnabled && !base.contains(Config.CrdType))
+        base :+ Config.CrdType
+      else base
+    }
+
+    /** A21 predicate form: the A2 filter, except CRDs always pass when the
+      * capabilities pipeline is enabled (allowlist or blocklist regardless).
+      */
+    def effectiveWatchFilter(kind: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (crdPipelineEnabled)
+        watchFilter(kind) || (org.apache.spark.sql.functions.lower(kind)
+          .isin(Config.CrdType, "customresourcedefinition"))
+      else watchFilter(kind)
+  }
 
   object Config {
+    val DefaultInstancesEndpoint = "http://localhost:3000/api/v1/instances/sync"
+
+    /** Blocklist default (config.go:53): high-churn noise types. */
+    val DefaultExcludes: Seq[String] = Seq(
+      "events", "leases", "endpointslices", "componentstatuses",
+      "customresourcedefinitions")
+
+    val CrdType = "customresourcedefinitions"
+
     /** A20 (reference config.go:44-57): env-var config with the reference's
       * defaults; CSV lists parse trimmed + lowercased (config.go:85-99).
+      * The one deliberate divergence: flushIntervalMs defaults to 500 ms (not
+      * the reference's 5000) because here the trigger interval is also the
+      * delete-latency bound (see the class scaladoc timing contract).
       */
     def fromEnv(env: Map[String, String] = sys.env): Config = Config(
       // non-positive values would crash the query at runtime
@@ -49,7 +104,19 @@ object SyncPipeline {
         .filter(_ > 0).getOrElse(500L),
       maxBatch = env.get("BATCH_MAX_SIZE").flatMap(_.toIntOption)
         .filter(_ > 0).getOrElse(50),
-      checkpointDir = env.getOrElse("CHECKPOINT_DIR", ""))
+      checkpointDir = env.getOrElse("CHECKPOINT_DIR", ""),
+      instancesEndpoint = env.get("INSTANCES_ENDPOINT").filter(_.nonEmpty)
+        .getOrElse(DefaultInstancesEndpoint),
+      capabilitiesEndpoint = env.getOrElse("CAPABILITIES_ENDPOINT", ""),
+      resyncIntervalMin = env.get("RESYNC_INTERVAL_MIN").flatMap(_.toLongOption)
+        .filter(_ > 0).getOrElse(1440L),
+      watchResourceTypes = env.get("WATCH_RESOURCE_TYPES")
+        .map(parseCsv).getOrElse(Nil),
+      excludeResourceTypes = env.get("EXCLUDE_RESOURCE_TYPES")
+        .map(parseCsv).getOrElse(DefaultExcludes),
+      apiBindAddress = env.get("API_BIND_ADDRESS").filter(_.nonEmpty)
+        .getOrElse(":8082"),
+      logLevel = env.get("LOG_LEVEL").filter(_.nonEmpty).getOrElse("info"))
 
     /** CSV normalize: split, trim, lowercase, drop empties (config.go:85-99). */
     def parseCsv(s: String): Seq[String] =

@@ -38,12 +38,14 @@ object TextQueries {
     GQuery(
       "q_dedup_minhash",
       (s, dir) => {
-        val sh = shingles(tokens(col("text")), 5)
+        // staged shingle projection — see q_dedup_minhash_pairs: the 9
+        // consuming HOF expressions would otherwise each re-tokenize
         Tables.documents(s, dir)
+          .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
           .select(
             col("doc_id"),
-            minhashSignature(sh, 8).as("sig"),
-            substring(minhash(sh, 0), 1, 8).as("band0"))
+            minhashSignature(col("sh"), 8).as("sig"),
+            substring(minhash(col("sh"), 0), 1, 8).as("band0"))
           .orderBy("doc_id")
       },
       Some {
@@ -67,22 +69,45 @@ object TextQueries {
         // near-dup shape: bucket sizes, not corpus², bound the join), then
         // pairs are verified by the matching-minhash fraction, an unbiased
         // Jaccard estimate needing no second pass over the text.
-        val sh = shingles(tokens(col("text")), 5)
+        //
+        // The signature projection is materialized ONCE (localCheckpoint —
+        // the single-node analog of writing the sig table out before the
+        // join): Catalyst does not CSE the 8 shingle+minhash subtrees across
+        // array elements, and a self-join would otherwise recompute that
+        // whole pipeline on both sides. Candidates are deduped on bare
+        // (a_id, b_id) — never shuffling the wide mh arrays — and the sig
+        // table is joined back only for the surviving pairs' estimates.
+        // repartition first: a small local file is one input split, which
+        // would serialize the CPU-bound md5 signature projection onto one
+        // core (at warehouse scale the scan is already many splits and the
+        // round-robin spread is a cheap row-count-proportional shuffle)
+        // ... and the shingle array is staged in its own projection: the 8
+        // seed expressions are higher-order functions (interpreted, no
+        // codegen subexpression elimination), so inlining `sh` into each
+        // array element would tokenize+shingle every document 8 times.
+        // CollapseProject keeps the stage because `sh` is non-cheap and
+        // consumed 8 times.
         val sigs = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
           .select(col("doc_id"),
-            array((0 until 8).map(minhash(sh, _)): _*).as("mh"))
+            array((0 until 8).map(minhash(col("sh"), _)): _*).as("mh"))
+          .localCheckpoint()
         val banded = sigs.select(
-          col("doc_id"), col("mh"),
+          col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(3)), b =>
             concat_ws("|",
               element_at(col("mh"), b * 2 + 1),
               element_at(col("mh"), b * 2 + 2)))).as(Seq("band", "bsig")))
-        val a = banded.toDF("a_id", "a_mh", "band", "bsig")
-        val b = banded.toDF("b_id", "b_mh", "band", "bsig")
-        a.join(b, Seq("band", "bsig"))
+        val a = banded.toDF("a_id", "band", "bsig")
+        val b = banded.toDF("b_id", "band", "bsig")
+        val pairs = a.join(b, Seq("band", "bsig"))
           .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), col("a_mh"), col("b_mh"))
+          .select("a_id", "b_id")
           .distinct() // a pair may collide in several bands — emit once
+        pairs
+          .join(sigs.select(col("doc_id").as("a_id"), col("mh").as("a_mh")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("mh").as("b_mh")), "b_id")
           .withColumn("est", aggregate(
             zip_with(col("a_mh"), col("b_mh"),
               (p, q) => when(p === q, 1).otherwise(0)),
