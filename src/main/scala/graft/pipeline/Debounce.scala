@@ -53,13 +53,28 @@ object Debounce {
       seq: Long,
       tombstone: Boolean = false,
       flushed: Boolean = false,
-      last: Option[ResourceEventRow] = None)
+      last: Option[ResourceEventRow] = None,
+      // wall-clock flush deadline (processing-time ms) armed when the pending
+      // upsert was last *accepted* — lets a stale-only micro-batch restore the
+      // remaining window instead of re-extending it (the reference resets its
+      // timer only on accepted events, debounce.go:139-147)
+      deadlineMs: Long = 0L)
+
+  /** NOTE (state-schema compatibility): adding fields to Pending changes the
+    * flatMapGroupsWithState state encoder schema. Streaming checkpoints
+    * written by an older build fail schema validation on restart — upgrades
+    * must start from a fresh checkpointLocation (and rely on a resync for
+    * convergence), as with the reference's stateless restarts.
+    */
 
   /** A10: the reference's metadataChanged (watcher.go:315-331), inverted —
     * true when the synced metadata (labels + annotations) is identical.
+    * Null and empty maps compare equal, matching mapsEqual(nil, empty).
     */
-  def metadataUnchanged(a: ResourceEventRow, b: ResourceEventRow): Boolean =
-    a.labels == b.labels && a.annotations == b.annotations
+  def metadataUnchanged(a: ResourceEventRow, b: ResourceEventRow): Boolean = {
+    def n(m: Map[String, String]) = Option(m).getOrElse(Map.empty[String, String])
+    n(a.labels) == n(b.labels) && n(a.annotations) == n(b.annotations)
+  }
 
   /** Pure per-key transition: fold a batch of events for one key into the
     * (new state, emissions, arm-timer?) triple. Unit-testable without Spark.
@@ -68,13 +83,19 @@ object Debounce {
     * and emits immediately (leaving a tombstone); upserts replace pending
     * (keeping the max seq) and arm the quiet-period timer.
     */
+  /** The returned Boolean is "any event was ACCEPTED" (not merely whether
+    * armed state exists): a micro-batch of only stale (seq ≤ current) events
+    * must not re-extend an already-armed debounce window.
+    */
   def applyEvents(
       pending: Option[Pending],
       events: Seq[ResourceEventRow]): (Option[Pending], List[SyncAction], Boolean) = {
     var state = pending
     var out = List.empty[SyncAction]
+    var applied = false
     events.sortBy(_.event_seq).foreach { e =>
       if (state.forall(_.seq < e.event_seq)) {
+        applied = true
         if (e.event_type == "DELETE") {
           // cancel pending upsert (debounce.go:108-114), remember the seq;
           // suppression memory is dropped — after a delete, the next upsert
@@ -89,8 +110,7 @@ object Debounce {
         }
       }
     }
-    // flushed-memory state holds no timer; pendings and tombstones do
-    (state, out.reverse, state.exists(p => !p.flushed))
+    (state, out.reverse, applied)
   }
 
   /** Pure timeout transition: tombstones and stale flush-memory evict; a
@@ -124,12 +144,23 @@ object Debounce {
       }
       emit.iterator
     } else {
-      val (next, out, arm) = applyEvents(state.getOption, events.toSeq)
+      val prevDeadline = state.getOption
+        .filter(p => !p.flushed).map(_.deadlineMs).filter(_ > 0)
+      val (next, out, applied) = applyEvents(state.getOption, events.toSeq)
       next match {
+        // invoking the function clears the key's timeout, so armed state must
+        // re-set one either way — but only ACCEPTED events move the deadline;
+        // a stale-only batch restores the remaining window (debounce.go:139-147)
+        case Some(p) if !p.flushed =>
+          val now = state.getCurrentProcessingTimeMs()
+          val deadline =
+            if (applied || prevDeadline.isEmpty) now + debounceMs
+            else prevDeadline.get
+          state.update(p.copy(deadlineMs = deadline))
+          state.setTimeoutDuration(math.max(1L, deadline - now))
         case Some(p) => state.update(p)
         case None    => if (state.exists) state.remove()
       }
-      if (arm) state.setTimeoutDuration(debounceMs)
       out.iterator
     }
   }

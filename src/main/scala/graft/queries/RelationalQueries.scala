@@ -291,6 +291,50 @@ object RelationalQueries {
              ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 100""")),
 
     GQuery(
+      "q_sort_within",
+      (s, dir) => {
+        // sortWithinPartitions (SURVEY §2.B sorts): hash-partition by a
+        // bucket key, sort inside each partition only — shuffle + local sort,
+        // NO global range exchange (the write-sorted-files / merge-join-prep
+        // shape at 100 TB; see SortWithinSpec for the plan assertion).
+        //
+        // A partition walker then PROVES per-partition order: rows of one
+        // bucket land in exactly one partition and must arrive contiguous and
+        // ascending, so per-bucket stats from a single sequential pass equal
+        // group-by min/max/count iff the local sort held (first_key/last_key
+        // are read positionally, not via min/max).
+        import s.implicits._
+        val walked = Tables.orders(s, dir)
+          .select(col("o_orderkey"), pmod(col("o_orderkey"), lit(8)).as("bucket"))
+          .repartition(8, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("o_orderkey"))
+          .as[(Long, Long)]
+          .mapPartitions { rows =>
+            // one pass: per-bucket (n, first-seen, last-seen, stayed-sorted)
+            val acc = scala.collection.mutable.LinkedHashMap
+              .empty[Long, (Long, Long, Long, Boolean)]
+            var prev: Option[(Long, Long)] = None
+            rows.foreach { case (k, b) =>
+              val sortedSoFar = prev.forall { case (pk, pb) =>
+                b > pb || (b == pb && k >= pk)
+              }
+              val (n, first, _, ok) = acc.getOrElse(b, (0L, k, k, true))
+              acc(b) = (n + 1, first, k, ok && sortedSoFar)
+              prev = Some((k, b))
+            }
+            acc.iterator.map { case (b, (n, first, last, ok)) =>
+              (b, n, first, last, ok)
+            }
+          }
+          .toDF("bucket", "n", "first_key", "last_key", "sorted")
+        walked.orderBy("bucket")
+      },
+      Some("""SELECT o_orderkey % 8 AS bucket, count(*) AS n,
+             min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+             true AS sorted
+             FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
       "q_join_star",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)

@@ -45,10 +45,36 @@ class DebounceSpec extends AnyFunSuite {
     // upsert is newer than a reordered delete, the true latest state is the
     // upsert, so the delete is ignored (the mirror of tombstone-vs-stale-ADD)
     val (pending, _, _) = Debounce.applyEvents(None, Seq(ev("a", "ADD", 5, "new")))
-    val (state, out, arm) = Debounce.applyEvents(pending, Seq(ev("a", "DELETE", 3)))
+    val (state, out, applied) = Debounce.applyEvents(pending, Seq(ev("a", "DELETE", 3)))
     assert(out.isEmpty)
     assert(state.exists(p => !p.tombstone && p.seq == 5))
-    assert(arm)
+    // discarded events are NOT "applied" — the stateFunc keeps the original
+    // flush deadline instead of re-extending the debounce window
+    assert(!applied)
+  }
+
+  test("a stale-only micro-batch restores the remaining window, not a fresh one") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.{Optional => JOptional}
+    val debounceMs = 5000L
+    // t=1000: ADD seq 5 accepted → deadline 6000
+    val s1 = TestGroupState.create[Debounce.Pending](
+      JOptional.empty[Debounce.Pending](), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, JOptional.empty[Long](), hasTimedOut = false)
+    Debounce.stateFunc(debounceMs)("a", Iterator(ev("a", "ADD", 5)), s1).toList
+    assert(s1.getTimeoutTimestampMs.get() == 6000L)
+    // t=3000: stale DELETE seq 3 discarded → deadline must STAY 6000
+    val s2 = TestGroupState.create[Debounce.Pending](
+      JOptional.of(s1.get), GroupStateTimeout.ProcessingTimeTimeout,
+      3000L, JOptional.empty[Long](), hasTimedOut = false)
+    Debounce.stateFunc(debounceMs)("a", Iterator(ev("a", "DELETE", 3)), s2).toList
+    assert(s2.getTimeoutTimestampMs.get() == 6000L)
+    // t=3000: accepted UPDATE seq 6 → deadline re-extends to 8000
+    val s3 = TestGroupState.create[Debounce.Pending](
+      JOptional.of(s2.get), GroupStateTimeout.ProcessingTimeTimeout,
+      3000L, JOptional.empty[Long](), hasTimedOut = false)
+    Debounce.stateFunc(debounceMs)("a", Iterator(ev("a", "UPDATE", 6)), s3).toList
+    assert(s3.getTimeoutTimestampMs.get() == 8000L)
   }
 
   test("a late out-of-order upsert cannot resurrect a deleted key across batches") {

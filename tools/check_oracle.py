@@ -21,7 +21,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # check. What DID hash-fail was DuckDB HUGEINT, which pandas materializes
     # as float64/object — that family difference survives this widening.
     for c in df.columns:
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32", "uint64"):
             df[c] = df[c].astype("int64")
     return df.reset_index(drop=True)
 
