@@ -80,10 +80,21 @@ object VectorFunctions {
   }
 
   /** k-bit signature for hyperplane LSH bucketing (long-packed; `1 << i`
-    * as Int would wrap/turn negative from bit 31).
+    * as Int would wrap/turn negative from bit 31). `table` selects an
+    * independent plane family so L tables can be OR-ed for recall
+    * (candidate = bucket match in ANY table): per-table collision
+    * probability for angle θ is (1−θ/π)^bits, so L tables lift recall to
+    * 1−(1−p)^L while each table's bucket size still bounds the join.
     */
-  def lshSignature(v: Column, bits: Int, dim: Int = 64): Column = {
+  def lshSignature(v: Column, bits: Int, dim: Int = 64, table: Int = 0): Column = {
     require(bits > 0 && bits <= 63, s"lshSignature supports 1..63 bits, got $bits")
-    (0 until bits).map(i => lshBit(v, i, dim) * lit(1L << i)).reduce(_ + _)
+    (0 until bits).map(i => lshBit(v, table * 1000 + i, dim) * lit(1L << i))
+      .reduce(_ + _)
   }
+
+  /** All L table signatures in one array column (posexplode → (tbl, bucket)
+    * rows for the banded candidate join).
+    */
+  def lshSignatures(v: Column, bits: Int, tables: Int, dim: Int = 64): Column =
+    array((0 until tables).map(t => lshSignature(v, bits, dim, t)): _*)
 }

@@ -142,18 +142,36 @@ object VectorQueries {
     GQuery(
       "q_sim_topk_lsh",
       (s, dir) => {
-        // Hyperplane-LSH bucketed candidate generation (rows-only check:
-        // the md5-derived planes are deterministic but the SQL expansion is
-        // impractical as an oracle). Buckets join replaces the cross join.
-        val e = Tables.embeddings(s, dir)
-          .withColumn("bucket", lshSignature(col("embedding"), 4))
-          .withColumn("nrm", l2Norm(col("embedding")))
-        val q = e.filter(col("vec_id") < 10).select(
-          col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"),
-          col("nrm").as("q_n"))
+        // Multi-table hyperplane LSH (rows-only check: the md5-derived
+        // planes are deterministic but the SQL expansion is impractical as
+        // an oracle; recall vs the exact q_sim_topk is asserted in
+        // QualityChecksSpec). A single 4-bit table caught only ~10% of true
+        // neighbors; OR-ing L=8 independent tables lifts per-neighbor
+        // collision from p to 1-(1-p)^8 while each (tbl, bucket) join stays
+        // bucket-bounded — candidates are unioned across tables and deduped
+        // on bare (q_id, vec_id) BEFORE scoring, so a pair colliding in
+        // several tables is scored once. Signatures are materialized once
+        // (localCheckpoint) — 8 tables × 4 interpreted HOF bits would
+        // otherwise recompute on both sides of the self-join.
+        val sigs = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            l2Norm(col("embedding")).as("nrm"),
+            lshSignatures(col("embedding"), bits = 4, tables = 8).as("sigs"))
+          .localCheckpoint()
+        val buckets = sigs.select(
+          col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+        val cand = buckets.filter(col("vec_id") < 10).toDF("q_id", "tbl", "bucket")
+          .join(buckets, Seq("tbl", "bucket"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select("q_id", "vec_id")
+          .distinct()
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos_r").desc, col("vec_id").asc)
-        q.join(e, Seq("bucket")).filter(col("q_id") =!= col("vec_id"))
+        cand
+          .join(sigs.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+          .join(broadcast(sigs.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_n"))), "q_id")
           .withColumn("cos_r", round(
             cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
           .withColumn("rnk", row_number().over(w))

@@ -165,6 +165,42 @@ class DebounceSpec extends AnyFunSuite {
       == Seq("pods", "secrets", "events"))
   }
 
+  test("config covers the full reference env surface (A20, config.go:44-57)") {
+    val defaults = SyncPipeline.Config.fromEnv(Map.empty)
+    assert(defaults.instancesEndpoint == SyncPipeline.Config.DefaultInstancesEndpoint)
+    assert(defaults.capabilitiesEndpoint == "" && !defaults.crdPipelineEnabled)
+    assert(defaults.resyncIntervalMin == 1440L)
+    assert(defaults.watchResourceTypes.isEmpty)
+    assert(defaults.excludeResourceTypes == SyncPipeline.Config.DefaultExcludes)
+    assert(defaults.apiBindAddress == ":8082" && defaults.logLevel == "info")
+    val custom = SyncPipeline.Config.fromEnv(Map(
+      "INSTANCES_ENDPOINT" -> "http://sink:3000/api/v1/instances/sync",
+      "CAPABILITIES_ENDPOINT" -> "http://sink:3000/api/v1/capabilities/sync",
+      "RESYNC_INTERVAL_MIN" -> "30",
+      "WATCH_RESOURCE_TYPES" -> "Pods, Deployments",
+      "EXCLUDE_RESOURCE_TYPES" -> "secrets",
+      "API_BIND_ADDRESS" -> ":9999",
+      "LOG_LEVEL" -> "debug"))
+    assert(custom.crdPipelineEnabled && custom.resyncIntervalMin == 30L)
+    assert(custom.watchResourceTypes == Seq("pods", "deployments"))
+    assert(custom.excludeResourceTypes == Seq("secrets"))
+    assert(custom.apiBindAddress == ":9999" && custom.logLevel == "debug")
+  }
+
+  test("A21: CRDs are force-watched whenever the capabilities pipeline is on") {
+    val caps = "http://sink:3000/api/v1/capabilities/sync"
+    // allowlist without CRDs → CRD type force-appended (watcher.go:198-205)
+    val allow = SyncPipeline.Config(
+      watchResourceTypes = Seq("pods"), capabilitiesEndpoint = caps)
+    assert(allow.effectiveWatchTypes == Seq("pods", "customresourcedefinitions"))
+    // blocklist mode (default excludes LIST CRDs) → still watched via bypass
+    val block = SyncPipeline.Config(capabilitiesEndpoint = caps)
+    assert(block.effectiveWatchTypes == Seq("*", "customresourcedefinitions"))
+    // capabilities off → no force-add, blocklist applies as-is
+    assert(SyncPipeline.Config().effectiveWatchTypes == Seq("*"))
+  }
+
+
   test("instance JSON matches the wire contract shape (README.md:135-154)") {
     val row = ResourceEventRow("ADD", 1, new Timestamp(0),
       "default/apps/v1/Deployment/nginx", "default", "nginx", "Deployment",

@@ -130,6 +130,26 @@ class SyncPipelineSpec extends SparkSpec {
     assert(received.forall(_.startsWith("""{"upserts":[""")))
   }
 
+  test("A21 predicate form: the CRD bypass beats both filter lists") {
+    import spark.implicits._
+    // resource-type strings as the reference's watcher filters them
+    // (GVR resource names, filter.go:43-57)
+    val types = Seq("Pods", "secrets", "CustomResourceDefinitions").toDF("rt")
+    def passing(c: SyncPipeline.Config): Set[String] = types
+      .filter(c.effectiveWatchFilter(org.apache.spark.sql.functions.col("rt")))
+      .as[String].collect().toSet
+    val caps = "http://sink:3000/api/v1/capabilities/sync"
+    // allowlist "pods" alone would drop CRDs; the bypass re-admits them
+    assert(passing(SyncPipeline.Config(
+      watchResourceTypes = Seq("pods"), capabilitiesEndpoint = caps))
+      == Set("Pods", "CustomResourceDefinitions"))
+    // default blocklist excludes customresourcedefinitions; bypass wins
+    assert(passing(SyncPipeline.Config(capabilitiesEndpoint = caps))
+      == Set("Pods", "secrets", "CustomResourceDefinitions"))
+    // capabilities off → blocklist drops CRDs (reference parity)
+    assert(passing(SyncPipeline.Config()) == Set("Pods", "secrets"))
+  }
+
   test("debounce state runs on the RocksDB state store (100 TB spill path)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
