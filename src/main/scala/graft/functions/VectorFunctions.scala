@@ -70,13 +70,15 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bit: sign of the projection of `v` onto the
     * deterministic plane — reproducible in any engine, no RNG state.
+    * The projection is the codegen'd [[FloatVecDot]] against the plane as a
+    * float-array literal (±1 is exact in float, and float·±1 widened to
+    * double equals double·±1, so the sign matches the interpreted HOF
+    * form bit-for-bit) — a multi-table signature is 8·bits dot products
+    * per row, far too hot for interpreted lambda evaluation.
     */
   def lshBit(v: Column, seed: Int, dim: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, typedLit(lshPlane(seed, dim)), (x, p) => x.cast("double") * p),
-      lit(0.0),
-      (acc, x) => acc + x)
-    when(proj >= 0, lit(1)).otherwise(lit(0))
+    val plane = typedLit(lshPlane(seed, dim).map(_.toFloat))
+    when(dotProduct(v, plane) >= 0, lit(1)).otherwise(lit(0))
   }
 
   /** k-bit signature for hyperplane LSH bucketing (long-packed; `1 << i`

@@ -45,7 +45,14 @@ object SyncPipeline {
       // deliver payloads from executors (foreachPartition) instead of the
       // driver-side single-sender loop — the 100 TB sink path; the driver
       // mode stays default for strict reference parity (single ordered sender)
-      executorSideSink: Boolean = false) {
+      executorSideSink: Boolean = false,
+      // > 0: union a rate-source tick stream (filtered back out before the
+      // stateful operator) so a micro-batch runs even when the real source
+      // is quiet — recovered ProcessingTime timers only fire inside a batch,
+      // so without this a post-restart quiet source holds recovered pending
+      // upserts forever (the class scaladoc recovery caveat). Off by default
+      // for strict source parity.
+      keepAliveTick: Boolean = false) {
 
     /** CRD capabilities pipeline gate (cmd/main.go:136-171). */
     def crdPipelineEnabled: Boolean = capabilitiesEndpoint.nonEmpty
@@ -144,19 +151,53 @@ object SyncPipeline {
       sink: RestSink,
       config: Config = Config())(implicit spark: SparkSession): StreamingQuery = {
     applyStateStoreConf(spark, config)
-    val actions = Debounce(events, config.debounceMs)
+    val source =
+      if (config.keepAliveTick) events.union(keepAliveTicks(spark))
+        .filter((r: ResourceEventRow) => r.event_type != KeepAliveType)
+      else events
+    val actions = Debounce(source, config.debounceMs)
+    val maxBatch = config.maxBatch
     val writer = actions.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(config.flushIntervalMs))
       .foreachBatch { (batch: Dataset[SyncAction], _: Long) =>
-        val acts = batch.collect().toSeq // bounded: ≤ keys quiesced this tick
-        Payloads.deliver(sink, Payloads.fromActions(acts, config.maxBatch))
+        if (config.executorSideSink)
+          // 100 TB path: each partition builds and POSTs its own payloads
+          // with its own sink instance (no driver round-trip, no driver
+          // memory bound). Tradeoff vs the reference's single sender:
+          // cross-partition payload order is not defined — per-KEY order
+          // still holds (a key lives in one state partition), which is the
+          // invariant the idempotent downstream needs.
+          batch.foreachPartition { (it: Iterator[SyncAction]) =>
+            Payloads.deliver(sink, Payloads.fromActions(it.toSeq, maxBatch))
+          }
+        else {
+          val acts = batch.collect().toSeq // bounded: ≤ keys quiesced this tick
+          Payloads.deliver(sink, Payloads.fromActions(acts, maxBatch))
+        }
       }
     val w =
       if (config.checkpointDir.nonEmpty)
         writer.option("checkpointLocation", config.checkpointDir)
       else writer
     w.start()
+  }
+
+  private[pipeline] val KeepAliveType = "KEEPALIVE"
+
+  /** A 1 row/s rate source disguised as (immediately discarded) events: its
+    * offsets advance every trigger, so the engine always runs a micro-batch
+    * and recovered/armed ProcessingTime timers get their chance to fire even
+    * when the real source is idle. The rows never reach the stateful
+    * operator (filtered on [[KeepAliveType]] before Debounce).
+    */
+  private def keepAliveTicks(spark: SparkSession): Dataset[ResourceEventRow] = {
+    import spark.implicits._
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .select(org.apache.spark.sql.functions.col("timestamp"))
+      .as[java.sql.Timestamp]
+      .map(ts => ResourceEventRow(KeepAliveType, 0L, ts, "_keepalive", "", "",
+        "", "", "", null, null, null))
   }
 
   /** Resync (reference: watcher.go:349-383 / A19): a full batch snapshot
