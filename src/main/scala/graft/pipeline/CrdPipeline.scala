@@ -82,11 +82,19 @@ object CrdPipeline {
       implicit spark: SparkSession): StreamingQuery = {
     SyncPipeline.applyStateStoreConf(spark, config)
     val actions = debounced(events, config.debounceMs)
+    val maxBatch = config.maxBatch
     val writer = actions.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(config.flushIntervalMs))
       .foreachBatch { (batch: Dataset[CrdAction], _: Long) =>
-        Payloads.deliver(sink, payloads(batch.collect().toSeq, config.maxBatch))
+        if (config.executorSideSink)
+          // same per-partition sender tradeoff as SyncPipeline.start: no
+          // driver round-trip; per-name order preserved (one state partition)
+          batch.foreachPartition { (it: Iterator[CrdAction]) =>
+            Payloads.deliver(sink, payloads(it.toSeq, maxBatch))
+          }
+        else
+          Payloads.deliver(sink, payloads(batch.collect().toSeq, maxBatch))
       }
     val w =
       if (config.checkpointDir.nonEmpty)

@@ -61,6 +61,12 @@ object VectorSync {
       store: VectorStore,
       checkpointDir: String,
       triggerMs: Long = 100)(implicit spark: SparkSession): StreamingQuery =
+    // deliberately driver-side (unlike SyncPipeline's executorSideSink
+    // option): exactly-once here hangs on applyEpoch being one atomic,
+    // epoch-keyed store transaction — per-partition application would need
+    // the store to dedupe on (epoch, partition) instead, weakening the
+    // replay contract for no win at the payload sizes a vector CDC tick
+    // carries (bounded by keys changed per trigger)
     events.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))

@@ -304,6 +304,40 @@ class SyncPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("CRD pipeline: executor-side sink preserves the name-payload contract") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[CrdPipeline.CrdEventRow] =
+      org.apache.spark.sql.Encoders.product[CrdPipeline.CrdEventRow]
+    ExecutorSinkCollector.received.clear()
+    val sink = new RestSink(post = p => { ExecutorSinkCollector.received.add(p); 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val source = MemoryStream[CrdPipeline.CrdEventRow]
+    val query = CrdPipeline.start(source.toDS(), sink,
+      SyncPipeline.Config(debounceMs = 200, flushIntervalMs = 100, maxBatch = 10,
+        checkpointDir = java.nio.file.Files.createTempDirectory("crd_exec_ckpt").toString,
+        executorSideSink = true))
+    try {
+      val ts = new java.sql.Timestamp(0)
+      source.addData((1 to 25).map(i =>
+        CrdPipeline.CrdEventRow("ADD", i.toLong, ts, s"crd$i.example.com")): _*)
+      source.addData(CrdPipeline.CrdEventRow("DELETE", 1000, ts, "crd1.example.com"))
+      eventually(timeoutMs = 30000) {
+        import scala.jdk.CollectionConverters._
+        val ps = ExecutorSinkCollector.received.asScala.toSeq
+        val ups = ps.filter(_.startsWith("""{"upserts":["""))
+          .map(p => "\\.example\\.com".r.findAllIn(p).size).sum
+        if (ups == 24 && ps.exists(_.contains("deletes"))) Some(()) else None
+      }
+      import scala.jdk.CollectionConverters._
+      val ps = ExecutorSinkCollector.received.asScala.toSeq
+      assert(ps.forall(p => !(p.contains("upserts") && p.contains("deletes"))))
+      assert(ps.filter(_.contains("upserts"))
+        .forall(p => "\\.example\\.com".r.findAllIn(p).size <= 10))
+      assert(ps.exists(_.contains(""""deletes":["crd1.example.com"]""")))
+    } finally query.stop()
+  }
+
   test("extract projects raw k8s-shaped objects into the fixed record") {
     val raw = spark.read.schema(Extract.rawSchema).json(spark.createDataset(Seq(
       """{"kind":"Deployment","apiVersion":"apps/v1","metadata":{"name":"nginx","namespace":"default","labels":{"app":"nginx"},"annotations":{"description":"web","kubectl.kubernetes.io/x":"y"},"creationTimestamp":"2026-02-20T10:00:00Z"},"spec":{"replicas":3}}""",
