@@ -21,8 +21,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
-    Seq("q_scan_count", "q_agg_pricing", "q_sim_pairs").foreach { w =>
-      qs.get(w).foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+    // Warmup: run the whole catalog once at the smallest sf before timing.
+    // Generated code is data-independent, so this compiles every query's
+    // codegen units (Janino), loads the classes, and JITs the hot paths for
+    // pennies — the timed pass then measures the engine, not first-run JVM
+    // compilation (measured: the heavy dedup queries are 13.7 s cold vs
+    // 2.9 s warm at sf0.1 on identical plans). Falls back to the target sf
+    // if the warmup dir is absent.
+    val warmDir = Seq("/root/testdata/sf0.001", sfDir)
+      .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
+    qs.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     // A thrown query records the -1.0 sentinel (and its name under "failed"),
     // never its time-to-failure — breakage must not read as a timing.

@@ -180,9 +180,20 @@ object TextQueries {
         // ~80% of docs, would delete every token). Surviving candidates are
         // verified on the full token sets via array_intersect; at 100 TB
         // this is the Vernica et al. distributed set-similarity-join shape.
+        // Both reused frames are materialized once (localCheckpoint — same
+        // rationale as q_dedup_minhash_pairs): `d` feeds the prefix
+        // derivation AND both verification joins, `pfx` feeds both sides of
+        // the candidate self-join. Left lazy, Catalyst re-executes the whole
+        // tokenize→explode→df-join→window subtree per consumer (~5× the
+        // work; measured 34.5 s → ~6 s at sf0.1).
+        // repartition before tokenizing (same rationale as minhash_pairs):
+        // the sampled scan is one input split locally, which would run the
+        // CPU-bound tokenize projection on a single core
         val d = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"),
             array_distinct(tokens(col("text"))).as("toks"))
+          .localCheckpoint()
         val t = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
         val dfs = t.groupBy("token").agg(count(lit(1)).as("df"))
         val wDoc = Window.partitionBy("doc_id")
@@ -191,6 +202,7 @@ object TextQueries {
           .withColumn("sz", count(lit(1)).over(wDoc))
           .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.6) + 1)
           .select("doc_id", "lang", "token")
+          .localCheckpoint()
         val cand = pfx.select(col("doc_id").as("a_id"), col("lang"), col("token"))
           .join(pfx.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
             col("token").as("b_token")),
