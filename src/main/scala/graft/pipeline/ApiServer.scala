@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Operational HTTP API (reference: internal/api/server.go): exposes the
+  * ad-hoc resync trigger at `POST /api/v1/resync`, bound to the config's
+  * API_BIND_ADDRESS (config.go:54) — the last piece of the A20 surface that
+  * was config-parsed but unwired. Built on the JDK's HttpServer so the
+  * engine stays dependency-free.
+  *
+  * Contract parity (server.go:79-97):
+  *   - success  → 200 {"status":"ok","resources":N,"message":"resynced N resources"}
+  *   - failure  → 500 {"status":"error","resources":0,"message":"resync failed: ..."}
+  *   - non-POST → 405 (the reference's "POST /api/v1/resync" mux pattern)
+  *
+  * The trigger funnels through [[ResyncScheduler.triggerNow]], so API-driven
+  * and cadence-driven resyncs serialize on the same runner and can never
+  * overlap (the reference serializes identically).
+  */
+final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
+    extends AutoCloseable {
+
+  private val server: HttpServer = {
+    val addr = ApiServer.parseBind(bindAddress)
+    val s = HttpServer.create(addr, 0)
+    s.createContext("/api/v1/resync", (ex: HttpExchange) => handleResync(ex))
+    s.setExecutor(null) // single dispatch thread; handlers serialize anyway
+    s
+  }
+
+  def start(): this.type = { server.start(); this }
+
+  /** The actual bound port (for tests binding port 0). */
+  def port: Int = server.getAddress.getPort
+
+  private def handleResync(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405,
+        """{"status":"error","resources":0,"message":"method not allowed"}""")
+      else
+        try {
+          val n = scheduler.triggerNow()
+          respond(ex, 200,
+            s"""{"status":"ok","resources":$n,"message":"resynced $n resources"}""")
+        } catch {
+          case e: Exception => respond(ex, 500,
+            s"""{"status":"error","resources":0,"message":"resync failed: ${
+              e.getMessage.replace("\"", "'")}"}""")
+        }
+    } finally ex.close()
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  override def close(): Unit = server.stop(0)
+}
+
+object ApiServer {
+  /** ":8082" (all interfaces) or "host:port", matching Go's net.Listen. */
+  private[pipeline] def parseBind(bind: String): InetSocketAddress = {
+    val i = bind.lastIndexOf(':')
+    require(i >= 0, s"bind address must contain a port, got '$bind'")
+    val port = bind.substring(i + 1).toInt
+    val host = bind.substring(0, i)
+    if (host.isEmpty) new InetSocketAddress(port)
+    else new InetSocketAddress(host, port)
+  }
+
+  /** Wire from config: bind API_BIND_ADDRESS, trigger through `scheduler`. */
+  def fromConfig(config: SyncPipeline.Config, scheduler: ResyncScheduler): ApiServer =
+    new ApiServer(config.apiBindAddress, scheduler)
+}

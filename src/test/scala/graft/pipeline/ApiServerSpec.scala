@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.{HttpURLConnection, URI}
+import scala.io.Source
+
+/** The POST /api/v1/resync contract (reference api/server.go:79-97): ok and
+  * error JSON shapes, method gating, and that API triggers funnel through
+  * the same serialized ResyncScheduler runner as the cadence.
+  */
+class ApiServerSpec extends AnyFunSuite {
+
+  private def call(port: Int, method: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port/api/v1/resync").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (method == "POST") { conn.setDoOutput(true); conn.getOutputStream.close() }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(is, "UTF-8").mkString
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("POST /api/v1/resync runs the resync and reports the count") {
+    val runs = new java.util.concurrent.atomic.AtomicLong(0)
+    val sched = new ResyncScheduler(intervalMs = 3600000,
+      doResync = () => { runs.incrementAndGet(); 7L })
+    val api = new ApiServer(":0", sched).start()
+    try {
+      val (code, body) = call(api.port, "POST")
+      assert(code == 200)
+      assert(body == """{"status":"ok","resources":7,"message":"resynced 7 resources"}""")
+      assert(runs.get() == 1)
+      // stats surface accumulates API-driven runs like cadence runs
+      assert(sched.stats == ((1L, 7L)))
+    } finally { api.close(); sched.close() }
+  }
+
+  test("non-POST is rejected with 405, resync not run") {
+    val runs = new java.util.concurrent.atomic.AtomicLong(0)
+    val sched = new ResyncScheduler(intervalMs = 3600000,
+      doResync = () => { runs.incrementAndGet(); 1L })
+    val api = new ApiServer(":0", sched).start()
+    try {
+      val (code, _) = call(api.port, "GET")
+      assert(code == 405)
+      assert(runs.get() == 0)
+    } finally { api.close(); sched.close() }
+  }
+
+  test("a throwing resync maps to 500 with the error envelope") {
+    val sched = new ResyncScheduler(intervalMs = 3600000,
+      doResync = () => throw new RuntimeException("store \"down\""))
+    val api = new ApiServer(":0", sched).start()
+    try {
+      val (code, body) = call(api.port, "POST")
+      assert(code == 500)
+      assert(body.startsWith("""{"status":"error","resources":0,"message":"resync failed:"""))
+      assert(!body.contains("\"down\"")) // quotes sanitized, JSON stays valid
+    } finally { api.close(); sched.close() }
+  }
+
+  test("bind parse: ':port' binds all interfaces, 'host:port' binds host") {
+    assert(ApiServer.parseBind(":8082").getPort == 8082)
+    val h = ApiServer.parseBind("127.0.0.1:9000")
+    assert(h.getHostString == "127.0.0.1" && h.getPort == 9000)
+    intercept[IllegalArgumentException](ApiServer.parseBind("8082"))
+  }
+}
