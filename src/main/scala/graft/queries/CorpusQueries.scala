@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators a training-data pipeline needs beyond
+  * per-document scoring: deterministic dataset splits, TF-IDF term
+  * weighting, and near-duplicate cluster assembly (the step after pair
+  * generation — pick one survivor per duplicate group).
+  *
+  * Reference analog: none (the reference syncs single records); these are
+  * the batch corpus ops of SURVEY.md's LLM-pipeline section, built to the
+  * same determinism contract as the rest of the catalog (md5-derived
+  * hashing, exact tie-breaks, total-order output).
+  */
+object CorpusQueries {
+  import Canon._
+  import TextFunctions._
+
+  /** Nibble i (1-based) of an md5 hex string as 0..15 — the md5-derived
+    * "random but reproducible anywhere" value used for split assignment.
+    * SQL instr form so the DuckDB twin (strpos) is character-identical.
+    */
+  private def nib(h: Column, i: Int): Column =
+    call_function("instr", lit("0123456789abcdef"), substring(h, i, 1)) - 1
+
+  /** Connected components by iterative min-label propagation: every node
+    * adopts the smallest label among itself and its neighbors until no
+    * label changes. Each round is one join + one aggregation, with the
+    * label frame materialized per round (localCheckpoint) to truncate
+    * lineage — the standard Spark shape for iterative graph algorithms.
+    *
+    * Rounds needed = graph diameter; near-dup components are band-bucket
+    * cliques, so 2-3 rounds in practice. At 100 TB scale the same loop
+    * holds (labels and edges both shuffle on node id); for adversarial
+    * long-chain graphs the large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") drops round count to
+    * O(log n) — same join/agg building blocks.
+    *
+    * `edges` must be (u, v) pairs; symmetry is established here. Returns
+    * (id, cluster_id) for every node with at least one edge, cluster_id =
+    * the component's minimum id.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.toDF("u", "v")
+      .union(edges.toDF("v", "u").select("u", "v"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "u"), "u")
+        .groupBy(col("v").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(
+        labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_sample_stratified",
+      (s, dir) => {
+        // Deterministic train/val/test split (80/10/10): the bucket is two
+        // md5 nibbles of the doc id — stable across engines, runs, and
+        // cluster sizes, so a split computed today reproduces bit-for-bit
+        // on any re-run (the property training pipelines need; a
+        // rand()-based sample has none of it). Embarrassingly parallel:
+        // no shuffle at all before the output sort.
+        val h = md5(col("doc_id").cast("string"))
+        val bucket = pmod(nib(h, 1) * 16 + nib(h, 2), lit(100))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+               AS bucket,
+             CASE WHEN ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 < 80 THEN 'train'
+                  WHEN ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+             FROM documents ORDER BY doc_id""")),
+
+    GQuery(
+      "q_text_tfidf",
+      (s, dir) => {
+        // Per-document top TF-IDF term. tf/df from one explode+groupBy
+        // (shuffle on (doc_id, token) with map-side partial counts); the
+        // tiny df table broadcasts back onto tf. Ranking orders on the
+        // ROUNDED score so the DuckDB twin agrees even when ln() differs
+        // in the last ulp, with the token as a total tie-break (hot tokens
+        // in every doc score exactly 0.0 and would tie otherwise).
+        val d = Tables.documents(s, dir)
+        val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n_total"))
+        val scored = tf.join(broadcast(df), "token")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", r4(col("tf") *
+            log((col("n_total") + 1).cast("double") / (col("df") + 1))))
+        scored
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("token"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("token").as("top_token"), col("tfidf"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(${TextQueries.duckToks}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_total FROM documents),
+            scored AS (SELECT doc_id, token,
+              round(tf * ln(CAST(n_total + 1 AS DOUBLE) / (df + 1)), 4) AS tfidf
+              FROM tf JOIN df USING (token) CROSS JOIN n),
+            ranked AS (SELECT doc_id, token, tfidf,
+              row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+              FROM scored)
+            SELECT doc_id, token AS top_token, tfidf FROM ranked
+            WHERE rn = 1 ORDER BY doc_id""")),
+
+    GQuery(
+      "q_dedup_clusters",
+      (s, dir) => {
+        // Near-dup cluster assembly: LSH pairs → connected components →
+        // one keeper per cluster (the smallest doc_id). This is the
+        // canonical corpus-dedup tail: pair generation bounds the
+        // candidate set, CC glues overlapping pairs ("A≈B, B≈C ⇒ one
+        // group"), and the keeper rule makes the drop set deterministic.
+        val edges = TextQueries.minhashPairs(s, dir).select("a_id", "b_id")
+        connectedComponents(edges)
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).as("keeper"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.minhashPairsCtes},
+            edges AS (SELECT a_id AS u, b_id AS v FROM mpairs
+                      UNION SELECT b_id, a_id FROM mpairs),
+            reach(u, v) AS (SELECT u, v FROM edges
+                            UNION SELECT r.u, e.v FROM reach r
+                              JOIN edges e ON r.v = e.u)
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+              u = least(u, min(v)) AS keeper
+            FROM reach GROUP BY u ORDER BY doc_id"""))
+  )
+}

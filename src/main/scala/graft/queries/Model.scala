@@ -23,6 +23,7 @@ object Catalog {
       ScalarQueries.qs ++
       StreamBatchQueries.qs ++
       TextQueries.qs ++
+      CorpusQueries.qs ++
       VectorQueries.qs ++
       SourceQueries.qs
 }

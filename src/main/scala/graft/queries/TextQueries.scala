@@ -20,7 +20,98 @@ object TextQueries {
   import TextFunctions._
 
   /** DuckDB-side tokenization matching TextFunctions.tokens. */
-  private val duckToks = "string_split_regex(lower(trim(text)), '\\s+')"
+  private[queries] val duckToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Near-duplicate pair generation via banded MinHash LSH, shared by
+    * q_dedup_minhash_pairs and q_dedup_clusters: (a_id, b_id, est_jaccard)
+    * for pairs whose matching-minhash fraction estimates jaccard ≥ 0.5.
+    *
+    * Banded LSH: 8-seed signature → 4 bands × 2 rows. Docs sharing any band
+    * bucket become candidates (group-by-band join — the 100 TB near-dup
+    * shape: bucket sizes, not corpus², bound the join), then pairs are
+    * verified by the matching-minhash fraction, an unbiased Jaccard
+    * estimate needing no second pass over the text.
+    *
+    * Plan staging (measured — these turned a 59 s query into <2 s at
+    * sf0.1):
+    *   - the signature projection is materialized ONCE (localCheckpoint —
+    *     the single-node analog of writing the sig table out before the
+    *     join): Catalyst does not CSE the 8 shingle+minhash subtrees
+    *     across array elements, and a self-join would otherwise recompute
+    *     that whole pipeline on both sides;
+    *   - candidates are deduped on bare (a_id, b_id) — never shuffling the
+    *     wide mh arrays — and the sig table is joined back only for the
+    *     surviving pairs' estimates;
+    *   - repartition first: a small local file is one input split, which
+    *     would serialize the CPU-bound md5 signature projection onto one
+    *     core (at warehouse scale the scan is already many splits and the
+    *     round-robin spread is a cheap row-count-proportional shuffle);
+    *   - the shingle array is staged in its own projection: the 8 seed
+    *     expressions are higher-order functions (interpreted, no codegen
+    *     subexpression elimination), so inlining `sh` into each array
+    *     element would tokenize+shingle every document 8 times.
+    *     CollapseProject keeps the stage because `sh` is non-cheap and
+    *     consumed 8 times.
+    */
+  private[queries] def minhashPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
+      .select(col("doc_id"),
+        array((0 until 8).map(minhash(col("sh"), _)): _*).as("mh"))
+      .localCheckpoint()
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        concat_ws("|",
+          element_at(col("mh"), b * 2 + 1),
+          element_at(col("mh"), b * 2 + 2)))).as(Seq("band", "bsig")))
+    val a = banded.toDF("a_id", "band", "bsig")
+    val b = banded.toDF("b_id", "band", "bsig")
+    val pairs = a.join(b, Seq("band", "bsig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct() // a pair may collide in several bands — emit once
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("mh").as("a_mh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("mh").as("b_mh")), "b_id")
+      .withColumn("est", aggregate(
+        zip_with(col("a_mh"), col("b_mh"),
+          (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), _ + _).cast("double") / 8.0)
+      .filter(col("est") >= 0.5)
+      .select(col("a_id"), col("b_id"), r4(col("est")).as("est_jaccard"))
+  }
+
+  /** DuckDB twin of [[minhashPairs]]: CTE bodies (no WITH keyword) named
+    * sigs/banded/cand/mpairs; `mpairs` is (a_id, b_id, est_jaccard ≥ 0.5).
+    */
+  private[queries] val minhashPairsCtes: String = {
+    val toks = duckToks
+    val sh = s"""CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')]
+              ELSE list_transform(range(1, len($toks) - 3),
+                   i -> array_to_string($toks[i:i+4], ' ')) END"""
+    val mh = (seed: Int) =>
+      s"list_min(list_transform($sh, s -> md5($seed || ':' || s)))"
+    s"""sigs AS (SELECT doc_id,
+          [${(0 until 8).map(mh).mkString(", ")}] AS mh FROM documents),
+        banded AS (SELECT doc_id, mh, band,
+          mh[band * 2 + 1] || '|' || mh[band * 2 + 2] AS bsig
+          FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          a.mh AS a_mh, b.mh AS b_mh
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        mpairs AS (SELECT a_id, b_id,
+          round(CAST(list_sum(list_transform(range(1, 9),
+            i -> CASE WHEN a_mh[i] = b_mh[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 8.0, 4) AS est_jaccard
+          FROM cand
+          WHERE CAST(list_sum(list_transform(range(1, 9),
+            i -> CASE WHEN a_mh[i] = b_mh[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 8.0 >= 0.5)"""
+  }
 
   val qs: Seq[GQuery] = Seq(
     GQuery(
@@ -64,85 +155,9 @@ object TextQueries {
 
     GQuery(
       "q_dedup_minhash_pairs",
-      (s, dir) => {
-        // Banded LSH: 8-seed signature → 4 bands × 2 rows. Docs sharing any
-        // band bucket become candidates (group-by-band join — the 100 TB
-        // near-dup shape: bucket sizes, not corpus², bound the join), then
-        // pairs are verified by the matching-minhash fraction, an unbiased
-        // Jaccard estimate needing no second pass over the text.
-        //
-        // The signature projection is materialized ONCE (localCheckpoint —
-        // the single-node analog of writing the sig table out before the
-        // join): Catalyst does not CSE the 8 shingle+minhash subtrees across
-        // array elements, and a self-join would otherwise recompute that
-        // whole pipeline on both sides. Candidates are deduped on bare
-        // (a_id, b_id) — never shuffling the wide mh arrays — and the sig
-        // table is joined back only for the surviving pairs' estimates.
-        // repartition first: a small local file is one input split, which
-        // would serialize the CPU-bound md5 signature projection onto one
-        // core (at warehouse scale the scan is already many splits and the
-        // round-robin spread is a cheap row-count-proportional shuffle)
-        // ... and the shingle array is staged in its own projection: the 8
-        // seed expressions are higher-order functions (interpreted, no
-        // codegen subexpression elimination), so inlining `sh` into each
-        // array element would tokenize+shingle every document 8 times.
-        // CollapseProject keeps the stage because `sh` is non-cheap and
-        // consumed 8 times.
-        val sigs = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
-          .select(col("doc_id"),
-            array((0 until 8).map(minhash(col("sh"), _)): _*).as("mh"))
-          .localCheckpoint()
-        val banded = sigs.select(
-          col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(3)), b =>
-            concat_ws("|",
-              element_at(col("mh"), b * 2 + 1),
-              element_at(col("mh"), b * 2 + 2)))).as(Seq("band", "bsig")))
-        val a = banded.toDF("a_id", "band", "bsig")
-        val b = banded.toDF("b_id", "band", "bsig")
-        val pairs = a.join(b, Seq("band", "bsig"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id")
-          .distinct() // a pair may collide in several bands — emit once
-        pairs
-          .join(sigs.select(col("doc_id").as("a_id"), col("mh").as("a_mh")), "a_id")
-          .join(sigs.select(col("doc_id").as("b_id"), col("mh").as("b_mh")), "b_id")
-          .withColumn("est", aggregate(
-            zip_with(col("a_mh"), col("b_mh"),
-              (p, q) => when(p === q, 1).otherwise(0)),
-            lit(0), _ + _).cast("double") / 8.0)
-          .filter(col("est") >= 0.5)
-          .select(col("a_id"), col("b_id"), r4(col("est")).as("est_jaccard"))
-          .orderBy("a_id", "b_id")
-      },
-      Some {
-        val toks = duckToks
-        val sh = s"""CASE WHEN len($toks) < 5 THEN [array_to_string($toks, ' ')]
-                  ELSE list_transform(range(1, len($toks) - 3),
-                       i -> array_to_string($toks[i:i+4], ' ')) END"""
-        val mh = (seed: Int) =>
-          s"list_min(list_transform($sh, s -> md5($seed || ':' || s)))"
-        s"""WITH sigs AS (SELECT doc_id,
-              [${(0 until 8).map(mh).mkString(", ")}] AS mh FROM documents),
-            banded AS (SELECT doc_id, mh, band,
-              mh[band * 2 + 1] || '|' || mh[band * 2 + 2] AS bsig
-              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band)),
-            pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-              a.mh AS a_mh, b.mh AS b_mh
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-            SELECT a_id, b_id,
-              round(CAST(list_sum(list_transform(range(1, 9),
-                i -> CASE WHEN a_mh[i] = b_mh[i] THEN 1 ELSE 0 END))
-                AS DOUBLE) / 8.0, 4) AS est_jaccard
-            FROM pairs
-            WHERE CAST(list_sum(list_transform(range(1, 9),
-              i -> CASE WHEN a_mh[i] = b_mh[i] THEN 1 ELSE 0 END))
-              AS DOUBLE) / 8.0 >= 0.5
-            ORDER BY a_id, b_id"""
-      }),
+      (s, dir) => minhashPairs(s, dir).orderBy("a_id", "b_id"),
+      Some(s"""WITH $minhashPairsCtes
+            SELECT a_id, b_id, est_jaccard FROM mpairs ORDER BY a_id, b_id""")),
 
     GQuery(
       "q_dedup_simhash",

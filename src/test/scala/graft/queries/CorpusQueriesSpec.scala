@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus ops: connected-components semantics on hand graphs, and the
+  * split/tfidf/cluster catalog queries' structural invariants at sf0.001
+  * (value-exactness is the DuckDB oracle's job).
+  */
+class CorpusQueriesSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("u", "v")
+  }
+
+  test("connected components: chain, clique, and isolated pair resolve to min-id labels") {
+    // chain 1-2-3-4 (diameter 3: needs >1 round), clique 10-11-12, pair 20-21
+    val cc = CorpusQueries.connectedComponents(edges(
+      1L -> 2L, 2L -> 3L, 3L -> 4L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L,
+      20L -> 21L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: direction and duplicate edges don't matter") {
+    val cc = CorpusQueries.connectedComponents(edges(
+      5L -> 3L, 3L -> 5L, 5L -> 3L, 7L -> 5L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
+  test("connected components: empty edge set yields empty labels") {
+    assert(CorpusQueries.connectedComponents(edges()).isEmpty)
+  }
+
+  test("stratified split is deterministic and ~80/10/10") {
+    val q = graft.SparkEntry.queries("q_sample_stratified")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.sameElements(b)) // bit-stable across runs
+    val frac = a.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length.toDouble / a.length).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08)
+    assert(math.abs(frac("val") - 0.1) < 0.05)
+    assert(math.abs(frac("test") - 0.1) < 0.05)
+  }
+
+  test("cluster keepers: exactly one keeper per cluster, keeper is the min id") {
+    val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, sf001)
+    val perCluster = out.groupBy("cluster_id").agg(
+      sum(when(col("keeper"), 1).otherwise(0)).as("keepers"),
+      min("doc_id").as("min_id"),
+      first("cluster_id").as("cid"))
+    assert(perCluster.filter(col("keepers") =!= 1).isEmpty)
+    assert(perCluster.filter(col("min_id") =!= col("cid")).isEmpty)
+  }
+}
