@@ -138,6 +138,32 @@ object CorpusQueries {
             WHERE rn = 1 ORDER BY doc_id""")),
 
     GQuery(
+      "q_pack_chunks",
+      (s, dir) => {
+        // Token-budget sequence chunking: stream each lang's docs in
+        // doc_id order and cut a new training chunk every 512 tokens of
+        // cumulative budget (chunk_id = ⌊tokens-before / 512⌋). One
+        // window cumsum per lang — a single shuffle on the partition key;
+        // at 100 TB the partition key set (lang, or lang×source) keeps
+        // every window partition executor-sized, unlike a global pack.
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).as("n_tokens"))
+          .withColumn("chunk_id",
+            floor(coalesce(sum("n_tokens").over(w), lit(0)) / 512.0))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              len(${TextQueries.duckToks}) AS n_tokens FROM documents)
+            SELECT doc_id, lang, n_tokens,
+              CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS chunk_id
+            FROM d ORDER BY doc_id""")),
+
+    GQuery(
       "q_dedup_clusters",
       (s, dir) => {
         // Near-dup cluster assembly: LSH pairs → connected components →
