@@ -35,10 +35,20 @@ object Bench {
     }
     // A thrown query records the -1.0 sentinel (and its name under "failed"),
     // never its time-to-failure — breakage must not read as a timing.
+    //
+    // Two timed iterations, min reported (declared in the JSON): this VM
+    // shows transient multi-second host-noise windows (the same warmed
+    // query measured 2.8 s and 12.6 s in back-to-back runs), and the min
+    // of two passes decorrelates a timing from one bad window while still
+    // measuring a full end-to-end execution.
+    val iterations = 2
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to iterations).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      name -> (if (times.size == iterations) times.min else -1.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -47,7 +57,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val ups = pipelineThroughput(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""failed":$failed,"pipeline_upserts_per_s":$ups,"sf":"$sfDir"}""")
+      s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
+      s""""iterations":$iterations,"stat":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 
