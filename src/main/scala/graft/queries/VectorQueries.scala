@@ -209,6 +209,38 @@ object VectorQueries {
       None),
 
     GQuery(
+      "q_emb_quant",
+      (s, dir) => {
+        // Int8 scalar quantization — vector-store prep: per-vector scale =
+        // max|x|/127, element q = ⌊x/scale + 0.5⌋ (floor(+0.5) because both
+        // engines floor doubles identically, while round()'s half-rule
+        // differs). Embarrassingly parallel, no shuffle before the output
+        // sort; emitted as (vec_id, dim, q) rows plus the r4'd scale so the
+        // dequantization contract is checkable.
+        val e = Tables.embeddings(s, dir)
+          .withColumn("scale",
+            aggregate(col("embedding"), lit(0.0d),
+              (m, x) => greatest(m, abs(x.cast("double")))) / 127.0)
+        e.select(col("vec_id"), col("scale"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("q", when(col("scale") === 0, 0L).otherwise(
+            floor(col("x").cast("double") / col("scale") + 0.5).cast("long")))
+          // quantize with the RAW scale; round it only for the output row
+          .select(col("vec_id"), col("dim"), col("q"), r4(col("scale")).as("scale"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings)
+            SELECT vec_id, i - 1 AS dim,
+              CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS BIGINT)
+              END AS q,
+              round(scale, 4) AS scale
+            FROM e, UNNEST(generate_series(1, 64)) AS t(i)
+            ORDER BY vec_id, dim""")),
+
+    GQuery(
       "q_emb_centroid",
       (s, dir) => {
         // Per-label centroid, emitted as (label, dim, value) rows — the

@@ -121,6 +121,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { query.stop(); spark.catalog.dropTempView("enriched") }
   }
 
+  test("stream-stream interval join matches clicks to impressions inside the window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    // both sides watermarked → the engine bounds join state by evicting
+    // impressions older than watermark − interval (the scale requirement:
+    // unbounded-state stream joins OOM; interval + watermark keeps state
+    // proportional to the window)
+    val i = imps.toDS().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "20 minutes")
+    val c = clicks.toDS().toDF("click_ts", "click_ad")
+      .withWatermark("click_ts", "20 minutes")
+    val joined = i.join(c, expr(
+      "ad = click_ad AND click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"))
+    val query = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").start()
+    try {
+      imps.addData((t(1), 100L), (t(2), 200L))
+      query.processAllAvailable()
+      clicks.addData((t(5), 100L))  // 4 min after its impression → match
+      clicks.addData((t(20), 200L)) // 18 min after → outside the interval
+      query.processAllAvailable()
+      // advance both watermarks so matched results are emittable in append
+      imps.addData((t(60), 999L)); clicks.addData((t(60), 998L))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT ad FROM ssjoin").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(100L))
+    } finally { query.stop(); spark.catalog.dropTempView("ssjoin") }
+  }
+
   test("file streaming source tails event JSON with per-trigger rate limit") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
