@@ -124,5 +124,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => GraftExpressions.build(exprs)))
+    // whole-operator extension: the two-phase per-key top-k
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
   }
 }

@@ -110,5 +110,28 @@ object WindowQueries {
                       row_number() OVER (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                FROM orders)
-             WHERE rn <= 3 ORDER BY o_custkey, rn""")))
+             WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    GQuery(
+      "q_win_topk_native",
+      (s, dir) => {
+        // Same answer as q_win_topk through the custom two-phase operator
+        // (graft.plans.TopKPerKey): bounded heaps before the shuffle, so
+        // only k rows per (key, map partition) move — vs the window form
+        // shuffling and sorting every row. Oracle stays the window SQL.
+        graft.plans.TopKPerKey(
+          Tables.orders(s, dir),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            r4(col("o_totalprice")).as("price"))
+          .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, price FROM (
+               SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders)
+             WHERE rn <= 3 ORDER BY o_custkey, price DESC, o_orderkey""")))
 }
