@@ -109,8 +109,12 @@ object CorpusQueries {
         // in the last ulp, with the token as a total tie-break (hot tokens
         // in every doc score exactly 0.0 and would tie otherwise).
         val d = Tables.documents(s, dir)
+        // tf feeds both the scoring join AND the df derivation — staged
+        // once (localCheckpoint) or Catalyst re-runs the explode+agg per
+        // consumer (the q_dedup_jaccard lesson)
         val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val n = d.agg(count(lit(1)).as("n_total"))
         val scored = tf.join(broadcast(df), "token")
