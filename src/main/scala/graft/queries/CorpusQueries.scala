@@ -27,6 +27,24 @@ object CorpusQueries {
   private def nib(h: Column, i: Int): Column =
     call_function("instr", lit("0123456789abcdef"), substring(h, i, 1)) - 1
 
+  /** The deterministic split assignment (see q_sample_stratified) as a
+    * reusable Column, and its character-identical DuckDB twin.
+    */
+  private def splitCol: Column = {
+    val h = md5(col("doc_id").cast("string"))
+    val bucket = pmod(nib(h, 1) * 16 + nib(h, 2), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  private val duckBucket =
+    """((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100"""
+
+  private val duckSplit =
+    s"""CASE WHEN $duckBucket < 80 THEN 'train'
+         WHEN $duckBucket < 90 THEN 'val'
+         ELSE 'test' END"""
+
   /** Connected components by iterative min-label propagation: every node
     * adopts the smallest label among itself and its neighbors until no
     * label changes. Each round is one join + one aggregation, with the
@@ -81,22 +99,11 @@ object CorpusQueries {
         val h = md5(col("doc_id").cast("string"))
         val bucket = pmod(nib(h, 1) * 16 + nib(h, 2), lit(100))
         Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
-          .withColumn("split",
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "val")
-              .otherwise("test"))
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+            splitCol.as("split"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, lang,
-             ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
-               AS bucket,
-             CASE WHEN ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 < 80 THEN 'train'
-                  WHEN ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split
+      Some(s"""SELECT doc_id, lang, $duckBucket AS bucket, $duckSplit AS split
              FROM documents ORDER BY doc_id""")),
 
     GQuery(
@@ -166,6 +173,39 @@ object CorpusQueries {
                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                 AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS chunk_id
             FROM d ORDER BY doc_id""")),
+
+    GQuery(
+      "q_corpus_final",
+      (s, dir) => {
+        // The capstone: build the training set. Near-dup clusters from the
+        // LSH pairs lose everything but their keeper (left_anti on the
+        // non-keeper set — tiny, broadcastable), survivors get their
+        // deterministic split, and the output is the (lang, split) manifest
+        // a training run consumes. One corpus pass + the bounded dedup
+        // machinery — the full pipeline the individual operators exist for.
+        val edges = TextQueries.minhashPairs(s, dir).select("a_id", "b_id")
+        val drops = connectedComponents(edges)
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        Tables.documents(s, dir)
+          .join(broadcast(drops), Seq("doc_id"), "left_anti")
+          .select(col("lang"), splitCol.as("split"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.minhashPairsCtes},
+            edges AS (SELECT a_id AS u, b_id AS v FROM mpairs
+                      UNION SELECT b_id, a_id FROM mpairs),
+            reach(u, v) AS (SELECT u, v FROM edges
+                            UNION SELECT r.u, e.v FROM reach r
+                              JOIN edges e ON r.v = e.u),
+            drops AS (SELECT u AS doc_id FROM reach
+                      GROUP BY u HAVING u != least(u, min(v)))
+            SELECT lang, $duckSplit AS split, count(*) AS n_docs
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+            GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     GQuery(
       "q_dedup_clusters",
