@@ -57,6 +57,39 @@ final class RestSink(
   }
 }
 
+object RestSink {
+  /** Production transport (reference: internal/client/rest.go:95-128): JSON
+    * POSTed to `endpoint` with the shared per-JVM HttpClient. The returned
+    * sink is serializable — the closure captures only the URI string and
+    * timeout; the client itself is resolved lazily by classloader on
+    * whichever JVM (driver or executor) runs the send.
+    *
+    * Status mapping feeds the retry envelope unchanged: 2xx delivered, 4xx
+    * fail-fast, 5xx retried; connect/timeout IOExceptions surface as the
+    * retryable 599 in [[RestSink.send]].
+    */
+  def http(endpoint: String, config: RetryConfig = RetryConfig(),
+      timeoutMs: Long = 10000): RestSink =
+    new RestSink(post = HttpTransport.post(endpoint, _, timeoutMs), config)
+}
+
+/** Per-JVM lazy HttpClient holder (HttpClient is not serializable). */
+private[pipeline] object HttpTransport {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+
+  def post(endpoint: String, body: String, timeoutMs: Long): Int = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      .statusCode()
+  }
+}
+
 /** Payload assembly matching the reference's wire contract
   * (README.md:135-154, debounce.go:16-19, 115-118, 200-203): a payload
   * carries upserts *or* deletes, never both; upserts chunk at the max batch
