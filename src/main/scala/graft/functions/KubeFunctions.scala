@@ -80,4 +80,18 @@ object KubeFunctions {
     if (allow.nonEmpty) k.isin(allow.map(_.toLowerCase): _*)
     else !k.isin(block.map(_.toLowerCase): _*)
   }
+
+  /** Kind → resource-type string ("Lease" → "leases"): the A2 filter lists
+    * hold plural resource types (config.go:52-53) because the reference
+    * filters on the GVR resource it gets from API discovery; event rows
+    * carry the singular Kind. English-plural heuristic (s/x/z/ch/sh → es)
+    * covers the built-in types — incl. every default exclude — without a
+    * discovery client; a deployment with exotic CRD kinds supplies explicit
+    * lists instead.
+    */
+  def kindToResourceType(kind: Column): Column = {
+    val k = lower(kind)
+    when(k.rlike("(s|x|z|ch|sh)$"), concat(k, lit("es")))
+      .otherwise(concat(k, lit("s")))
+  }
 }

@@ -66,4 +66,17 @@ class KubeFunctionsSpec extends SparkSpec {
     assert(!check("Events", Nil, Seq("events")))
     assert(check("widgets", Nil, Seq("events")))
   }
+
+  test("kindToResourceType pluralizes every default-exclude kind correctly") {
+    def conv(kind: String): String =
+      spark.range(1).select(kindToResourceType(lit(kind)).as("v"))
+        .collect()(0).getString(0)
+    assert(conv("Lease") == "leases")
+    assert(conv("Event") == "events")
+    assert(conv("EndpointSlice") == "endpointslices")
+    assert(conv("ComponentStatus") == "componentstatuses")
+    assert(conv("CustomResourceDefinition") == "customresourcedefinitions")
+    assert(conv("Deployment") == "deployments")
+    assert(conv("Ingress") == "ingresses")
+  }
 }
