@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native k-seed MinHash signature over raw text: tokenize → n-gram
+  * shingles → per-seed min of md5(seed:shingle), as ARRAY<STRING> of k
+  * lowercase hex digests.
+  *
+  * Value-identical to the staged Column pipeline
+  * `array(seeds.map(minhash(shingles(tokens(text), n), _)))`
+  * (TextFunctions; MinHashSigSpec asserts parity on the real corpus), but
+  * one tight eval instead of an interpreted higher-order-function tree: the
+  * HOF form re-evaluates a lambda per shingle per seed, materializes the
+  * token array, the shingle array, and k intermediate transform arrays per
+  * row, and falls out of whole-stage codegen. Here codegen emits a single
+  * static call (the FloatVecDot escalation applied to the dedup family's
+  * hottest kernel), one MessageDigest instance serves the whole row, and
+  * shingle bytes are encoded once and reused across all k seeds.
+  */
+case class MinHashSig(child: Expression, shingleN: Int, seeds: Int)
+    extends UnaryExpression {
+
+  require(shingleN > 0 && seeds > 0, s"need positive n/k, got ($shingleN, $seeds)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires string, got $t")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], shingleN, seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig.compute($c, $shingleN, $seeds)")
+}
+
+object MinHashSig {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Row kernel, shared by eval and generated code. Tokenization matches
+    * `split(lower(trim(text)), "\\s+")` and shingling matches
+    * TextFunctions.shingles (short docs collapse to one whole-doc shingle).
+    */
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    // UTF8String lowercase (locale-free), then JVM split — identical to
+    // Spark's split() on the already-lowercased bytes
+    val s = text.trim().toLowerCase().toString
+    val toks = s.split("\\s+", -1)
+    val shingles: Array[String] =
+      if (toks.length < n) Array(toks.mkString(" "))
+      else Array.tabulate(toks.length - n + 1)(i =>
+        toks.slice(i, i + n).mkString(" "))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](k)
+    val seedPrefix = Array.tabulate(k)(seed =>
+      (seed.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var si = 0
+    while (si < shingles.length) {
+      val shingleBytes = shingles(si).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var seed = 0
+      while (seed < k) {
+        md.reset()
+        md.update(seedPrefix(seed))
+        md.update(shingleBytes)
+        val hex = toHex(md.digest())
+        if (mins(seed) == null || hex.compareTo(mins(seed)) < 0) mins(seed) = hex
+        seed += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_)).toArray[Any])
+  }
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexDigits(b >>> 4)
+      out(i * 2 + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}

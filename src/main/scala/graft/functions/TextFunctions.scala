@@ -36,6 +36,16 @@ object TextFunctions {
   def minhashSignature(sh: Column, k: Int): Column =
     concat_ws("|", (0 until k).map(minhash(sh, _)): _*)
 
+  /** Native-expression twin of `array(seeds.map(minhash(shingles(tokens(
+    * text), n), _)))` — one codegen'd kernel call per row instead of the
+    * interpreted HOF tree (see [[MinHashSig]]; parity asserted in
+    * MinHashSigSpec).
+    */
+  def minhashSigFast(text: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.col(MinHashSig(Bridge.expr(text), n, k))
+  }
+
   /** nbits-bit SimHash over (frequency-weighted) tokens. Bit i of a token's
     * hash is bit (i%4) of hex digit (i/4) of its md5; the simhash bit is the
     * sign of Σ_tokens (2·bit−1).

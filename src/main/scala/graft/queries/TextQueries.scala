@@ -55,11 +55,11 @@ object TextQueries {
     */
   private[queries] def minhashPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // signature via the native MinHashSig expression — value-identical to
+    // the staged HOF pipeline (parity spec), one codegen'd kernel per row
     val sigs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(tokens(col("text")), 5).as("sh"))
-      .select(col("doc_id"),
-        array((0 until 8).map(minhash(col("sh"), _)): _*).as("mh"))
+      .select(col("doc_id"), minhashSigFast(col("text"), 5, 8).as("mh"))
       .localCheckpoint()
     val banded = sigs.select(
       col("doc_id"),
