@@ -36,28 +36,36 @@ object Bench {
     // A thrown query records the -1.0 sentinel (and its name under "failed"),
     // never its time-to-failure — breakage must not read as a timing.
     //
-    // Two timed iterations, min reported (declared in the JSON): this VM
-    // shows transient multi-second host-noise windows (the same warmed
-    // query measured 2.8 s and 12.6 s in back-to-back runs), and the min
-    // of two passes decorrelates a timing from one bad window while still
-    // measuring a full end-to-end execution.
-    val iterations = 2
-    val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iterations).flatMap { _ =>
+    // Timed iterations are FULL CATALOG PASSES, min per query across passes
+    // (declared in the JSON): this VM shows transient multi-minute host-noise
+    // windows (the same warmed query measured 2.8 s and 12.6 s in
+    // back-to-back runs; the r3 recording shows an alphabetically-contiguous
+    // block of queries 5-20× slow — one window poisoning consecutive
+    // back-to-back timings). Interleaving puts a whole catalog pass
+    // (~30-60 s) between a query's two timings, so a single window cannot
+    // claim both.
+    val iterations = 3
+    val named = qs.toSeq.sortBy(_._1)
+    val passes: Seq[Map[String, Double]] = (1 to iterations).map { _ =>
+      named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
-      name -> (if (times.size == iterations) times.min else -1.0)
+        name -> (try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+                 catch { case _: Throwable => -1.0 })
+      }.toMap
+    }
+    val results = named.map { case (name, _) =>
+      val times = passes.map(_(name))
+      name -> (if (times.exists(_ < 0)) -1.0
+               else math.round(times.min * 1000.0) / 1000.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = math.round(results.map(_._2).filter(_ >= 0).sum * 1000.0) / 1000.0
     // same host-noise treatment as the queries: two full pipeline runs,
     // best sustained rate reported (throughput: higher = less interference)
-    val ups = (1 to iterations).map(_ => pipelineThroughput(spark)).max
+    val ups = (1 to 2).map(_ => pipelineThroughput(spark)).max
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""iterations":$iterations,"stat":"min","sf":"$sfDir"}""")
