@@ -30,17 +30,17 @@ object CorpusQueries {
   /** The deterministic split assignment (see q_sample_stratified) as a
     * reusable Column, and its character-identical DuckDB twin.
     */
-  private def splitCol: Column = {
+  private[queries] def splitCol: Column = {
     val h = md5(col("doc_id").cast("string"))
     val bucket = pmod(nib(h, 1) * 16 + nib(h, 2), lit(100))
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
-  private val duckBucket =
+  private[queries] val duckBucket =
     """((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
        + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100"""
 
-  private val duckSplit =
+  private[queries] val duckSplit =
     s"""CASE WHEN $duckBucket < 80 THEN 'train'
          WHEN $duckBucket < 90 THEN 'val'
          ELSE 'test' END"""

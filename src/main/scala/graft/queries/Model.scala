@@ -24,6 +24,7 @@ object Catalog {
       StreamBatchQueries.qs ++
       TextQueries.qs ++
       CorpusQueries.qs ++
+      QualityQueries.qs ++
       VectorQueries.qs ++
       SourceQueries.qs
 }

@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.{Canon, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-quality operators of a training-data pipeline beyond per-document
+  * scoring heuristics: repetition metrics (the Gopher/MassiveText quality
+  * rules, token form), token-distribution entropy, benchmark decontamination
+  * (train/test n-gram overlap), shared-prefix boilerplate detection, and
+  * unigram language-model scoring of held-out docs.
+  *
+  * Reference analog: none (the reference syncs single records); these extend
+  * SURVEY.md §2.B-LLM per the build brief's training-pipeline mandate.
+  *
+  * Cross-engine float determinism: any score summed ACROSS rows (entropy,
+  * LM negative log-likelihood) rounds each term to 6 decimals and sums in
+  * exact decimal — parallel double summation is order-dependent, so raw
+  * double sums would never hash-match a sequential engine. Per-row ratios
+  * of integers are computed identically everywhere and only need the final
+  * round(·, 4).
+  */
+object QualityQueries {
+  import Canon._
+  import TextFunctions._
+  import TextQueries.duckToks
+
+  /** DuckDB bigram shingles matching shingles(toks, 2). */
+  private val duckBigrams =
+    s"""CASE WHEN len($duckToks) < 2 THEN [array_to_string($duckToks, ' ')]
+        ELSE list_transform(range(1, len($duckToks)),
+             i -> array_to_string(($duckToks)[i:i+1], ' ')) END"""
+
+  /** DuckDB 5-gram shingles matching shingles(toks, 5) (same as TextQueries). */
+  private val duck5grams =
+    s"""CASE WHEN len($duckToks) < 5 THEN [array_to_string($duckToks, ' ')]
+        ELSE list_transform(range(1, len($duckToks) - 3),
+             i -> array_to_string(($duckToks)[i:i+4], ' ')) END"""
+
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_text_repetition",
+      (s, dir) => {
+        // Gopher-style repetition rules, token-bigram form: the fraction of
+        // bigram instances claimed by the single most frequent bigram, the
+        // fraction belonging to any repeated bigram, and the distinct-token
+        // ratio. High repetition = low-quality generation/boilerplate.
+        // Two shuffles, both keyed by doc_id with map-side partial counts —
+        // per-doc state never exceeds the doc's own bigram vocabulary, so
+        // the shape is flat at any corpus size.
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val bg = d
+          .select(col("doc_id"), explode(shingles(col("t"), 2)).as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        val rep = bg.groupBy("doc_id").agg(
+          max("n").as("top_n"),
+          sum("n").as("n_bigrams"),
+          sum(when(col("n") >= 2, col("n")).otherwise(lit(0L))).as("dup_n"))
+        d.select(
+            col("doc_id"),
+            size(col("t")).as("n_toks"),
+            size(array_distinct(col("t"))).as("n_uniq"))
+          .join(rep, "doc_id")
+          .select(
+            col("doc_id"),
+            r4(col("top_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+            r4(col("dup_n").cast("double") / col("n_bigrams")).as("dup_bigram_frac"),
+            r4(col("n_uniq").cast("double") / col("n_toks")).as("uniq_tok_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+            bg AS (SELECT doc_id, unnest($duckBigrams) AS b
+                   FROM documents),
+            c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+            rep AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_bigrams,
+                      sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_n
+                    FROM c GROUP BY 1)
+            SELECT d.doc_id,
+              round(CAST(top_n AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
+              round(CAST(dup_n AS DOUBLE) / n_bigrams, 4) AS dup_bigram_frac,
+              round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+                AS uniq_tok_ratio
+            FROM d JOIN rep ON d.doc_id = rep.doc_id
+            ORDER BY d.doc_id""")),
+
+    GQuery(
+      "q_text_entropy",
+      (s, dir) => {
+        // Token-distribution Shannon entropy per doc, via the algebraic
+        // form H = ln(N) - (Σ n·ln n)/N — one explode + two doc_id-keyed
+        // aggregations, no per-doc window. Each ln-term is rounded to 6
+        // decimals and summed in exact decimal (see object scaladoc).
+        val counts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        counts.groupBy("doc_id")
+          .agg(
+            sum("n").as("n_toks"),
+            sum(round(log(col("n")), 6).cast(DecimalType(18, 6)) * col("n"))
+              .as("s"))
+          .select(
+            col("doc_id"),
+            col("n_toks"),
+            r4(log(col("n_toks")) - col("s").cast("double") / col("n_toks"))
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS n FROM u GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+              round(ln(CAST(sum(n) AS DOUBLE)) -
+                CAST(sum(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * n) AS DOUBLE)
+                  / sum(n), 4) AS entropy
+            FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    GQuery(
+      "q_corpus_decontam",
+      (s, dir) => {
+        // Benchmark decontamination: for each test-split doc, the fraction
+        // of its distinct 5-gram shingles that also occur in any train-split
+        // doc. The join shuffles on the shingle string — the standard
+        // distributed decontamination shape (the train side is
+        // corpus-sized; at 100 TB a Bloom filter over train shingles,
+        // broadcast to the test side, prunes the exchange to near-misses
+        // — same semantics, one fewer corpus-wide shuffle).
+        val sh = Tables.documents(s, dir)
+          .select(
+            col("doc_id"), CorpusQueries.splitCol.as("split"),
+            explode(array_distinct(shingles(tokens(col("text")), 5))).as("g"))
+        val train = sh.filter(col("split") === "train")
+          .select("g").distinct().withColumn("hit", lit(1))
+        sh.filter(col("split") === "test")
+          .join(train, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+          .select(
+            col("doc_id"), col("n_grams"), col("n_overlap"),
+            r4(col("n_overlap").cast("double") / col("n_grams"))
+              .as("contam_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s AS (SELECT doc_id,
+                ${CorpusQueries.duckSplit} AS split,
+                unnest(list_distinct($duck5grams)) AS g
+              FROM documents),
+            tr AS (SELECT DISTINCT g FROM s WHERE split = 'train')
+            SELECT doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_overlap,
+              round(CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                / count(*), 4) AS contam_rate
+            FROM s LEFT JOIN tr ON s.g = tr.g
+            WHERE split = 'test'
+            GROUP BY doc_id ORDER BY doc_id""")),
+
+    GQuery(
+      "q_text_boilerplate",
+      (s, dir) => {
+        // Shared-prefix boilerplate: groups of docs opening with the same
+        // 2-token prefix (headers, templates, scraped nav bars). One
+        // groupBy on the prefix — the classic "group by leading n-gram"
+        // boilerplate sweep; prefix cardinality bounds the shuffle.
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            concat_ws(" ", slice(tokens(col("text")), 1, 2)).as("prefix"))
+          .groupBy("prefix")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("prefix")
+      },
+      Some(s"""SELECT array_to_string(($duckToks)[1:2], ' ') AS prefix,
+              count(*) AS n_docs, min(doc_id) AS first_doc
+            FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix""")),
+
+    GQuery(
+      "q_lm_score",
+      (s, dir) => {
+        // Unigram LM scoring: fit add-one-smoothed per-lang token
+        // probabilities on the train split, score each val-split doc by
+        // average negative log-likelihood — the classic perplexity-filter
+        // stage of a training-data pipeline. The fitted model is
+        // vocabulary-sized (not corpus-sized), so it broadcasts; scoring
+        // is then one map-side join over the held-out docs, and only the
+        // per-doc aggregation shuffles. Unseen tokens take the smoothing
+        // floor 1/(N+V) via the left join's coalesce.
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            CorpusQueries.splitCol.as("split"), tokens(col("text")).as("t"))
+        val trainTok = d.filter(col("split") === "train")
+          .select(col("lang"), explode(col("t")).as("tok"))
+        val counts = trainTok.groupBy("lang", "tok")
+          .agg(count(lit(1)).as("c"))
+        val totals = counts.groupBy("lang")
+          .agg(sum("c").as("n_lang"), count(lit(1)).as("v_lang"))
+        val valTok = d.filter(col("split") === "val")
+          .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
+        // Terms in integer MICRO-NATS and the final 4-decimal half-up round
+        // in pure integer arithmetic — round(decimal-exact / n, 4) lands on
+        // exact midpoints (e.g. 60.5151/18 = 3.361950) where Spark
+        // (exact-binary HALF_UP → down) and DuckDB (shortest-repr → up)
+        // systematically disagree. floor((2s + 100n)/(200n)) is the same
+        // integer everywhere. (log is 1-ulp engine-dependent; a term
+        // landing within an ulp of a .5 micro-nat is measure-zero, unlike
+        // the midpoint quotients, which this corpus actually produces.)
+        val nllMicro = round(
+          -log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("n_lang") + col("v_lang"))) * 1e6, 0).cast("long")
+        valTok
+          .join(broadcast(counts), Seq("lang", "tok"), "left")
+          .join(broadcast(totals), "lang")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_toks"), sum(nllMicro).as("s6"))
+          .select(
+            col("doc_id"), col("lang"), col("n_toks"),
+            (expr("(2 * s6 + 100 * n_toks) DIV (200 * n_toks)")
+              .cast("double") / 10000).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+                ${CorpusQueries.duckSplit} AS split, $duckToks AS t
+              FROM documents),
+            trn AS (SELECT lang, unnest(t) AS tok FROM d WHERE split = 'train'),
+            counts AS (SELECT lang, tok, count(*) AS c FROM trn GROUP BY 1, 2),
+            totals AS (SELECT lang, sum(c) AS n_lang, count(*) AS v_lang
+                       FROM counts GROUP BY 1),
+            vt AS (SELECT doc_id, lang, unnest(t) AS tok FROM d
+                   WHERE split = 'val'),
+            terms AS (SELECT vt.doc_id, vt.lang,
+                CAST(round(-ln(
+                  CAST(coalesce(c, 0) + 1 AS DOUBLE) / (n_lang + v_lang)
+                ) * 1000000) AS BIGINT) AS t6
+              FROM vt
+              LEFT JOIN counts ON vt.lang = counts.lang AND vt.tok = counts.tok
+              JOIN totals ON vt.lang = totals.lang)
+            SELECT doc_id, lang, count(*) AS n_toks,
+              CAST((2 * CAST(sum(t6) AS BIGINT) + 100 * count(*))
+                   // (200 * count(*)) AS DOUBLE) / 10000 AS avg_nll
+            FROM terms
+            GROUP BY doc_id, lang ORDER BY doc_id"""))
+  )
+}
