@@ -52,7 +52,13 @@ object SyncPipeline {
       // so without this a post-restart quiet source holds recovered pending
       // upserts forever (the class scaladoc recovery caveat). Off by default
       // for strict source parity.
-      keepAliveTick: Boolean = false) {
+      keepAliveTick: Boolean = false,
+      // run the debounce on Spark 4's transformWithState API (real per-key
+      // timers, named state slots — see DebounceTws) instead of the classic
+      // flatMapGroupsWithState path. Requires (and forces) the RocksDB
+      // state store. Same semantics either way — DebounceTwsSpec holds the
+      // two implementations to identical outputs.
+      transformWithState: Boolean = false) {
 
     /** CRD capabilities pipeline gate (cmd/main.go:136-171). */
     def crdPipelineEnabled: Boolean = capabilitiesEndpoint.nonEmpty
@@ -132,10 +138,11 @@ object SyncPipeline {
 
   private[pipeline] def applyStateStoreConf(spark: SparkSession, config: Config): Unit =
     // config is authoritative either way — a one-way set would leak RocksDB
-    // into later pipelines started on the same session with the default
+    // into later pipelines started on the same session with the default.
+    // transformWithState only runs on RocksDB, so that path forces it.
     spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
-      if (config.rocksDbState)
+      if (config.rocksDbState || config.transformWithState)
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       else
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
@@ -155,7 +162,9 @@ object SyncPipeline {
       if (config.keepAliveTick) events.union(keepAliveTicks(spark))
         .filter((r: ResourceEventRow) => r.event_type != KeepAliveType)
       else events
-    val actions = Debounce(source, config.debounceMs)
+    val actions =
+      if (config.transformWithState) DebounceTws(source, config.debounceMs)
+      else Debounce(source, config.debounceMs)
     val maxBatch = config.maxBatch
     val writer = actions.writeStream
       .outputMode("append")
