@@ -178,6 +178,94 @@ object QualityQueries {
             FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix""")),
 
     GQuery(
+      "q_corpus_datasheet",
+      (s, dir) => {
+        // The dataset-card rollup: per (lang, split), document count, token
+        // volume, mean entropy, mean quality score, and how many docs carry
+        // any repeated bigram — the summary table a training run's data
+        // sheet reports. Three per-doc frames (base stats, entropy,
+        // repetition flag) join on doc_id, then one (lang, split) rollup.
+        // Means of rounded per-doc scores use the integer micro-unit
+        // average (see q_lm_score) so the 4-decimal result is the same
+        // bit pattern in any engine.
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), CorpusQueries.splitCol.as("split"),
+            col("text"))
+        val base = d.select(
+          col("doc_id"), col("lang"), col("split"),
+          size(tokens(col("text"))).as("n_toks"),
+          round(qualityScore(col("text")) * 1e4).cast("long").as("q4"))
+        val ent = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum("n").as("nn"),
+            sum(round(log(col("n")), 6).cast(DecimalType(18, 6)) * col("n"))
+              .as("sl"))
+          .select(col("doc_id"),
+            round((log(col("nn")) - col("sl").cast("double") / col("nn")) * 1e4)
+              .cast("long").as("e4"))
+        val rep = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(max(when(col("n") >= 2, 1).otherwise(0)).as("has_dup"))
+        base.join(ent, "doc_id").join(rep, "doc_id")
+          .groupBy("lang", "split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            sum("e4").as("se"), sum("q4").as("sq"),
+            sum("has_dup").as("n_dup_docs"))
+          .select(
+            col("lang"), col("split"), col("n_docs"), col("n_tokens"),
+            (expr("(2 * se + n_docs) DIV (2 * n_docs)").cast("double") / 10000)
+              .as("avg_entropy"),
+            (expr("(2 * sq + n_docs) DIV (2 * n_docs)").cast("double") / 10000)
+              .as("avg_quality"),
+            col("n_dup_docs"))
+          .orderBy("lang", "split")
+      },
+      Some {
+        val all = TextFunctions.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH d AS (SELECT doc_id, lang, ${CorpusQueries.duckSplit} AS split,
+                text, $duckToks AS toks FROM documents),
+            base AS (SELECT doc_id, lang, split, len(toks) AS n_toks,
+                CAST(round(greatest(0.0,
+                  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+                  least(CAST(len(list_filter(toks, t -> t IN ($all))) AS DOUBLE)
+                    / len(toks) * 5.0, 1.0) * 0.5 -
+                  CAST(length(text) - length(regexp_replace(text,
+                    '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+                ) * 10000) AS BIGINT) AS q4
+              FROM d),
+            u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+            c AS (SELECT doc_id, tok, count(*) AS n FROM u GROUP BY 1, 2),
+            ent AS (SELECT doc_id, CAST(round((ln(CAST(sum(n) AS DOUBLE)) -
+                CAST(sum(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * n) AS DOUBLE)
+                  / sum(n)) * 10000) AS BIGINT) AS e4
+              FROM c GROUP BY doc_id),
+            bg AS (SELECT doc_id, unnest($duckBigrams) AS b FROM documents),
+            bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+            rep AS (SELECT doc_id, max(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                AS has_dup FROM bc GROUP BY 1),
+            j AS (SELECT lang, split, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(e4) AS BIGINT) AS se, CAST(sum(q4) AS BIGINT) AS sq,
+                CAST(sum(has_dup) AS BIGINT) AS n_dup_docs
+              FROM base JOIN ent USING (doc_id) JOIN rep USING (doc_id)
+              GROUP BY 1, 2)
+            SELECT lang, split, n_docs, n_tokens,
+              CAST((2 * se + n_docs) // (2 * n_docs) AS DOUBLE) / 10000
+                AS avg_entropy,
+              CAST((2 * sq + n_docs) // (2 * n_docs) AS DOUBLE) / 10000
+                AS avg_quality,
+              n_dup_docs
+            FROM j ORDER BY lang, split"""
+      }),
+
+    GQuery(
       "q_lm_score",
       (s, dir) => {
         // Unigram LM scoring: fit add-one-smoothed per-lang token
