@@ -188,15 +188,22 @@ object QualityQueries {
         // Means of rounded per-doc scores use the integer micro-unit
         // average (see q_lm_score) so the 4-decimal result is the same
         // bit pattern in any engine.
+        // the doc frame feeds three derivations — staged ONCE with the
+        // tokens precomputed and spread across cores (localCheckpoint +
+        // repartition: the q_dedup_jaccard lesson; unstaged, each branch
+        // re-scans and re-tokenizes the corpus on one input split —
+        // measured 4.0 s vs ~1 s at sf0.1)
         val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"), CorpusQueries.splitCol.as("split"),
-            col("text"))
+            col("text"), tokens(col("text")).as("t"))
+          .localCheckpoint()
         val base = d.select(
           col("doc_id"), col("lang"), col("split"),
-          size(tokens(col("text"))).as("n_toks"),
+          size(col("t")).as("n_toks"),
           round(qualityScore(col("text")) * 1e4).cast("long").as("q4"))
-        val ent = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val ent = d
+          .select(col("doc_id"), explode(col("t")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")
           .agg(sum("n").as("nn"),
@@ -205,8 +212,8 @@ object QualityQueries {
           .select(col("doc_id"),
             round((log(col("nn")) - col("sl").cast("double") / col("nn")) * 1e4)
               .cast("long").as("e4"))
-        val rep = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("b"))
+        val rep = d
+          .select(col("doc_id"), explode(shingles(col("t"), 2)).as("b"))
           .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")
           .agg(max(when(col("n") >= 2, 1).otherwise(0)).as("has_dup"))
