@@ -96,6 +96,27 @@ object TextFunctions {
     when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Native one-pass stats struct (n_tokens, sum_tok_len, sw_hits,
+    * non_alnum, text_len) — see [[TokenStats]]; parity with the HOF
+    * columns below asserted in TokenStatsSpec.
+    */
+  def tokenStats(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.col(TokenStats(Bridge.expr(text), stopwords.flatMap(_._2).distinct))
+  }
+
+  /** The blended 0-1 quality score from a [[tokenStats]] struct — the same
+    * arithmetic (and therefore bit-identical doubles) as [[qualityScore]].
+    */
+  def qualityFromStats(ts: Column): Column = {
+    val lenScore = least(ts.getField("n_tokens").cast("double") / 100.0, lit(1.0))
+    val swScore = least(
+      ts.getField("sw_hits").cast("double") / ts.getField("n_tokens") * 5.0,
+      lit(1.0))
+    val penalty = ts.getField("non_alnum").cast("double") / ts.getField("text_len")
+    greatest(lit(0.0), lenScore * 0.5 + swScore * 0.5 - penalty)
+  }
+
   /** Quality heuristics: token count, mean token length, stopword ratio,
     * non-alphanumeric character ratio, and a blended 0-1 score.
     */

@@ -201,7 +201,8 @@ object QualityQueries {
         val base = d.select(
           col("doc_id"), col("lang"), col("split"),
           size(col("t")).as("n_toks"),
-          round(qualityScore(col("text")) * 1e4).cast("long").as("q4"))
+          round(qualityFromStats(tokenStats(col("text"))) * 1e4)
+            .cast("long").as("q4"))
         val ent = d
           .select(col("doc_id"), explode(col("t")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))

@@ -335,14 +335,21 @@ object TextQueries {
     GQuery(
       "q_text_quality",
       (s, dir) => {
+        // one native kernel pass (TokenStats) staged as a struct, ratios
+        // derived from its fields — replaces 4 interpreted HOF sweeps +
+        // a regex rewrite per row; values bit-identical (TokenStatsSpec)
         Tables.documents(s, dir)
+          .select(col("doc_id"), tokenStats(col("text")).as("ts"))
           .select(
             col("doc_id"),
-            nTokens(col("text")).as("n_tokens"),
-            r4(meanTokenLen(col("text"))).as("mean_tok_len"),
-            r4(stopwordRatio(col("text"))).as("sw_ratio"),
-            r4(nonAlnumRatio(col("text"))).as("nonalnum_ratio"),
-            r4(qualityScore(col("text"))).as("quality"))
+            col("ts.n_tokens").as("n_tokens"),
+            r4(col("ts.sum_tok_len").cast("double") / col("ts.n_tokens"))
+              .as("mean_tok_len"),
+            r4(col("ts.sw_hits").cast("double") / col("ts.n_tokens"))
+              .as("sw_ratio"),
+            r4(col("ts.non_alnum").cast("double") / col("ts.text_len"))
+              .as("nonalnum_ratio"),
+            r4(qualityFromStats(col("ts"))).as("quality"))
           .orderBy("doc_id")
       },
       Some {
