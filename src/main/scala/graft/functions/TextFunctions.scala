@@ -113,7 +113,13 @@ object TextFunctions {
     val swScore = least(
       ts.getField("sw_hits").cast("double") / ts.getField("n_tokens") * 5.0,
       lit(1.0))
-    val penalty = ts.getField("non_alnum").cast("double") / ts.getField("text_len")
+    // text_len = 0 (empty doc) must not poison the score with NaN: Spark's
+    // x/0 is NaN but DuckDB's is NULL, so a NaN here breaks cross-engine
+    // parity the moment the score is cast/rounded. nullif + coalesce gives
+    // penalty 0 on BOTH engines (no chars ⇒ nothing to penalize).
+    val penalty = coalesce(
+      ts.getField("non_alnum").cast("double") / nullif(ts.getField("text_len"), lit(0)),
+      lit(0.0))
     greatest(lit(0.0), lenScore * 0.5 + swScore * 0.5 - penalty)
   }
 
@@ -133,14 +139,20 @@ object TextFunctions {
     stopwordHits(t, all).cast("double") / size(t)
   }
 
+  /** NULL (not NaN, not a thrown DIVIDE_BY_ZERO under ANSI mode) for empty
+    * text — the same answer DuckDB's x/0 gives, so the ratio stays
+    * cross-engine comparable.
+    */
   def nonAlnumRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
-      length(text)
+      nullif(length(text), lit(0))
 
   def qualityScore(text: Column): Column = {
     val lenScore = least(nTokens(text).cast("double") / 100.0, lit(1.0))
     val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val punctPenalty = nonAlnumRatio(text)
+    // same text_len=0 guard as qualityFromStats (bit-parity asserted in
+    // TokenStatsSpec, including the "" literal)
+    val punctPenalty = coalesce(nonAlnumRatio(text), lit(0.0))
     greatest(lit(0.0), lenScore * 0.5 + swScore * 0.5 - punctPenalty)
   }
 

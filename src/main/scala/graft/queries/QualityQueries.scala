@@ -244,8 +244,9 @@ object QualityQueries {
                   least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
                   least(CAST(len(list_filter(toks, t -> t IN ($all))) AS DOUBLE)
                     / len(toks) * 5.0, 1.0) * 0.5 -
-                  CAST(length(text) - length(regexp_replace(text,
-                    '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+                  coalesce(CAST(length(text) - length(regexp_replace(text,
+                    '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                    / nullif(length(text), 0), 0.0)
                 ) * 10000) AS BIGINT) AS q4
               FROM d),
             u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
@@ -283,7 +284,10 @@ object QualityQueries {
         // vocabulary-sized (not corpus-sized), so it broadcasts; scoring
         // is then one map-side join over the held-out docs, and only the
         // per-doc aggregation shuffles. Unseen tokens take the smoothing
-        // floor 1/(N+V) via the left join's coalesce.
+        // floor 1/(N+V) via the left join's coalesce. A val doc whose lang
+        // has NO train docs at all is unscorable — it stays in the output
+        // (left join on totals) with a NULL avg_nll sentinel, identically
+        // in both engines, rather than being silently dropped.
         val d = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             CorpusQueries.splitCol.as("split"), tokens(col("text")).as("t"))
@@ -308,7 +312,7 @@ object QualityQueries {
             (col("n_lang") + col("v_lang"))) * 1e6, 0).cast("long")
         valTok
           .join(broadcast(counts), Seq("lang", "tok"), "left")
-          .join(broadcast(totals), "lang")
+          .join(broadcast(totals), Seq("lang"), "left")
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("n_toks"), sum(nllMicro).as("s6"))
           .select(
@@ -332,7 +336,7 @@ object QualityQueries {
                 ) * 1000000) AS BIGINT) AS t6
               FROM vt
               LEFT JOIN counts ON vt.lang = counts.lang AND vt.tok = counts.tok
-              JOIN totals ON vt.lang = totals.lang)
+              LEFT JOIN totals ON vt.lang = totals.lang)
             SELECT doc_id, lang, count(*) AS n_toks,
               CAST((2 * CAST(sum(t6) AS BIGINT) + 100 * count(*))
                    // (200 * count(*)) AS DOUBLE) / 10000 AS avg_nll

@@ -347,7 +347,7 @@ object TextQueries {
               .as("mean_tok_len"),
             r4(col("ts.sw_hits").cast("double") / col("ts.n_tokens"))
               .as("sw_ratio"),
-            r4(col("ts.non_alnum").cast("double") / col("ts.text_len"))
+            r4(col("ts.non_alnum").cast("double") / nullif(col("ts.text_len"), lit(0)))
               .as("nonalnum_ratio"),
             r4(qualityFromStats(col("ts"))).as("quality"))
           .orderBy("doc_id")
@@ -370,7 +370,8 @@ object TextQueries {
              round(nonalnum_ratio, 4) AS nonalnum_ratio,
              round(greatest(0.0,
                least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
-               least(sw_ratio * 5.0, 1.0) * 0.5 - nonalnum_ratio), 4) AS quality
+               least(sw_ratio * 5.0, 1.0) * 0.5 -
+               coalesce(nonalnum_ratio, 0.0)), 4) AS quality
            FROM q ORDER BY doc_id"""
       }),
 

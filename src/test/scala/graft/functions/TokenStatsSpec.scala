@@ -32,9 +32,15 @@ class TokenStatsSpec extends SparkSpec {
         (mean.isNaN && r.getAs[Double]("h_mean").isNaN), s"mean_tok_len: $label")
       val sw = ts.getAs[Int]("sw_hits").toDouble / ts.getAs[Int]("n_tokens")
       assert(sw == r.getAs[Double]("h_sw"), s"sw_ratio: $label")
-      val na = ts.getAs[Int]("non_alnum").toDouble / ts.getAs[Int]("text_len")
-      assert(na == r.getAs[Double]("h_na") ||
-        (na.isNaN && r.getAs[Double]("h_na").isNaN), s"nonalnum_ratio: $label")
+      if (ts.getAs[Int]("text_len") == 0) {
+        // empty text: the guarded ratio is NULL (DuckDB-parity), never NaN
+        // and never an ANSI DIVIDE_BY_ZERO
+        assert(r.isNullAt(r.fieldIndex("h_na")), s"nonalnum_ratio: $label")
+      } else {
+        val na = ts.getAs[Int]("non_alnum").toDouble / ts.getAs[Int]("text_len")
+        assert(na == r.getAs[Double]("h_na") ||
+          (na.isNaN && r.getAs[Double]("h_na").isNaN), s"nonalnum_ratio: $label")
+      }
       assert(r.getAs[Double]("n_q") == r.getAs[Double]("h_q") ||
         (r.getAs[Double]("n_q").isNaN && r.getAs[Double]("h_q").isNaN),
         s"quality: $label")
@@ -50,7 +56,7 @@ class TokenStatsSpec extends SparkSpec {
     compare(Seq(
       "the quick brown fox", "  padded   whitespace  ", "UPPER lower MiXeD",
       "punct!!! 100% [sure]?", "héllo wörld über naïve", "123 456 a1b2",
-      "single", " ", "a", "the the the the"
+      "single", " ", "a", "the the the the", "", "!!!"
     ).toDF("text"))
   }
 

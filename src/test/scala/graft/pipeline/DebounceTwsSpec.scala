@@ -42,7 +42,12 @@ class DebounceTwsSpec extends SparkSpec {
     val source = MemoryStream[ResourceEventRow]
     val query = SyncPipeline.start(source.toDS(), sink,
       SyncPipeline.Config(debounceMs = debounceMs, flushIntervalMs = 100, maxBatch = 50,
-        checkpointDir = java.nio.file.Files.createTempDirectory("tws_ckpt").toString,
+        checkpointDir = {
+          val d = java.nio.file.Files.createTempDirectory("tws_ckpt")
+          sys.addShutdownHook(org.apache.commons.io.FileUtils
+            .deleteQuietly(d.toFile))
+          d.toString
+        },
         transformWithState = true))
     (source, received, query)
   }

@@ -16,10 +16,17 @@ class PartitionPruningSpec extends SparkSpec {
 
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("part_docs").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
     spark.read.parquet(s"$sf001/documents.parquet")
       .write.mode("overwrite").partitionBy("lang").parquet(d)
     d
   }
+
+  /** Data files under one partition directory (what a pruned scan may read). */
+  private def filesUnder(sub: String): Long =
+    new java.io.File(dir, sub).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
 
   test("partitionBy writes one lang=... directory per language") {
     val langs = new java.io.File(dir).list().filter(_.startsWith("lang="))
@@ -40,14 +47,21 @@ class PartitionPruningSpec extends SparkSpec {
     val expected = spark.read.parquet(s"$sf001/documents.parquet")
       .filter(col("lang") === "en").count()
     assert(rows == expected)
-    // pruning happened at the file-index level: of the 5 lang=... files,
-    // the scan read exactly one (inputFiles on the unexecuted relation
-    // still lists all 5 — only the runtime metric proves the prune)
+    // pruning happened at the file-index level: the scan read exactly the
+    // files inside lang=en/ and none of the other directories' (inputFiles
+    // on the unexecuted relation still lists every file — only the runtime
+    // metric proves the prune). Counted from the directory, not assumed to
+    // be 1: write parallelism is free to split a partition into several
+    // files without that meaning the prune failed.
     val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.getOrElse(fail("no FileSourceScanExec leaf"))
-    assert(scan.metrics("numFiles").value == 1L,
-      s"numFiles = ${scan.metrics("numFiles").value}")
+    val enFiles = filesUnder("lang=en")
+    val allFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(d => filesUnder(d.getName)).sum
+    assert(enFiles >= 1 && enFiles < allFiles, s"fixture: $enFiles of $allFiles")
+    assert(scan.metrics("numFiles").value == enFiles,
+      s"numFiles = ${scan.metrics("numFiles").value}, lang=en has $enFiles")
   }
 
   test("non-partition predicates still push into the scan under pruning") {
