@@ -124,7 +124,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => GraftExpressions.build(exprs)))
-    // whole-operator extension: the two-phase per-key top-k
+    // whole-operator extension: the two-phase per-key top-k, plus the
+    // optimizer rewrite that turns row_number()<=k window filters into it
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

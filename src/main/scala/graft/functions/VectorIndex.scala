@@ -71,4 +71,88 @@ object VectorIndex {
       .agg(
         max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
         first(col("embedding")).as("embedding")) // identical across the k copies
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", PAMI 2011): split each vector into m subvectors,
+  // k-means each subspace independently, store each vector as m byte-sized
+  // codes. Search runs in the compressed domain via ADC — per query, one
+  // m·k lookup table of subspace dot products; a vector's estimated dot is
+  // the sum of m table entries. At 100 TB the corpus lives as codes
+  // (m bytes/vector instead of 4·dim), the codebooks and LUTs broadcast,
+  // and the scan is one narrow pass + a (q, vec) sum aggregation.
+  // ---------------------------------------------------------------------
+
+  /** (vec_id, sub, subvec ARRAY<DOUBLE>): vector split into m slices. */
+  def subvectors(embeddings: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    val slices = array((0 until m).map(j =>
+      slice(col("embedding").cast("array<double>"), j * d + 1, d)): _*)
+    embeddings.select(col("vec_id"), posexplode(slices).as(Seq("sub", "subvec")))
+  }
+
+  /** (sub, cell, centroid ARRAY<DOUBLE>) — one k-codebook per subspace,
+    * all m subspaces trained in the SAME Lloyd passes (keyed by sub), so
+    * the iteration count, not m, bounds the number of jobs. Deterministic:
+    * init from the first k vectors by vec_id, L2 assignment with
+    * ties → lowest cell, per-(sub, cell, dim) mean update. Lineage is
+    * truncated per iteration by collecting the m·k·(dim/m) centroid doubles
+    * — the codebook, never the corpus.
+    */
+  def pqCodebooks(
+      spark: SparkSession,
+      embeddings: DataFrame, // (vec_id LONG, embedding ARRAY<FLOAT>)
+      m: Int,
+      k: Int,
+      dim: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val sv = subvectors(embeddings, m, dim)
+    val initIds = embeddings.select("vec_id").orderBy("vec_id").limit(k)
+      .as[Long].collect()
+    var books = sv
+      .filter(col("vec_id").isin(initIds: _*))
+      .select(col("sub"),
+        (row_number().over(Window.partitionBy("sub").orderBy("vec_id")) - 1)
+          .as("cell"),
+        col("subvec").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignPq(sv, books)
+      val updated = assigned
+        .select(col("sub"), col("cell"), posexplode(col("subvec")).as(Seq("dim", "v")))
+        .groupBy("sub", "cell", "dim")
+        .agg(avg(col("v")).as("c"))
+        .groupBy("sub", "cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
+        .select(col("sub"), col("cell"),
+          expr("transform(entries, e -> e.c)").as("centroid"))
+      val updatedMap = updated.as[(Int, Int, Seq[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val prevMap = books.as[(Int, Int, Seq[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // an empty cell keeps its previous centroid — k must not shrink
+      val rows = for (s <- 0 until m; c <- 0 until k)
+        yield (s, c, updatedMap.getOrElse((s, c), prevMap((s, c))))
+      books = rows.toDF("sub", "cell", "centroid")
+    }
+    books
+  }
+
+  /** Nearest codebook entry per (vec_id, sub) under L2; ties → lowest cell.
+    * Same partial+final max_by shape as [[assignCells]]. */
+  def assignPq(sv: DataFrame, books: DataFrame): DataFrame =
+    sv.join(broadcast(books), "sub")
+      .withColumn("d2", aggregate(
+        zip_with(col("subvec"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v))
+      .groupBy("vec_id", "sub")
+      .agg(
+        min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+        first(col("subvec")).as("subvec"))
+
+  /** (vec_id, sub, code): the compressed corpus — m small ints per vector. */
+  def pqEncode(embeddings: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
+    assignPq(subvectors(embeddings, m, dim), books)
+      .select(col("vec_id"), col("sub"), col("cell").as("code"))
 }

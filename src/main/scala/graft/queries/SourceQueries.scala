@@ -22,11 +22,17 @@ object SourceQueries {
     val out = s"/tmp/graft_src/${fmt}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val src = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
     val w = src.coalesce(4).write.mode("overwrite")
-    (if (fmt == "csv") w.option("header", "true").csv(out) else w.json(out))
+    fmt match {
+      case "csv" => w.option("header", "true").csv(out)
+      case "orc" => w.orc(out)
+      case _     => w.json(out)
+    }
     val schema = "event_id LONG, event_type STRING, value DOUBLE"
-    val back =
-      if (fmt == "csv") s.read.schema(schema).option("header", "true").csv(out)
-      else s.read.schema(schema).json(out)
+    val back = fmt match {
+      case "csv" => s.read.schema(schema).option("header", "true").csv(out)
+      case "orc" => s.read.schema(schema).orc(out)
+      case _     => s.read.schema(schema).json(out)
+    }
     back
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("total"),
@@ -43,6 +49,9 @@ object SourceQueries {
   val qs: Seq[GQuery] = Seq(
     GQuery("q_src_jsonl", (s, dir) => roundTrip(s, dir, "json"), Some(roundTripOracle)),
     GQuery("q_src_csv", (s, dir) => roundTrip(s, dir, "csv"), Some(roundTripOracle)),
+    // columnar binary format with its own encoder stack (dictionary, RLE,
+    // zlib) — the third on-disk representation the engine round-trips
+    GQuery("q_src_orc", (s, dir) => roundTrip(s, dir, "orc"), Some(roundTripOracle)),
 
     GQuery(
       "q_sync_diff",
@@ -94,5 +103,25 @@ object SourceQueries {
              CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
              (['jpeg','png','webp'])[octet_length(encode(text)) % 3 + 1] AS format,
              CAST(least(octet_length(encode(text)) % 10, 5) + 1 AS INT) AS n_frames
-             FROM documents ORDER BY doc_id""")))
+             FROM documents ORDER BY doc_id""")),
+
+    GQuery(
+      "q_mm_frames",
+      (s, dir) => {
+        // Frame sampling through the per-partition decode path: one row per
+        // sampled frame (stride 2), exploded executor-side — the video
+        // analog of tokenize-then-explode. With a real codec the flatMap
+        // emits frame tensors; the row shape, ordering contract, and
+        // narrow-until-sort plan are what this query pins down.
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        Multimodal.decodeMeta(Tables.documents(s, dir))
+          .flatMap(m => Multimodal.sampleFrames(m, 2).map(f => (m.doc_id, f)))
+          .toDF("doc_id", "frame")
+          .orderBy("doc_id", "frame")
+      },
+      Some("""SELECT doc_id,
+             CAST(unnest(range(0, least(octet_length(encode(text)) % 10, 5) + 1, 2)) AS INT)
+               AS frame
+             FROM documents ORDER BY doc_id, frame""")))
 }

@@ -407,6 +407,68 @@ object TextQueries {
               FROM documents ORDER BY doc_id""")),
 
     GQuery(
+      "q_text_pii",
+      (s, dir) => {
+        // PII detection + redaction — the scrubbing stage every training-
+        // data pipeline runs before release. The corpus is synthetic word
+        // soup, so deterministic PII (an email, an IP, every third doc a
+        // phone) is spliced in from doc_id identically on both engines; the
+        // regexes then count and redact it. Patterns are deliberately in the
+        // Java-regex ∩ RE2 common subset (\b, \d, classes, bounded repeats)
+        // so Spark and DuckDB scan them identically; the md5 of the redacted
+        // text proves byte-identical redaction, not just equal counts.
+        // Embarrassingly parallel — one narrow projection until the sort.
+        val aug = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" tel 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(aug, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>")
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            regexp_count(aug, lit(emailRe)).as("n_email"),
+            regexp_count(aug, lit(ipRe)).as("n_ip"),
+            regexp_count(aug, lit(phoneRe)).as("n_phone"),
+            md5(redacted).as("red_hash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        s"""WITH a AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS aug
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(aug, '$emailRe')) AS n_email,
+              len(regexp_extract_all(aug, '$ipRe')) AS n_ip,
+              len(regexp_extract_all(aug, '$phoneRe')) AS n_phone,
+              md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                '$emailRe', '<EMAIL>', 'g'),
+                '$phoneRe', '<PHONE>', 'g'),
+                '$ipRe', '<IP>', 'g')) AS red_hash
+            FROM a ORDER BY doc_id"""
+      }),
+
+    GQuery(
       "q_mm_meta",
       (s, dir) => {
         // Multimodal plumbing: an opaque binary column + typed metadata

@@ -209,6 +209,68 @@ object VectorQueries {
       None),
 
     GQuery(
+      "q_sim_topk_pq",
+      (s, dir) => {
+        // Product-quantization ANN (VectorIndex.pqCodebooks), the standard
+        // two-stage shape: (1) ADC SHORTLIST — the corpus is compressed to
+        // m=8 codes per unit-normalized vector and scanned in the
+        // compressed domain: per query one m·k lookup table of subspace
+        // dots (q×m×k = 1280 rows, broadcast), a vector's estimated cosine
+        // is the sum of its m table hits, and the top R=40 estimates
+        // survive; (2) EXACT RE-RANK — full-vector cosine touches only the
+        // R shortlisted rows per query. At 100 TB stage 1 reads m bytes per
+        // vector instead of 4·dim and stage 2 fetches R·q vectors — the
+        // compressed scan does the winnowing, exact math never sees the
+        // corpus. ADC alone cannot rank this corpus's near-uniform cosine
+        // margins (recall@5 ≈ 0.24); with the re-rank the list is exact
+        // wherever the shortlist covers the true neighbors (recall floor
+        // asserted in QualityChecksSpec). Rows-only: float k-means + PQ
+        // distortion admit no SQL oracle.
+        import graft.functions.VectorIndex
+        val m = 8; val dim = 64; val kcb = 16; val shortlist = 40
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val unit = e.withColumn("n", l2Norm(col("embedding")))
+          .select(col("vec_id"),
+            when(col("n") === 0, col("embedding").cast("array<double>"))
+              .otherwise(transform(col("embedding"),
+                x => x.cast("double") / col("n"))).as("embedding"))
+        val books = VectorIndex.pqCodebooks(s, unit, m, kcb, dim, iters = 2)
+        val codes = VectorIndex.pqEncode(unit, books, m, dim)
+        val lut = VectorIndex.subvectors(unit.filter(col("vec_id") < 10), m, dim)
+          .withColumnRenamed("vec_id", "q_id")
+          .join(broadcast(books), "sub")
+          .select(col("q_id"), col("sub"), col("cell"),
+            aggregate(zip_with(col("subvec"), col("centroid"), (x, y) => x * y),
+              lit(0.0d), (acc, v) => acc + v).as("pdot"))
+        val wAdc = Window.partitionBy("q_id")
+          .orderBy(col("est_cos").desc, col("vec_id").asc)
+        val short = codes.join(broadcast(lut),
+            codes("sub") === lut("sub") && codes("code") === lut("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("pdot")).as("est_cos"))
+          .withColumn("adc_rnk", row_number().over(wAdc))
+          .filter(col("adc_rnk") <= shortlist)
+          .select("q_id", "vec_id")
+        val withNorm = e.withColumn("nrm", l2Norm(col("embedding")))
+        val q = broadcast(withNorm.filter(col("vec_id") < 10).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_n")))
+        val wExact = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        short
+          .join(withNorm, "vec_id")
+          .join(q, "q_id")
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .withColumn("rnk", row_number().over(wExact))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      None),
+
+    GQuery(
       "q_emb_quant",
       (s, dir) => {
         // Int8 scalar quantization — vector-store prep: per-vector scale =

@@ -133,5 +133,32 @@ object WindowQueries {
                       row_number() OVER (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                FROM orders)
+             WHERE rn <= 3 ORDER BY o_custkey, price DESC, o_orderkey""")),
+
+    GQuery(
+      "q_win_topk_rule",
+      (s, dir) => {
+        // The user writes the ordinary window idiom (row_number <= k, rank
+        // dropped); the graft.plans.TopKRewrite optimizer rule replaces the
+        // whole Window with the two-phase TopKPerKey operator — same answer
+        // (this oracle proves it through the hash gate), but the shuffle
+        // carries k rows per (key, map partition) instead of the table, and
+        // no per-key sort or rank projection ever runs. Plan shape asserted
+        // in TopKRewriteSpec.
+        graft.plans.TopKRewrite.ensure(s)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            r4(col("o_totalprice")).as("price"))
+          .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, price FROM (
+               SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders)
              WHERE rn <= 3 ORDER BY o_custkey, price DESC, o_orderkey""")))
 }

@@ -46,4 +46,12 @@ class QualityChecksSpec extends SparkSpec {
     info(f"IVF recall@3 = $recall%.3f (${(exact & ivf).size}/${exact.size})")
     assert(recall >= 0.7, f"IVF recall $recall%.3f below 0.7")
   }
+
+  test("q_sim_topk_pq: compressed-domain ADC recalls >= 60% of the exact top-5") {
+    val exact = pairs("q_sim_topk", 5)
+    val pq = pairs("q_sim_topk_pq", 5)
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ recall@5 = $recall%.3f (${(exact & pq).size}/${exact.size})")
+    assert(recall >= 0.6, f"PQ recall $recall%.3f below 0.6")
+  }
 }
