@@ -20,7 +20,12 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q_a,q_b limits the run (local iteration on a hot
+    // spot); the driver never sets it, so recorded rounds are always full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_(name)) }
     // Warmup: run the whole catalog once at the smallest sf before timing.
     // Generated code is data-independent, so this compiles every query's
     // codegen units (Janino), loads the classes, and JITs the hot paths for
@@ -69,7 +74,9 @@ object Bench {
     // interference). Fewer passes than the queries because one run is ~4 s
     // of sustained load, long enough to average over a noise window.
     val pipelineIterations = 2
-    val ups = (1 to pipelineIterations).map(_ => pipelineThroughput(spark)).max
+    // subset runs are query-iteration loops — skip the pipeline metric
+    val ups = if (only.isDefined) -1.0
+      else (1 to pipelineIterations).map(_ => pipelineThroughput(spark)).max
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +

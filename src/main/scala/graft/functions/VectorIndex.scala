@@ -96,30 +96,37 @@ object VectorIndex {
     * all m subspaces trained in the SAME Lloyd passes (keyed by sub), so
     * the iteration count, not m, bounds the number of jobs. Deterministic:
     * init from the first k vectors by vec_id, L2 assignment with
-    * ties → lowest cell, per-(sub, cell, dim) mean update. Lineage is
-    * truncated per iteration by collecting the m·k·(dim/m) centroid doubles
-    * — the codebook, never the corpus.
+    * ties → lowest cell, per-(sub, cell, dim) mean update.
+    *
+    * `sv` is the subvector frame from [[subvectors]] — the caller should
+    * `localCheckpoint()` it ONCE and reuse it for [[pqEncode]]: training
+    * consumes it every Lloyd pass, and unmaterialized each pass would
+    * re-run the scan+normalize+explode subtree (the q_dedup_jaccard
+    * lesson). The codebook itself (m·k·(dim/m) doubles) lives driver-side
+    * between iterations — one distributed job per pass, nothing
+    * corpus-sized ever collected.
     */
   def pqCodebooks(
       spark: SparkSession,
-      embeddings: DataFrame, // (vec_id LONG, embedding ARRAY<FLOAT>)
+      sv: DataFrame, // (vec_id, sub, subvec) from subvectors()
       m: Int,
       k: Int,
-      dim: Int,
       iters: Int): DataFrame = {
     import spark.implicits._
-    val sv = subvectors(embeddings, m, dim)
-    val initIds = embeddings.select("vec_id").orderBy("vec_id").limit(k)
-      .as[Long].collect()
-    var books = sv
-      .filter(col("vec_id").isin(initIds: _*))
-      .select(col("sub"),
-        (row_number().over(Window.partitionBy("sub").orderBy("vec_id")) - 1)
-          .as("cell"),
-        col("subvec").as("centroid"))
+    // init: the first k vectors by vec_id = the first m·k (vec_id, sub) rows
+    val first = sv.orderBy("vec_id", "sub").limit(m * k)
+      .select(col("sub"), col("vec_id"), col("subvec"))
+      .as[(Int, Long, Seq[Double])].collect()
+    var books: Map[(Int, Int), Seq[Double]] = first.groupBy(_._1).toSeq.flatMap {
+      case (sub, rows) =>
+        rows.sortBy(_._2).zipWithIndex.toSeq.map { case ((_, _, v), cell) =>
+          (sub, cell) -> v
+        }
+    }.toMap
+    def toDf(b: Map[(Int, Int), Seq[Double]]): DataFrame =
+      b.toSeq.map { case ((s, c), v) => (s, c, v) }.toDF("sub", "cell", "centroid")
     (0 until iters).foreach { _ =>
-      val assigned = assignPq(sv, books)
-      val updated = assigned
+      val updated = assignPq(sv, toDf(books))
         .select(col("sub"), col("cell"), posexplode(col("subvec")).as(Seq("dim", "v")))
         .groupBy("sub", "cell", "dim")
         .agg(avg(col("v")).as("c"))
@@ -127,16 +134,12 @@ object VectorIndex {
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
         .select(col("sub"), col("cell"),
           expr("transform(entries, e -> e.c)").as("centroid"))
-      val updatedMap = updated.as[(Int, Int, Seq[Double])].collect()
-        .map(r => (r._1, r._2) -> r._3).toMap
-      val prevMap = books.as[(Int, Int, Seq[Double])].collect()
+        .as[(Int, Int, Seq[Double])].collect()
         .map(r => (r._1, r._2) -> r._3).toMap
       // an empty cell keeps its previous centroid — k must not shrink
-      val rows = for (s <- 0 until m; c <- 0 until k)
-        yield (s, c, updatedMap.getOrElse((s, c), prevMap((s, c))))
-      books = rows.toDF("sub", "cell", "centroid")
+      books = books.map { case (key, prev) => key -> updated.getOrElse(key, prev) }
     }
-    books
+    toDf(books)
   }
 
   /** Nearest codebook entry per (vec_id, sub) under L2; ties → lowest cell.
@@ -151,8 +154,9 @@ object VectorIndex {
         min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
         first(col("subvec")).as("subvec"))
 
-  /** (vec_id, sub, code): the compressed corpus — m small ints per vector. */
-  def pqEncode(embeddings: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
-    assignPq(subvectors(embeddings, m, dim), books)
+  /** (vec_id, sub, code): the compressed corpus — m small ints per vector.
+    * Takes the same (ideally checkpointed) subvector frame as training. */
+  def pqEncode(sv: DataFrame, books: DataFrame): DataFrame =
+    assignPq(sv, books)
       .select(col("vec_id"), col("sub"), col("cell").as("code"))
 }

@@ -234,9 +234,15 @@ object VectorQueries {
             when(col("n") === 0, col("embedding").cast("array<double>"))
               .otherwise(transform(col("embedding"),
                 x => x.cast("double") / col("n"))).as("embedding"))
-        val books = VectorIndex.pqCodebooks(s, unit, m, kcb, dim, iters = 2)
-        val codes = VectorIndex.pqEncode(unit, books, m, dim)
-        val lut = VectorIndex.subvectors(unit.filter(col("vec_id") < 10), m, dim)
+        // one materialized subvector frame feeds training (every Lloyd
+        // pass), encoding, AND the query LUT — spread across cores first
+        // (single parquet split otherwise; the q_dedup_jaccard lesson)
+        val sv = VectorIndex.subvectors(
+            unit.repartition(s.sparkContext.defaultParallelism), m, dim)
+          .localCheckpoint()
+        val books = VectorIndex.pqCodebooks(s, sv, m, kcb, iters = 2)
+        val codes = VectorIndex.pqEncode(sv, books)
+        val lut = sv.filter(col("vec_id") < 10)
           .withColumnRenamed("vec_id", "q_id")
           .join(broadcast(books), "sub")
           .select(col("q_id"), col("sub"), col("cell"),
@@ -244,8 +250,11 @@ object VectorQueries {
               lit(0.0d), (acc, v) => acc + v).as("pdot"))
         val wAdc = Window.partitionBy("q_id")
           .orderBy(col("est_cos").desc, col("vec_id").asc)
-        val short = codes.join(broadcast(lut),
-            codes("sub") === lut("sub") && codes("code") === lut("cell"))
+        // codes and lut now share the checkpointed sv lineage — qualify the
+        // join through aliases or `sub === sub` resolves to one attribute
+        // (a trivially-true predicate, i.e. a silent cross join on sub)
+        val short = codes.as("c").join(broadcast(lut.as("l")),
+            col("c.sub") === col("l.sub") && col("c.code") === col("l.cell"))
           .filter(col("q_id") =!= col("vec_id"))
           .groupBy("q_id", "vec_id")
           .agg(sum(col("pdot")).as("est_cos"))
