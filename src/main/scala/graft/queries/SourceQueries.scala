@@ -123,5 +123,34 @@ object SourceQueries {
       Some("""SELECT doc_id,
              CAST(unnest(range(0, least(octet_length(encode(text)) % 10, 5) + 1, 2)) AS INT)
                AS frame
-             FROM documents ORDER BY doc_id, frame""")))
+             FROM documents ORDER BY doc_id, frame""")),
+
+    GQuery(
+      "q_mm_resize",
+      (s, dir) => {
+        // Resize planning for the decoded media: fit every image into a
+        // 224×224 box preserving aspect ratio — the tensor-prep step before
+        // a vision encoder. All-integer arithmetic ((dim·224) DIV longest
+        // side) so both engines land on identical pixels; with a real codec
+        // the same projection drives the scaler, here it drives the
+        // contract. Narrow until the output sort, like every per-doc stage.
+        val bin = encode(col("text"), "UTF-8")
+        val nBytes = length(bin)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            (lit(320) + pmod(nBytes, lit(320))).as("w"),
+            (lit(240) + pmod(nBytes, lit(240))).as("h"))
+          .select(col("doc_id"), col("w"), col("h"),
+            expr("(w * 224) DIV greatest(w, h)").cast("int").as("out_w"),
+            expr("(h * 224) DIV greatest(w, h)").cast("int").as("out_h"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+               320 + octet_length(encode(text)) % 320 AS w,
+               240 + octet_length(encode(text)) % 240 AS h
+             FROM documents)
+             SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+               CAST((w * 224) // greatest(w, h) AS INT) AS out_w,
+               CAST((h * 224) // greatest(w, h) AS INT) AS out_h
+             FROM d ORDER BY doc_id""")))
 }
