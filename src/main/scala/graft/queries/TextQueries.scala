@@ -177,6 +177,60 @@ object TextQueries {
       }),
 
     GQuery(
+      "q_dedup_simhash_pairs",
+      (s, dir) => {
+        // Near-dup pairs BY the simhash (q_dedup_simhash computes it; this
+        // query uses it): all (a, b) with Hamming(sh_a, sh_b) <= 3 over a
+        // 32-bit signature. Blocking is the pigeonhole band trick — split
+        // the signature into 4 byte-bands; <= 3 differing bits can touch at
+        // most 3 bands, so every qualifying pair collides in at least one
+        // band EXACTLY (zero false negatives, unlike probabilistic MinHash
+        // banding). The self-join runs per (band, byte) bucket — at 100 TB
+        // candidates are bounded by bucket sizes, never corpus²; the
+        // DuckDB oracle is the NAIVE all-pairs form, so the hash gate
+        // proves the banded plan equals the quadratic semantics it avoids.
+        // Signatures are 32 md5-derived bit columns — materialized once
+        // (localCheckpoint) for the two band sides + two verify joins.
+        val sigs = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), simhash(tokens(col("text")), 32).as("sh"))
+          .localCheckpoint()
+        val bands = sigs.select(col("doc_id"), posexplode(
+          array((0 until 4).map(i =>
+            shiftright(col("sh"), i * 8).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "bv")))
+        val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+          .join(bands.select(col("doc_id").as("b_id"), col("band").as("b_band"),
+            col("bv").as("b_bv")),
+            col("band") === col("b_band") && col("bv") === col("b_bv") &&
+              col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
+          .distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+          .withColumn("hd", hammingDistance(col("a_sh"), col("b_sh")))
+          .filter(col("hd") <= 3)
+          .select(col("a_id"), col("b_id"), col("hd").cast("int").as("hamming"))
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val bit = (i: Int) =>
+          s"""CASE WHEN list_sum(list_transform($duckToks, t ->
+             (((strpos('0123456789abcdef', substring(md5(t), ${i / 4 + 1}, 1)) - 1)
+               >> ${i % 4}) & 1) * 2 - 1)) >= 0
+             THEN ${1L << i} ELSE 0 END"""
+        s"""WITH s AS (SELECT doc_id,
+              CAST(${(0 until 32).map(bit).mkString(" + ")} AS BIGINT) AS sh
+            FROM documents)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY a_id, b_id"""
+      }),
+
+    GQuery(
       "q_dedup_jaccard",
       (s, dir) => {
         // Unigram-set Jaccard over a deterministic sample; candidate pairs
