@@ -18,6 +18,11 @@ import java.nio.charset.StandardCharsets
   * The trigger funnels through [[ResyncScheduler.triggerNow]], so API-driven
   * and cadence-driven resyncs serialize on the same runner and can never
   * overlap (the reference serializes identically).
+  *
+  * Also serves the liveness/readiness pings the reference registers on its
+  * controller-runtime manager (cmd/main.go:184-188, healthz.Ping): GET
+  * /healthz and GET /readyz → 200 "ok". Probes must never block behind a
+  * running resync, so they bypass the scheduler entirely.
   */
 final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
     extends AutoCloseable {
@@ -26,6 +31,8 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
     val addr = ApiServer.parseBind(bindAddress)
     val s = HttpServer.create(addr, 0)
     s.createContext("/api/v1/resync", (ex: HttpExchange) => handleResync(ex))
+    s.createContext("/healthz", (ex: HttpExchange) => handlePing(ex))
+    s.createContext("/readyz", (ex: HttpExchange) => handlePing(ex))
     s.setExecutor(null) // single dispatch thread; handlers serialize anyway
     s
   }
@@ -49,6 +56,12 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
             s"""{"status":"error","resources":0,"message":"resync failed: ${
               e.getMessage.replace("\"", "'")}"}""")
         }
+    } finally ex.close()
+
+  private def handlePing(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") respond(ex, 405, "method not allowed")
+      else respond(ex, 200, "ok")
     } finally ex.close()
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {

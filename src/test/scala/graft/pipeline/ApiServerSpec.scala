@@ -10,8 +10,9 @@ import scala.io.Source
   */
 class ApiServerSpec extends AnyFunSuite {
 
-  private def call(port: Int, method: String): (Int, String) = {
-    val conn = new URI(s"http://127.0.0.1:$port/api/v1/resync").toURL
+  private def call(port: Int, method: String,
+      path: String = "/api/v1/resync"): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     if (method == "POST") { conn.setDoOutput(true); conn.getOutputStream.close() }
@@ -58,6 +59,21 @@ class ApiServerSpec extends AnyFunSuite {
       assert(code == 500)
       assert(body.startsWith("""{"status":"error","resources":0,"message":"resync failed:"""))
       assert(!body.contains("\"down\"")) // quotes sanitized, JSON stays valid
+    } finally { api.close(); sched.close() }
+  }
+
+  test("GET /healthz and /readyz ping 200 without touching the scheduler") {
+    val runs = new java.util.concurrent.atomic.AtomicLong(0)
+    val sched = new ResyncScheduler(intervalMs = 3600000,
+      doResync = () => { runs.incrementAndGet(); 1L })
+    val api = new ApiServer(":0", sched).start()
+    try {
+      for (p <- Seq("/healthz", "/readyz")) {
+        val (code, body) = call(api.port, "GET", p)
+        assert(code == 200 && body == "ok", p)
+        assert(call(api.port, "POST", p)._1 == 405, p)
+      }
+      assert(runs.get() == 0)
     } finally { api.close(); sched.close() }
   }
 
