@@ -175,6 +175,58 @@ object CorpusQueries {
             FROM d ORDER BY doc_id""")),
 
     GQuery(
+      "q_corpus_budget",
+      (s, dir) => {
+        // Data mixing under a token budget: per lang, admit docs best-
+        // quality-first until 2000 tokens are claimed (a doc is in iff the
+        // tokens BEFORE it under the quality ranking are inside the
+        // budget — the standard greedy knapsack every mixture recipe
+        // uses). Ranking key is the INTEGER micro-quality q4 plus doc_id,
+        // never the raw double (the tie/rounding lesson from
+        // q_text_tfidf): both engines order identically or the admitted
+        // set itself would drift. One window cumsum per lang — a single
+        // shuffle on the mixture key, executor-sized partitions at 100 TB.
+        val w = Window.partitionBy("lang")
+          .orderBy(col("q4").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).as("n_tokens"),
+            round(qualityFromStats(tokenStats(col("text"))) * 1e4)
+              .cast("long").as("q4"))
+          .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .filter(col("before") < 2000)
+          .select(col("lang"), col("doc_id"), col("q4"),
+            (col("before") + col("n_tokens")).as("cum_tokens"))
+          .orderBy("lang", "doc_id")
+      },
+      Some {
+        val all = TextFunctions.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH d AS (SELECT doc_id, lang, text,
+                ${TextQueries.duckToks} AS toks FROM documents),
+              q AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+                CAST(round(greatest(0.0,
+                  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+                  least(CAST(len(list_filter(toks, t -> t IN ($all))) AS DOUBLE)
+                    / len(toks) * 5.0, 1.0) * 0.5 -
+                  coalesce(CAST(length(text) - length(regexp_replace(text,
+                    '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                    / nullif(length(text), 0), 0.0)
+                ) * 10000) AS BIGINT) AS q4
+              FROM d),
+              r AS (SELECT lang, doc_id, q4, n_tokens,
+                coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY q4 DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS before
+              FROM q)
+            SELECT lang, doc_id, q4,
+              CAST(before + n_tokens AS BIGINT) AS cum_tokens
+            FROM r WHERE before < 2000 ORDER BY lang, doc_id"""
+      }),
+
+    GQuery(
       "q_corpus_final",
       (s, dir) => {
         // The capstone: build the training set. Near-dup clusters from the
