@@ -312,6 +312,43 @@ object VectorQueries {
             ORDER BY vec_id, dim""")),
 
     GQuery(
+      "q_emb_project",
+      (s, dir) => {
+        // Signed random projection 64 → 8 dims (Achlioptas ±1 planes —
+        // the cheap Johnson-Lindenstrauss instance): the dimensionality-
+        // reduction step before sketching/clustering when full embeddings
+        // are too wide to shuffle. Planes are the deterministic ±1
+        // lshPlane family, computed once on the driver and shipped as
+        // literals into BOTH engines — the projection is 8 dot products
+        // per row, embarrassingly parallel, no shuffle before the output
+        // sort. ±1 components keep the per-element products exact in
+        // float and double, so only the summation order is engine-
+        // sensitive — handled by the usual r4 contract.
+        val planes = (0 until 8).map(j => lshPlane(5000 + j, 64))
+        val projs = planes.map { p =>
+          aggregate(
+            zip_with(col("embedding"), typedLit(p), (x, w) => x.cast("double") * w),
+            lit(0.0d), (acc, v) => acc + v)
+        }
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(array(projs: _*)).as(Seq("pdim", "y")))
+          .select(col("vec_id"), col("pdim"), r4(col("y")).as("y"))
+          .orderBy("vec_id", "pdim")
+      },
+      Some {
+        val planes = (0 until 8).map(j =>
+          graft.functions.VectorFunctions.lshPlane(5000 + j, 64))
+        val branches = planes.zipWithIndex.map { case (p, j) =>
+          val lst = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"""SELECT vec_id, $j AS pdim,
+             round(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])), 4) AS y
+             FROM embeddings"""
+        }
+        branches.mkString("", " UNION ALL ", " ORDER BY vec_id, pdim")
+      }),
+
+    GQuery(
       "q_emb_centroid",
       (s, dir) => {
         // Per-label centroid, emitted as (label, dim, value) rows — the
