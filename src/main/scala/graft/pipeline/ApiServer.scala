@@ -33,6 +33,7 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
     s.createContext("/api/v1/resync", (ex: HttpExchange) => handleResync(ex))
     s.createContext("/healthz", (ex: HttpExchange) => handlePing(ex))
     s.createContext("/readyz", (ex: HttpExchange) => handlePing(ex))
+    s.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
     s.setExecutor(null) // single dispatch thread; handlers serialize anyway
     s
   }
@@ -56,6 +57,15 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
             s"""{"status":"error","resources":0,"message":"resync failed: ${
               e.getMessage.replace("\"", "'")}"}""")
         }
+    } finally ex.close()
+
+  /** Prometheus scrape endpoint (metrics-bind-address analog,
+    * cmd/main.go:59-95): this JVM's [[Metrics.global]] counters.
+    */
+  private def handleMetrics(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") respond(ex, 405, "method not allowed")
+      else respond(ex, 200, Metrics.global.exposition)
     } finally ex.close()
 
   private def handlePing(ex: HttpExchange): Unit =

@@ -143,6 +143,8 @@ object Payloads {
   /** Instance-pipeline payloads from a micro-batch of actions. */
   def fromActions(actions: Seq[SyncAction], maxBatch: Int = 50): Seq[String] = {
     val (dels, ups) = actions.partition(_.action == SyncAction.Delete)
+    Metrics.global.inc("graft_upserts_total", ups.size.toLong)
+    Metrics.global.inc("graft_deletes_total", dels.size.toLong)
     build(dels.map(d => jstr(d.id)), ups.flatMap(_.instance).map(instanceJson), maxBatch)
   }
 
@@ -157,10 +159,14 @@ object Payloads {
     payloads.foreach { p =>
       sink.send(p) match {
         case sink.Exhausted(status) =>
+          Metrics.global.inc("graft_payload_failures_total")
           throw new java.io.IOException(
             s"payload delivery failed after retries (last status $status)")
         case sink.ClientError(status) =>
+          Metrics.global.inc("graft_payloads_dropped_total")
           System.err.println(s"[sink] dropping payload rejected with $status")
+        case sink.Delivered =>
+          Metrics.global.inc("graft_payloads_delivered_total")
         case _ => ()
       }
     }

@@ -37,6 +37,8 @@ final class ResyncScheduler(
     val n = doResync()
     synced.addAndGet(n)
     completed.incrementAndGet()
+    Metrics.global.inc("graft_resyncs_total")
+    Metrics.global.inc("graft_resync_resources_total", n)
     n
   }
 
