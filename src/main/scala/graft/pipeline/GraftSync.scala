@@ -96,6 +96,15 @@ object GraftSync {
     Running(instanceQuery, crdQuery, scheduler, api)
   }
 
+  /** zap-style level names (config.go:55) → log4j. */
+  private[pipeline] def log4jLevel(level: String): String =
+    level.toUpperCase match {
+      case "DEBUG" => "DEBUG"
+      case "WARN" | "WARNING" => "WARN"
+      case "ERROR" => "ERROR"
+      case _ => "INFO"
+    }
+
   def main(args: Array[String]): Unit = {
     val cfg = SyncPipeline.Config.fromEnv()
     val watchDir = args.headOption
@@ -107,6 +116,10 @@ object GraftSync {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
+    // LOG_LEVEL (config.go:55, the reference's zap level) → log4j level.
+    // Applied by the production entrypoint only: wire() leaves the caller's
+    // session logging alone (tests share a quiet session).
+    spark.sparkContext.setLogLevel(GraftSync.log4jLevel(cfg.logLevel))
     val running = wire(spark, cfg, watchDir)
     sys.addShutdownHook(running.close())
     running.instances.awaitTermination()

@@ -22,6 +22,15 @@ class GraftSyncSpec extends SparkSpec {
     r.getOrElse(fail(s"condition not met within ${timeoutMs}ms"))
   }
 
+  test("LOG_LEVEL names map onto log4j levels, unknowns default to INFO") {
+    assert(GraftSync.log4jLevel("debug") == "DEBUG")
+    assert(GraftSync.log4jLevel("warn") == "WARN")
+    assert(GraftSync.log4jLevel("warning") == "WARN")
+    assert(GraftSync.log4jLevel("error") == "ERROR")
+    assert(GraftSync.log4jLevel("info") == "INFO")
+    assert(GraftSync.log4jLevel("weird") == "INFO")
+  }
+
   test("full wiring: instances sync, CRDs route to capabilities, API resync replays") {
     val dir = Files.createTempDirectory("graft_e2e").toString
     val iGot = new java.util.concurrent.ConcurrentLinkedQueue[String]()
