@@ -44,6 +44,35 @@ object WindowQueries {
              ORDER BY o_custkey, o_orderkey""")),
 
     GQuery(
+      "q_win_dist",
+      (s, dir) => {
+        // Distribution + positional window functions: percent_rank /
+        // cume_dist (relative standing inside the key group — the
+        // percentile machinery quality-threshold filters use) and
+        // first_value / nth_value over the default running frame. Total
+        // ordering (price, then key) keeps frame contents identical across
+        // engines; ratios take the r4 contract.
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            r4(percent_rank().over(w)).as("prk"),
+            r4(cume_dist().over(w)).as("cd"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             round(percent_rank() OVER w, 4) AS prk,
+             round(cume_dist() OVER w, 4) AS cd,
+             first_value(o_orderkey) OVER w AS first_ok,
+             nth_value(o_orderkey, 2) OVER w AS second_ok
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+             ORDER BY o_custkey, o_orderkey""")),
+
+    GQuery(
       "q_win_lag",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
