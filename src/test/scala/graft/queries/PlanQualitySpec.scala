@@ -54,4 +54,29 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_agg_pricing")
     assert(p.contains("partial_"), p) // HashAggregate(..., functions=[partial_sum...])
   }
+
+  test("the banded pair queries never plan a cartesian product") {
+    // the whole point of banding: bucket-bounded equi-joins, not corpus²
+    for (q <- Seq("q_dedup_simhash_pairs", "q_dedup_minhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_sim_topk_pq joins the compressed corpus against broadcast artifacts") {
+    val p = plan("q_sim_topk_pq")
+    assert(p.contains("BroadcastHashJoin"), p) // LUT + codebooks broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_pii and q_emb_project stay single-scan and narrow") {
+    for (q <- Seq("q_text_pii", "q_emb_project")) {
+      val p = plan(q)
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q reads $scans scans:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q should be join-free:\n$p")
+    }
+  }
 }
