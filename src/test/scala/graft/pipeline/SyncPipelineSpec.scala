@@ -189,6 +189,42 @@ class SyncPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("executor-side sink: a failed flush epoch replays after restart, no loss") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("exf_src").toString
+    val ckpt = Files.createTempDirectory("exf_ckpt").toString
+    ExecutorFlakySink.reset()
+    // post resolves through the companion object (executor tasks share it
+    // by classloader); while unhealthy EVERY post 503s, so retries exhaust,
+    // deliver throws in the task, and the flush epoch fails the query —
+    // offsets and state for that batch never commit
+    val sink = new RestSink(post = p => ExecutorFlakySink.post(p),
+      sleep = _ => (), jitter = () => 1.0)
+    def start() = SyncPipeline.start(
+      SyncPipeline.fileSource(spark, srcDir), sink,
+      SyncPipeline.Config(debounceMs = 200, flushIntervalMs = 100, maxBatch = 10,
+        checkpointDir = ckpt, executorSideSink = true, keepAliveTick = true))
+    def evJson(name: String, seq: Int) =
+      s"""{"event_type":"ADD","event_seq":$seq,"ts":"2026-01-01T00:00:00Z","id":"ns/apps/v1/Deployment/$name","namespace":"ns","name":"$name","kind":"Deployment","apiVersion":"apps/v1","apiGroup":"apps","labels":null,"annotations":null,"createdAt":"2026-01-01T00:00:00Z"}"""
+    Files.writeString(Paths.get(srcDir, "a.json"),
+      (1 to 25).map(i => evJson(s"app-$i", i)).mkString("\n"))
+    val q1 = start()
+    try {
+      eventually(timeoutMs = 60000) { q1.exception.map(_ => ()) }
+    } finally q1.stop()
+    assert(ExecutorFlakySink.idCount == 0) // nothing leaked past the 503s
+    ExecutorFlakySink.heal()
+    val q2 = start() // replay from checkpoint (keep-alive drives the flush)
+    try {
+      val n = eventually(timeoutMs = 60000) {
+        val c = ExecutorFlakySink.idCount
+        if (c >= 25) Some(c) else None
+      }
+      assert(n == 25) // every key delivered exactly once after the replay
+    } finally q2.stop()
+  }
+
   test("resync scheduler: cadence fires, ad-hoc trigger funnels through it") {
     val runs = new java.util.concurrent.atomic.AtomicLong(0)
     val sched = new ResyncScheduler(intervalMs = 100, doResync = () => {
@@ -360,4 +396,22 @@ class SyncPipelineSpec extends SparkSpec {
   */
 object ExecutorSinkCollector {
   val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** Flaky transport for the epoch-replay test: 503s everything until healed,
+  * then records deliveries. Same classloader-shared-object pattern as
+  * [[ExecutorSinkCollector]].
+  */
+object ExecutorFlakySink {
+  @volatile private var healthy = false
+  private val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { healthy = false; delivered.clear() }
+  def heal(): Unit = healthy = true
+  def post(p: String): Int =
+    if (healthy) { delivered.add(p); 200 } else 503
+  /** Total instance rows across delivered upsert payloads. */
+  def idCount: Int = {
+    import scala.jdk.CollectionConverters._
+    delivered.asScala.toSeq.map(p => "\"id\":".r.findAllIn(p).size).sum
+  }
 }

@@ -42,6 +42,28 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top.collect().map(_.getLong(1)).sorted.toSeq == Seq(9998L, 9999L))
   }
 
+  test("property: equals the window form on randomized keyed data") {
+    // Deterministic pseudo-random fixture (fixed seed — Bench/Verify-safe
+    // determinism matters only for oracles, this is a unit test): skewed
+    // keys, ties in the sort value (broken by the unique id, as the
+    // contract requires), several k values.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, (rnd.nextInt(40) * rnd.nextInt(3)).toLong, rnd.nextInt(25).toDouble)
+    }
+    val df = rows.toDF("id", "key", "v").repartition(7)
+    for (k <- Seq(1, 2, 5, 17)) {
+      val native = TopKPerKey(df, Seq(col("key")),
+        Seq(col("v").desc, col("id").asc), k)
+        .select("id").as[Long].collect().toSet
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("id").as[Long].collect().toSet
+      assert(native == windowed, s"k=$k: ${native.size} vs ${windowed.size}")
+    }
+  }
+
   test("k larger than any group returns every row") {
     import spark.implicits._
     val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v")
