@@ -74,14 +74,16 @@ object CorpusQueries {
     while (!converged) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "u"), "u")
         .groupBy(col("v").as("id")).agg(min("label").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // carry prev through the checkpoint: the convergence test is then a
+      // filter over already-materialized rows, not a fresh join+shuffle
+      // against the previous round's frame
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr"), col("prev"))).as("label"))
         .localCheckpoint()
-      converged = next.join(
-        labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select("id", "label")
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }

@@ -266,7 +266,10 @@ object TextQueries {
         val t = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
         val dfs = t.groupBy("token").agg(count(lit(1)).as("df"))
         val wDoc = Window.partitionBy("doc_id")
-        val pfx = t.join(dfs, "token")
+        // dfs is vocabulary-sized (one row per distinct token — orders of
+        // magnitude below the corpus even at 100 TB); broadcasting it keeps
+        // the exploded token stream from shuffling on token just to learn df
+        val pfx = t.join(broadcast(dfs), "token")
           .withColumn("pos", row_number().over(wDoc.orderBy("df", "token")))
           .withColumn("sz", count(lit(1)).over(wDoc))
           .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.6) + 1)

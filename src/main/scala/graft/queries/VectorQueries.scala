@@ -160,7 +160,10 @@ object VectorQueries {
           .localCheckpoint()
         val buckets = sigs.select(
           col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-        val cand = buckets.filter(col("vec_id") < 10).toDF("q_id", "tbl", "bucket")
+        // query side = |queries|·L rows by construction — broadcast it so
+        // the corpus bucket stream is probed in place, never shuffled
+        val cand = broadcast(
+            buckets.filter(col("vec_id") < 10).toDF("q_id", "tbl", "bucket"))
           .join(buckets, Seq("tbl", "bucket"))
           .filter(col("q_id") =!= col("vec_id"))
           .select("q_id", "vec_id")
