@@ -278,5 +278,34 @@ object AggQueries {
       Some(s"""SELECT l_returnflag,
               round(${sql.dsum6("l_extendedprice * l_quantity")} /
                     ${sql.dsum("l_quantity")}, 4) AS wavg_price
-              FROM lineitem GROUP BY 1 ORDER BY 1""")))
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
+      "q_agg_unpivot",
+      (s, dir) => {
+        // Wide-to-long reshaping (melt) — q_agg_pivot's inverse, through the
+        // native unpivot operator (Expand under the hood: each input row
+        // fans out to one row per value column in a single narrow pass —
+        // no shuffle beyond the feeding aggregation, no join). The metric
+        // columns share LONG so the melted value column needs no cast.
+        import org.apache.spark.sql.Column
+        val wide = Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"))
+        wide.unpivot(
+            Array[Column](col("lang")),
+            Array[Column](col("n_docs"), col("min_chars"), col("max_chars")),
+            "metric", "value")
+          .orderBy("lang", "metric")
+      },
+      Some("""WITH w AS (SELECT lang, count(*) AS n_docs,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+                FROM documents GROUP BY 1)
+              SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+              UNION ALL SELECT lang, 'min_chars', min_chars FROM w
+              UNION ALL SELECT lang, 'max_chars', max_chars FROM w
+              ORDER BY lang, metric""")))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Canon, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing (tumbling / sliding / session) run in batch mode —
@@ -70,5 +71,85 @@ object StreamBatchQueries {
               SELECT user_id,
                 strftime(make_timestamp(min(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
                 count(*) AS n, round(${sql.dsum("value")}, 4) AS total
-              FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")))
+              FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    GQuery(
+      "q_scd2",
+      (s, dir) => {
+        // SCD Type-2 history build — the full-history dual of the
+        // reference's last-state-wins compaction (debounce.go:127-137 keeps
+        // only the newest state per key; this keeps every state WITH its
+        // validity interval). Change-log compaction first (a row survives
+        // only where the tracked attribute actually changed vs. lag), then
+        // lead() closes each interval and row_number() versions it. Both
+        // windows share one user_id partitioning — a single shuffle, per-key
+        // sorts, no self-join; the standard warehouse dimension-history
+        // shape at any scale.
+        val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+        val e = Tables.events(s, dir).select(
+          col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"))
+        val changes = e
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        changes
+          .select(
+            col("user_id"),
+            row_number().over(w).as("version"),
+            col("event_type"),
+            col("ts_s").as("valid_from"),
+            lead(col("ts_s"), 1).over(w).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+              c AS (SELECT *, lag(event_type) OVER w AS prev_type FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+              ch AS (SELECT user_id, event_type, event_id, ts_s FROM c
+                     WHERE prev_type IS NULL OR prev_type <> event_type)
+              SELECT user_id, row_number() OVER w2 AS version, event_type,
+                ts_s AS valid_from, lead(ts_s) OVER w2 AS valid_to,
+                lead(ts_s) OVER w2 IS NULL AS is_current
+              FROM ch
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+              ORDER BY user_id, version""")),
+
+    GQuery(
+      "q_events_funnel",
+      (s, dir) => {
+        // Funnel conversion: per user, first signup and first purchase AT OR
+        // AFTER that signup (ordered-sequence semantics — an earlier
+        // purchase does not count). Two narrow pre-aggregations shuffle on
+        // user_id; the purchase side joins the (already user-keyed) signup
+        // frame before its own min, so no window over the raw stream and
+        // every stage is partial-agg friendly at 100 TB.
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_s").as("signup_s"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .join(signup, "user_id")
+          .filter(col("ts_s") >= col("signup_s"))
+          .groupBy("user_id").agg(min("ts_s").as("purchase_s"))
+        signup.join(purchase, Seq("user_id"), "left")
+          .select(
+            col("user_id"), col("signup_s"), col("purchase_s"),
+            col("purchase_s").isNotNull.as("converted"),
+            (col("purchase_s") - col("signup_s")).as("lat_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+              s AS (SELECT user_id, min(ts_s) AS signup_s FROM e
+                    WHERE event_type = 'signup' GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts_s) AS purchase_s
+                    FROM e JOIN s ON e.user_id = s.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts_s >= s.signup_s
+                    GROUP BY 1)
+              SELECT s.user_id, s.signup_s, p.purchase_s,
+                p.purchase_s IS NOT NULL AS converted,
+                p.purchase_s - s.signup_s AS lat_s
+              FROM s LEFT JOIN p ON s.user_id = p.user_id
+              ORDER BY s.user_id""")))
 }

@@ -124,6 +124,45 @@ object WindowQueries {
              FROM e ORDER BY event_id""")),
 
     GQuery(
+      "q_win_gaps",
+      (s, dir) => {
+        // Gaps-and-islands sessionization — the batch dual of
+        // q_stream_session's session_window: a new island starts where the
+        // gap to the previous event exceeds 10 minutes; the island id is the
+        // running count of starts. One shuffle on user_id serves both
+        // windows and the final rollup (same-key partitioning reused), so
+        // at 100 TB each user's timeline sorts inside its own partition —
+        // no global sort, no self-join.
+        val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+        eventsWithSec(s, dir)
+          .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 600, 1L)
+              .otherwise(0L))
+          .withColumn("island",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(
+            count(lit(1)).as("n"),
+            min("ts_s").as("start_s"),
+            max("ts_s").as("end_s"))
+          .withColumn("dur_s", col("end_s") - col("start_s"))
+          .orderBy("user_id", "island")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+              d AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                      OR ts_s - lag(ts_s) OVER w > 600 THEN 1 ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+              i AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                      ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+                    FROM d)
+              SELECT user_id, island, count(*) AS n,
+                min(ts_s) AS start_s, max(ts_s) AS end_s,
+                max(ts_s) - min(ts_s) AS dur_s
+              FROM i GROUP BY user_id, island ORDER BY user_id, island""")),
+
+    GQuery(
       "q_win_topk",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
