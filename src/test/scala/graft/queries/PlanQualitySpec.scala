@@ -70,6 +70,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_win_gaps and q_scd2 reuse one user_id exchange for all their windows") {
+    // both windows + the rollup partition on user_id — a second Exchange
+    // would mean the shared-partitioning claim silently broke
+    for (q <- Seq("q_win_gaps", "q_scd2")) {
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q has $exchanges hash exchanges:\n$p")
+    }
+  }
+
+  test("q_agg_unpivot melts through Expand, not a join or union of scans") {
+    val p = plan("q_agg_unpivot")
+    assert(p.contains("Expand"), p)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"reads $scans scans:\n$p")
+  }
+
+  test("q_events_funnel never windows the raw stream") {
+    // funnel = keyed pre-aggregations + joins; a Window over raw events
+    // would sort every user's full history instead of aggregating it
+    val p = plan("q_events_funnel")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+  }
+
   test("q_text_pii and q_emb_project stay single-scan and narrow") {
     for (q <- Seq("q_text_pii", "q_emb_project")) {
       val p = plan(q)
