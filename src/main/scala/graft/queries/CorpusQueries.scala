@@ -109,6 +109,47 @@ object CorpusQueries {
              FROM documents ORDER BY doc_id""")),
 
     GQuery(
+      "q_sample_weighted",
+      (s, dir) => {
+        // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+        // each doc draws u ~ U(0,1) and ranks by the exponential key
+        // -ln(u)/w — the k smallest keys per lang are a weighted sample
+        // (here w = n_chars: longer docs proportionally likelier, the
+        // upsample-by-size step of a mixture recipe). u is md5-derived so
+        // the "random" draw reproduces bit-for-bit on both engines and any
+        // cluster size; ranking uses the ROUNDED key + doc_id (the
+        // q_text_tfidf lesson — raw doubles may differ in the last ulp
+        // across engines). One narrow pass + a per-lang top-k window: at
+        // 100 TB this is TopKPerKey-shaped, never a global sort.
+        val h = md5(col("doc_id").cast("string"))
+        val uInt = (1 to 8).map(i => nib(h, i) * lit(1L << (4 * (8 - i))))
+          .reduce(_ + _)
+        val u = greatest(uInt.cast("double") / 4294967296.0, lit(1e-12))
+        val key = r4(-log(u) * 1000.0 / col("n_chars"))
+        val w = Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))
+        Tables.documents(s, dir)
+          .filter(col("n_chars") > 0)
+          .select(col("lang"), col("doc_id"), key.as("k"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("lang", "rnk")
+      },
+      Some {
+        val nibSql = (i: Int) =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+        val uInt = (1 to 8).map(i => s"${nibSql(i)} * ${1L << (4 * (8 - i))}")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT lang, doc_id,
+              round(-ln(greatest(CAST($uInt AS DOUBLE) / 4294967296.0, 1e-12))
+                * 1000.0 / n_chars, 4) AS k
+              FROM documents WHERE n_chars > 0),
+            r AS (SELECT lang, doc_id, k, row_number() OVER (
+                PARTITION BY lang ORDER BY k, doc_id) AS rnk FROM d)
+            SELECT lang, doc_id, k, rnk FROM r
+            WHERE rnk <= 5 ORDER BY lang, rnk"""
+      }),
+
+    GQuery(
       "q_text_tfidf",
       (s, dir) => {
         // Per-document top TF-IDF term. tf/df from one explode+groupBy

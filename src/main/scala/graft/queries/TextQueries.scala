@@ -273,13 +273,20 @@ object TextQueries {
           .withColumn("pos", row_number().over(wDoc.orderBy("df", "token")))
           .withColumn("sz", count(lit(1)).over(wDoc))
           .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.6) + 1)
-          .select("doc_id", "lang", "token")
+          .select("doc_id", "lang", "token", "sz")
           .localCheckpoint()
-        val cand = pfx.select(col("doc_id").as("a_id"), col("lang"), col("token"))
+        // LENGTH FILTER (the SSJoin companion lemma): jac(A,B) ≥ t forces
+        // t·|A| ≤ |B| ≤ |A|/t, so size-mismatched docs sharing a prefix
+        // token never become candidates — carried on the prefix rows, it
+        // prunes inside the join before the distinct shuffle sees the pair
+        val cand = pfx.select(col("doc_id").as("a_id"), col("lang"),
+            col("token"), col("sz").as("a_sz"))
           .join(pfx.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-            col("token").as("b_token")),
+            col("token").as("b_token"), col("sz").as("b_sz")),
             col("token") === col("b_token") && col("lang") === col("b_lang") &&
-              col("a_id") < col("b_id"))
+              col("a_id") < col("b_id") &&
+              col("b_sz") >= ceil(col("a_sz") * 0.6) &&
+              col("a_sz") >= ceil(col("b_sz") * 0.6))
           .select("a_id", "b_id")
           .distinct()
         cand

@@ -102,6 +102,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { query.stop(); spark.catalog.dropTempView("dedup_s") }
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // the state-bounded dedup variant: a duplicate inside the watermark
+    // horizon is dropped, but state for expired keys is evictable — the
+    // 100 TB-stream answer to dropDuplicates' unbounded key set
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Timestamp, Long, Double)]
+    val deduped = source.toDS().toDF("ts", "id", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val query = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm").start()
+    try {
+      source.addData((t(1), 100L, 1.0), (t(2), 100L, 2.0), (t(3), 200L, 3.0))
+      query.processAllAvailable()
+      // inside the horizon: 100 is still a dup
+      source.addData((t(5), 100L, 4.0))
+      query.processAllAvailable()
+      // advance the watermark far past 100's entry, then re-emit it:
+      // its state is expired, so the same id is accepted again
+      source.addData((t(60), 300L, 5.0))
+      query.processAllAvailable()
+      source.addData((t(61), 100L, 6.0))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dedup_wm ORDER BY id, value")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq == Seq(100L, 100L, 200L, 300L), ids.toSeq)
+    } finally { query.stop(); spark.catalog.dropTempView("dedup_wm") }
+  }
+
   test("stream-static join enriches events with a dimension table") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
