@@ -5,6 +5,7 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-management operators a training-data pipeline needs beyond
   * per-document scoring: deterministic dataset splits, TF-IDF term
@@ -216,6 +217,97 @@ object CorpusQueries {
                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                 AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS chunk_id
             FROM d ORDER BY doc_id""")),
+
+    GQuery(
+      "q_pack_overlap",
+      (s, dir) => {
+        // Sliding-window chunking with overlap — the context-window prep
+        // step for RAG/pretraining: each doc yields ⌈max(n-64,1)/192⌉
+        // chunks of up to 256 tokens with stride 192 (64-token overlap so
+        // no boundary context is lost). Pure per-row expression work
+        // (sequence + explode) — embarrassingly parallel, the chunk count
+        // not the text length drives output size, no shuffle before the
+        // output sort.
+        val n = size(tokens(col("text")))
+        val nChunks = ceil(greatest(n - 64, lit(1)).cast("double") / 192.0)
+          .cast("long")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), n.as("n_tokens"), nChunks.as("n_chunks"),
+            explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("chunk_idx"),
+            (col("chunk_idx") * 192).as("start_tok"),
+            least(col("chunk_idx") * 192 + 256, col("n_tokens")).as("end_tok"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, len(${TextQueries.duckToks}) AS n_tokens
+                FROM documents),
+              c AS (SELECT doc_id, n_tokens,
+                CAST(ceil(CAST(greatest(n_tokens - 64, 1) AS DOUBLE) / 192.0)
+                  AS BIGINT) AS n_chunks FROM d)
+              SELECT doc_id, n_tokens, chunk_idx,
+                chunk_idx * 192 AS start_tok,
+                least(chunk_idx * 192 + 256, n_tokens) AS end_tok
+              FROM c, UNNEST(range(n_chunks)) AS t(chunk_idx)
+              ORDER BY doc_id, chunk_idx""")),
+
+    GQuery(
+      "q_dedup_semantic",
+      (s, dir) => {
+        // SemDeDup-shaped semantic dedup (Abbas et al., "SemDeDup", 2023):
+        // cluster the embeddings (label = the cell, as in q_sim_topk_ivf),
+        // compute each cell's centroid, keep the member most aligned with
+        // it as the cell's representative. Centroid = one partial+final agg
+        // over (label, dim); scoring re-joins the centroid table (cells ×
+        // dim rows — broadcastable at any corpus size, it scales with
+        // cluster count not documents); pick = one top-1 window per label.
+        // No pairwise join anywhere — the point of the semantic variant vs
+        // q_dedup_embcos's pair generation. All sums in exact decimal so
+        // the score is order-independent and the DuckDB oracle hash-matches;
+        // within a label |centroid| is constant, so ranking by dot/|v|
+        // equals ranking by cosine and the centroid norm is never needed.
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+        val cent = e.groupBy("label", "dim")
+          .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1)))
+            .cast("double").as("c"))
+        val scored = e.join(broadcast(cent), Seq("label", "dim"))
+          .groupBy("label", "vec_id")
+          .agg(
+            sum((col("v").cast("double") * col("c")).cast(DecimalType(28, 10)))
+              .cast("double").as("dot"),
+            sqrt(sum((col("v").cast("double") * col("v")).cast(DecimalType(28, 10)))
+              .cast("double")).as("vn"))
+          .withColumn("score", round(col("dot") / col("vn"), 6))
+        val w = Window.partitionBy("label")
+          .orderBy(col("score").desc, col("vec_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members", count(lit(1)).over(Window.partitionBy("label")))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("vec_id").as("rep_id"),
+            r4(col("score")).as("score"), col("n_members"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, i - 1 AS dim,
+                CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+              cent AS (SELECT label, dim,
+                CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+                FROM e GROUP BY 1, 2),
+              sc AS (SELECT e.label, e.vec_id,
+                CAST(SUM(CAST(e.v * cent.c AS DECIMAL(28,10))) AS DOUBLE) AS dot,
+                sqrt(CAST(SUM(CAST(e.v * e.v AS DECIMAL(28,10))) AS DOUBLE)) AS vn
+                FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
+                GROUP BY 1, 2),
+              r AS (SELECT label, vec_id, round(dot / vn, 6) AS score,
+                row_number() OVER (PARTITION BY label
+                  ORDER BY round(dot / vn, 6) DESC, vec_id) AS rn,
+                count(*) OVER (PARTITION BY label) AS n_members
+                FROM sc)
+              SELECT label, vec_id AS rep_id, round(score, 4) AS score, n_members
+              FROM r WHERE rn = 1 ORDER BY label""")),
 
     GQuery(
       "q_corpus_budget",
