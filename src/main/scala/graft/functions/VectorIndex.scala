@@ -49,10 +49,13 @@ object VectorIndex {
       // prior iterations per action; the centroid table is k·dim doubles, so
       // collect it and restart the plan from a literal dataset. A cell with
       // zero members produces no update row — keep its previous centroid
-      // rather than letting k silently shrink.
+      // rather than letting k silently shrink. A corpus with fewer than k
+      // vectors seeds fewer than k cells in the first place (and an empty
+      // corpus seeds none): only cells that exist flow forward.
       val updatedMap = updated.as[(Int, Seq[Double])].collect().toMap
       val prevMap = centroids.as[(Int, Seq[Double])].collect().toMap
-      val rows = (0 until k).map(c => (c, updatedMap.getOrElse(c, prevMap(c))))
+      val rows = (0 until k).flatMap(c =>
+        updatedMap.get(c).orElse(prevMap.get(c)).map(c -> _))
       centroids = rows.toDF("cell", "centroid")
     }
     centroids
