@@ -46,47 +46,71 @@ object CorpusQueries {
          WHEN $duckBucket < 90 THEN 'val'
          ELSE 'test' END"""
 
-  /** Connected components by iterative min-label propagation: every node
-    * adopts the smallest label among itself and its neighbors until no
-    * label changes. Each round is one join + one aggregation, with the
-    * label frame materialized per round (localCheckpoint) to truncate
-    * lineage — the standard Spark shape for iterative graph algorithms.
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). Each round contracts the graph toward per-component stars
+    * centered on the minimum id:
     *
-    * Rounds needed = graph diameter; near-dup components are band-bucket
-    * cliques, so 2-3 rounds in practice. At 100 TB scale the same loop
-    * holds (labels and edges both shuffle on node id); for adversarial
-    * long-chain graphs the large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") drops round count to
-    * O(log n) — same join/agg building blocks.
+    *   - LARGE-STAR (per node u over the symmetric adjacency): link every
+    *     neighbor larger than u to m = min(N(u) ∪ {u})
+    *   - SMALL-STAR (per node u over its smaller neighbors): link u and
+    *     every smaller neighbor to their collective minimum
     *
-    * `edges` must be (u, v) pairs; symmetry is established here. Returns
-    * (id, cluster_id) for every node with at least one edge, cluster_id =
-    * the component's minimum id.
+    * Both steps are one groupBy + one re-join each — the same partial+final
+    * shuffle shape as the rest of the engine, everything keyed on node id.
+    * Round count is O(log n) even on adversarial path graphs (asserted in
+    * CorpusQueriesSpec), vs the graph DIAMETER that plain min-label
+    * propagation needs — on a 100 TB near-dup graph with a long duplicate
+    * chain that is the difference between ~40 rounds and ~10. Each round's
+    * edge set is materialized (localCheckpoint) to truncate lineage, and
+    * convergence is a set-equality check on the materialized frames.
+    *
+    * `edges` must be (u, v) pairs; symmetry/self-loops/dups are handled
+    * here. Returns (id, cluster_id) for every node with at least one edge,
+    * cluster_id = the component's minimum id.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.toDF("u", "v")
-      .union(edges.toDF("v", "u").select("u", "v"))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var converged = false
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
+
+  private[queries] def connectedComponentsWithRounds(
+      edges: DataFrame): (DataFrame, Int) = {
+    // canonical working set: (u, v) with u < v, deduped
+    var e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var converged = e.isEmpty
     while (!converged) {
-      val nbrMin = sym.join(labels.withColumnRenamed("id", "u"), "u")
-        .groupBy(col("v").as("id")).agg(min("label").as("nbr"))
-      // carry prev through the checkpoint: the convergence test is then a
-      // filter over already-materialized rows, not a fresh join+shuffle
-      // against the previous round's frame
-      val next = labels.withColumnRenamed("label", "prev")
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("prev"),
-          least(col("prev"), coalesce(col("nbr"), col("prev"))).as("label"))
+      // large-star over the symmetric adjacency: m(u) = min(N(u) ∪ {u});
+      // every neighbor v > u re-links to m — (m, v) is already canonical
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")).distinct()
+      // small-star: for each node v, its smaller neighbors us = {u : u < v}
+      // plus v itself all link to min(us) — emit (m, x) for x ≠ m
+      val smins = large.groupBy("v").agg(min("u").as("m"))
+      val small = large.join(smins, "v")
+        .select(col("m"), when(col("u") === col("m"), col("v"))
+          .otherwise(col("u")).as("x"))
+        .filter(col("m") =!= col("x"))
+        .select(col("m").as("u"), col("x").as("v")).distinct()
         .localCheckpoint()
-      converged = next.filter(col("label") < col("prev")).isEmpty
-      labels = next.select("id", "label")
+      // set equality on materialized frames: same size and same union size
+      val (nOld, nNew) = (e.count(), small.count())
+      converged = nOld == nNew && e.union(small).distinct().count() == nNew
+      e = small
+      rounds += 1
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    val labels = nodes
+      .join(e.select(col("v").as("id"), col("u").as("c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   val qs: Seq[GQuery] = Seq(

@@ -36,6 +36,39 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(CorpusQueries.connectedComponents(edges()).isEmpty)
   }
 
+  test("connected components: a 64-node path resolves in O(log n) rounds") {
+    // the adversarial case for min-label propagation (diameter rounds =
+    // 63); large-star/small-star must land in logarithmic rounds
+    val path = (0L until 63L).map(i => i -> (i + 1))
+    val (labels, rounds) =
+      CorpusQueries.connectedComponentsWithRounds(edges(path: _*))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64 && got.forall(_._2 == 0L), got.take(5).toSeq)
+    assert(rounds <= 12, s"took $rounds rounds on a 64-path")
+  }
+
+  test("connected components agree with union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 30
+      val es = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // truth: plain union-find, components labeled by their min id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val byRoot = (0 until n).groupBy(find)
+      val truth = byRoot.values.flatMap { ids =>
+        val m = ids.min.toLong
+        ids.map(_.toLong -> m)
+      }.toMap
+      val touched = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val got = CorpusQueries.connectedComponents(edges(es: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth.view.filterKeys(touched).toMap, s"edges: $es")
+    }
+  }
+
   test("stratified split is deterministic and ~80/10/10") {
     val q = graft.SparkEntry.queries("q_sample_stratified")
     val a = q(spark, sf001).collect()
