@@ -79,8 +79,9 @@ object CorpusQueries {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
-    val nodes = e.select(explode(array(col("u"), col("v"))).as("id"))
-      .distinct().localCheckpoint()
+    // lazy over the materialized round-0 frame — consumed once at the end,
+    // so an eager checkpoint here would only add a job
+    val nodes = e.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     var rounds = 0
     var converged = e.isEmpty
     while (!converged) {
