@@ -65,6 +65,15 @@ object TextFunctions {
     bitCols.reduce(_ + _)
   }
 
+  /** Native-expression twin of `simhash(tokens(text), nbits)` — one md5
+    * per token instead of one per (token × bit) and no interpreted lambda
+    * trees (see [[SimHashSig]]; parity asserted in SimHashSigSpec).
+    */
+  def simhashFast(text: Column, nbits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.col(SimHashSig(Bridge.expr(text), nbits))
+  }
+
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -162,8 +162,10 @@ object TextQueries {
     GQuery(
       "q_dedup_simhash",
       (s, dir) => {
+        // native kernel — value-identical to simhash(tokens(text), 16)
+        // (SimHashSigSpec parity; the DuckDB oracle is the independent proof)
         Tables.documents(s, dir)
-          .select(col("doc_id"), simhash(tokens(col("text")), 16).as("sh"))
+          .select(col("doc_id"), simhashFast(col("text"), 16).as("sh"))
           .orderBy("doc_id")
       },
       Some {
@@ -193,7 +195,7 @@ object TextQueries {
         // (localCheckpoint) for the two band sides + two verify joins.
         val sigs = Tables.documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), simhash(tokens(col("text")), 32).as("sh"))
+          .select(col("doc_id"), simhashFast(col("text"), 32).as("sh"))
           .localCheckpoint()
         val bands = sigs.select(col("doc_id"), posexplode(
           array((0 until 4).map(i =>
