@@ -45,6 +45,69 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql == df)
   }
 
+  test("correlated EXISTS decorrelates to a semi join and matches the DataFrame form") {
+    spark.read.parquet(s"$sf001/customer.parquet").createOrReplaceTempView("customer_v")
+    spark.read.parquet(s"$sf001/orders.parquet").createOrReplaceTempView("orders_sq")
+    val q = spark.sql(
+      """SELECT c_custkey FROM customer_v c
+         WHERE EXISTS (SELECT 1 FROM orders_sq o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""")
+    assert(q.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      q.queryExecution.executedPlan.toString)
+    val sqlKeys = q.collect().map(_.getLong(0)).toSet
+    val dfKeys = spark.read.parquet(s"$sf001/customer.parquet")
+      .join(
+        spark.read.parquet(s"$sf001/orders.parquet")
+          .filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(sqlKeys == dfKeys && sqlKeys.nonEmpty)
+  }
+
+  test("correlated NOT EXISTS decorrelates to an anti join and matches the DataFrame form") {
+    spark.read.parquet(s"$sf001/customer.parquet").createOrReplaceTempView("customer_v")
+    spark.read.parquet(s"$sf001/orders.parquet").createOrReplaceTempView("orders_sq")
+    val q = spark.sql(
+      """SELECT c_custkey FROM customer_v c
+         WHERE NOT EXISTS (SELECT 1 FROM orders_sq o WHERE o.o_custkey = c.c_custkey)""")
+    assert(q.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      q.queryExecution.executedPlan.toString)
+    val sqlKeys = q.collect().map(_.getLong(0)).toSet
+    val dfKeys = spark.read.parquet(s"$sf001/customer.parquet")
+      .join(spark.read.parquet(s"$sf001/orders.parquet"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(sqlKeys == dfKeys)
+  }
+
+  test("scalar subquery in a predicate matches the DataFrame form") {
+    spark.read.parquet(s"$sf001/orders.parquet").createOrReplaceTempView("orders_sq")
+    val sqlKeys = spark.sql(
+      """SELECT o_orderkey FROM orders_sq
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)""")
+      .collect().map(_.getLong(0)).toSet
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val mean = o.agg(avg("o_totalprice")).head.getDouble(0)
+    val dfKeys = o.filter(col("o_totalprice") > mean)
+      .collect().map(_.getAs[Long]("o_orderkey")).toSet
+    assert(sqlKeys == dfKeys && sqlKeys.nonEmpty)
+  }
+
+  test("LATERAL VIEW explode matches the DataFrame generator form") {
+    spark.read.parquet(s"$sf001/documents.parquet").createOrReplaceTempView("docs_v")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, tok FROM docs_v
+         LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS tok
+         WHERE doc_id < 5""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val dfRows = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(sqlRows == dfRows && sqlRows.nonEmpty)
+  }
+
   test("the native vec_dot expression is callable from SQL") {
     spark.read.parquet(s"$sf001/embeddings.parquet").createOrReplaceTempView("emb_v")
     val sql = spark.sql(
