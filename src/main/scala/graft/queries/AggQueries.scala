@@ -281,6 +281,25 @@ object AggQueries {
               FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     GQuery(
+      "q_agg_histogram",
+      (s, dir) => {
+        // Equi-width histogram — the profiling staple: value bucketed at
+        // width 50 per event_type, count + exact-decimal mean per bucket.
+        // One partial+final aggregation on (type, bucket); bucket count,
+        // not row count, bounds the output at any scale.
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") / 50.0).cast("long").as("bucket"),
+            col("value"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"), r4(davg(col("value"))).as("mean_v"))
+          .orderBy("event_type", "bucket")
+      },
+      Some(s"""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+              count(*) AS n, round(${sql.davg("value")}, 4) AS mean_v
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    GQuery(
       "q_agg_unpivot",
       (s, dir) => {
         // Wide-to-long reshaping (melt) — q_agg_pivot's inverse, through the

@@ -152,5 +152,44 @@ object SourceQueries {
              SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
                CAST((w * 224) // greatest(w, h) AS INT) AS out_w,
                CAST((h * 224) // greatest(w, h) AS INT) AS out_h
-             FROM d ORDER BY doc_id""")))
+             FROM d ORDER BY doc_id""")),
+
+    GQuery(
+      "q_mm_audio",
+      (s, dir) => {
+        // Audio-modality plumbing: deterministic fake PCM per doc (the
+        // decode stub — no codecs in the container), then the real frame
+        // analysis every audio pipeline runs: 32-sample frames at hop 16
+        // (50% overlap), RMS energy per frame. Samples are integers from a
+        // doc_id-seeded LCG-ish formula so both engines synthesize the
+        // identical waveform; sums of squares stay < 2^53, so the double
+        // mean is exact and only sqrt's last ulp is at stake (absorbed by
+        // r4). Pure expression fan-out — per-doc frame count, not audio
+        // length, drives output size; narrow until the output sort.
+        val n = (lit(64) + pmod(col("doc_id"), lit(64))).cast("int")
+        val nFrames = ((n - 32) / 16 + 1).cast("long")
+        val amp = (f: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          pmod(col("doc_id") * 31 + (f * 16 + i) * 17, lit(201)) - 100
+        Tables.documents(s, dir)
+          .select(col("doc_id"), n.as("n_samples"),
+            explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+          .withColumn("sumsq",
+            aggregate(
+              transform(sequence(lit(0), lit(31)),
+                i => amp(col("frame_idx"), i) * amp(col("frame_idx"), i)),
+              lit(0L), (acc, v) => acc + v))
+          .select(col("doc_id"), col("n_samples"), col("frame_idx"),
+            r4(sqrt(col("sumsq").cast("double") / 32.0)).as("rms"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                CAST(64 + doc_id % 64 AS INT) AS n_samples FROM documents),
+              f AS (SELECT doc_id, n_samples,
+                unnest(range((n_samples - 32) // 16 + 1)) AS frame_idx FROM d)
+              SELECT doc_id, n_samples, frame_idx,
+                round(sqrt(CAST(list_sum(list_transform(range(0, 32),
+                  i -> ((doc_id * 31 + (frame_idx * 16 + i) * 17) % 201 - 100)
+                     * ((doc_id * 31 + (frame_idx * 16 + i) * 17) % 201 - 100)))
+                  AS DOUBLE) / 32.0), 4) AS rms
+              FROM f ORDER BY doc_id, frame_idx""")))
 }
