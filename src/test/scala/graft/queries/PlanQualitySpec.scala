@@ -95,8 +95,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial_"), p)
   }
 
-  test("q_text_pii and q_emb_project stay single-scan and narrow") {
-    for (q <- Seq("q_text_pii", "q_emb_project")) {
+  test("q_text_pii, q_emb_project, q_pack_overlap, q_mm_audio stay single-scan and narrow") {
+    for (q <- Seq("q_text_pii", "q_emb_project", "q_pack_overlap", "q_mm_audio")) {
       val p = plan(q)
       val scans = "FileScan parquet".r.findAllIn(p).length
       assert(scans == 1, s"$q reads $scans scans:\n$p")
