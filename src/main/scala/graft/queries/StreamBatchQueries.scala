@@ -116,6 +116,54 @@ object StreamBatchQueries {
               ORDER BY user_id, version""")),
 
     GQuery(
+      "q_sync_merge",
+      (s, dir) => {
+        // MERGE INTO semantics — the batch twin of the pipeline's
+        // upsert/delete sink (A16): target = each user's last state from
+        // the first half of the log (event_id <= 5000), source = the
+        // second half compacted to one action per user (last-state-wins,
+        // 'error' = delete — the reference's DELETE event). One full-outer
+        // join on the merge key resolves all three MERGE branches:
+        // matched+delete drops, matched+upsert updates, not-matched
+        // inserts. Both sides are max_by compactions (partial+final, one
+        // user_id shuffle each) and the join shuffles on the same key the
+        // compactions already produced — the canonical warehouse CDC-apply
+        // at any scale.
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"), col("event_type"), col("value"))
+        val target = ev.filter(col("event_id") <= 5000)
+          .groupBy("user_id")
+          .agg(max_by(col("value"), col("event_id")).as("t_value"))
+        val source = ev.filter(col("event_id") > 5000)
+          .groupBy("user_id")
+          .agg(
+            max_by(col("value"), col("event_id")).as("s_value"),
+            (max_by(col("event_type"), col("event_id")) === "error").as("s_delete"))
+        target.join(source, Seq("user_id"), "full_outer")
+          .filter(!coalesce(col("s_delete"), lit(false)))
+          .select(
+            col("user_id"),
+            r4(coalesce(col("s_value"), col("t_value"))).as("value"),
+            when(col("t_value").isNull, "inserted")
+              .when(col("s_value").isNull, "kept")
+              .otherwise("updated").as("action"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (SELECT user_id, arg_max(value, event_id) AS t_value
+                FROM events WHERE event_id <= 5000 GROUP BY 1),
+              s AS (SELECT user_id, arg_max(value, event_id) AS s_value,
+                arg_max(event_type, event_id) = 'error' AS s_delete
+                FROM events WHERE event_id > 5000 GROUP BY 1)
+              SELECT coalesce(t.user_id, s.user_id) AS user_id,
+                round(coalesce(s.s_value, t.t_value), 4) AS value,
+                CASE WHEN t.t_value IS NULL THEN 'inserted'
+                     WHEN s.s_value IS NULL THEN 'kept'
+                     ELSE 'updated' END AS action
+              FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+              WHERE NOT coalesce(s.s_delete, false)
+              ORDER BY user_id""")),
+
+    GQuery(
       "q_events_funnel",
       (s, dir) => {
         // Funnel conversion: per user, first signup and first purchase AT OR
