@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.ResourceEventRow
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 event-log source vs the built-in json reader: identical rows,
+  * pruning reaches the parser, accepted predicates leave no residual
+  * Filter in the plan.
+  */
+class EventLogSourceSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.EventLogSource"
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+    val rows = (1 to 40).map { i =>
+      ResourceEventRow(
+        if (i % 7 == 0) "DELETE" else "ADD", i.toLong,
+        new Timestamp(i * 1000L),
+        s"ns$i/apps/v1/Deployment/app-$i", s"ns${i % 3}", s"app-$i",
+        if (i % 2 == 0) "Deployment" else "ConfigMap", "apps/v1", "apps",
+        Map("i" -> i.toString, "parity" -> (i % 2).toString),
+        if (i % 5 == 0) null else Map("note" -> s"n$i"),
+        new Timestamp(i * 500L))
+    }
+    rows.toDS().coalesce(2).write.mode("overwrite").json(d)
+    // the source lists *.json; Spark writes part-*.json files
+    d
+  }
+
+  private def viaJson = {
+    import org.apache.spark.sql.Encoders
+    spark.read.schema(Encoders.product[ResourceEventRow].schema).json(dir)
+  }
+
+  test("round-trips every row and column identically to the json reader") {
+    val a = spark.read.format(fmt).load(dir)
+      .orderBy("event_seq").collect().map(_.toSeq).toSeq
+    val b = viaJson.orderBy("event_seq").collect().map(_.toSeq).toSeq
+    assert(a.size == 40)
+    assert(a == b)
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val df = spark.read.format(fmt).load(dir).select("kind", "event_seq")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSet == Set("kind", "event_seq"), scans.head)
+  }
+
+  test("equality and IN predicates push into the scan with no residual Filter") {
+    val df = spark.read.format(fmt).load(dir)
+      .filter(col("event_type") === "DELETE" && col("kind").isin("Deployment", "ConfigMap"))
+      .select("event_seq")
+    val plan = df.queryExecution.executedPlan
+    val pushed = plan.collect { case b: BatchScanExec =>
+      b.scan.asInstanceOf[EventLogScan].pushed
+    }.head
+    assert(pushed.nonEmpty, "nothing pushed")
+    val residualFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residualFilters.isEmpty, plan.toString)
+    val seqs = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (1 to 40).filter(_ % 7 == 0).map(_.toLong))
+  }
+
+  test("unknown predicate types stay post-scan and results are still exact") {
+    val df = spark.read.format(fmt).load(dir).filter(col("event_seq") > 30)
+    assert(df.count() == 10) // GreaterThan on a long: rejected, filtered above
+  }
+
+  test("empty and missing directories read as empty, not as errors") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_dsv2_empty").toString
+    assert(spark.read.format(fmt).load(empty).isEmpty)
+    assert(spark.read.format(fmt).load(s"$empty/nope").isEmpty)
+  }
+}
