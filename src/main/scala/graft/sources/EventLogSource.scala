@@ -76,7 +76,8 @@ private[sources] class EventLogTable(path: String) extends Table with SupportsRe
   override def name(): String = s"graft_events($path)"
   override def schema(): StructType = EventLogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path)
 }
@@ -131,6 +132,51 @@ private[sources] class EventLogScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventLogMicroBatchStream(path, required, pushed)
+}
+
+/** Streaming form of the same scan: the offset is "how many files of the
+  * sorted listing have been consumed", so each micro-batch plans exactly
+  * the newly-arrived files and a checkpoint restart resumes from the
+  * recorded count — the custom-source analog of the built-in file
+  * stream's seen-files log (and of the informer's resourceVersion
+  * bookmark, watcher.go:110-145). Assumes the event log is append-only
+  * with lexically increasing file names (the writer's contract; the
+  * production file stream tracks a seen-set instead, at the cost of
+  * unbounded state).
+  */
+private[sources] class EventLogMicroBatchStream(
+    path: String, required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileCount(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  private def conf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = FileCount(0)
+  override def latestOffset(): Offset =
+    FileCount(EventLogSource.listFiles(path, conf).size)
+  override def deserializeOffset(json: String): Offset = FileCount(json.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val files = EventLogSource.listFiles(path, conf)
+    files.slice(
+        start.asInstanceOf[FileCount].n, end.asInstanceOf[FileCount].n)
+      .map(f => EventFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventLogReaderFactory(required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class EventFilePartition(file: String) extends InputPartition

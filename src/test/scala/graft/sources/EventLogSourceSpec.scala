@@ -76,6 +76,31 @@ class EventLogSourceSpec extends SparkSpec {
     assert(df.count() == 10) // GreaterThan on a long: rejected, filtered above
   }
 
+  test("streams the log with file-count offsets, only new files per micro-batch") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_stream").toString
+    def writeFile(name: String, seqs: Range): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, name),
+        seqs.map(i =>
+          s"""{"event_type":"ADD","event_seq":$i,"ts":"2020-01-01T00:00:0${i % 10}.000Z","id":"x/$i","namespace":"ns","name":"n$i","kind":"Deployment","apiVersion":"apps/v1","apiGroup":"apps","labels":{"i":"$i"},"annotations":null,"createdAt":"2020-01-01T00:00:00.000Z"}""")
+          .mkString("\n"))
+    writeFile("a.json", 1 to 3)
+    val q = spark.readStream.format(fmt).load(d)
+      .select("event_seq")
+      .writeStream.format("memory").queryName("dsv2_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dsv2_stream").head.getLong(0) == 3)
+      writeFile("b.json", 4 to 9) // arrives later, sorts after a.json
+      q.processAllAvailable()
+      val seqs = spark.sql("SELECT event_seq FROM dsv2_stream ORDER BY event_seq")
+        .collect().map(_.getLong(0)).toSeq
+      assert(seqs == (1L to 9L)) // each file consumed exactly once
+    } finally { q.stop(); spark.catalog.dropTempView("dsv2_stream") }
+  }
+
   test("empty and missing directories read as empty, not as errors") {
     val empty = java.nio.file.Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format(fmt).load(empty).isEmpty)
