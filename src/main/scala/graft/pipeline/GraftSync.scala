@@ -62,7 +62,9 @@ object GraftSync {
       crdSink: Option[RestSink] = None): Running = {
     implicit val s: SparkSession = spark
     val iSink = instanceSink.getOrElse(RestSink.http(cfg.instancesEndpoint))
-    val events = SyncPipeline.fileSource(spark, watchDir)
+    val events =
+      if (cfg.dsv2Source) SyncPipeline.fileSourceV2(spark, watchDir)
+      else SyncPipeline.fileSource(spark, watchDir)
 
     // A2 allow/blocklist for instances (CRDs blocklisted by default). The
     // lists hold plural resource types like the reference's config; events

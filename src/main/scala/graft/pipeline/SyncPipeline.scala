@@ -58,7 +58,11 @@ object SyncPipeline {
       // flatMapGroupsWithState path. Requires (and forces) the RocksDB
       // state store. Same semantics either way — DebounceTwsSpec holds the
       // two implementations to identical outputs.
-      transformWithState: Boolean = false) {
+      transformWithState: Boolean = false,
+      // tail the event log through the engine's own DSv2 source
+      // (fileSourceV2) instead of the built-in json stream; same rows,
+      // pruning/pushdown in the parser, file-count offsets
+      dsv2Source: Boolean = false) {
 
     /** CRD capabilities pipeline gate (cmd/main.go:136-171). */
     def crdPipelineEnabled: Boolean = capabilitiesEndpoint.nonEmpty
@@ -129,7 +133,10 @@ object SyncPipeline {
         .map(parseCsv).getOrElse(DefaultExcludes),
       apiBindAddress = env.get("API_BIND_ADDRESS").filter(_.nonEmpty)
         .getOrElse(":8082"),
-      logLevel = env.get("LOG_LEVEL").filter(_.nonEmpty).getOrElse("info"))
+      logLevel = env.get("LOG_LEVEL").filter(_.nonEmpty).getOrElse("info"),
+      // engine-extension var (no reference analog): EVENT_SOURCE=dsv2 tails
+      // the log through graft.sources.EventLogSource
+      dsv2Source = env.get("EVENT_SOURCE").exists(_.equalsIgnoreCase("dsv2")))
 
     /** CSV normalize: split, trim, lowercase, drop empties (config.go:85-99). */
     def parseCsv(s: String): Seq[String] =
@@ -245,6 +252,25 @@ object SyncPipeline {
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
     limited.json(dir).as[ResourceEventRow]
+  }
+
+  /** The same event-log tail through the engine's own DataSource V2 reader
+    * (graft.sources.EventLogSource): file-count offsets, pruning/pushdown
+    * into the parser, maxFilesPerTrigger honored via admission control.
+    * Selected by Config.dsv2Source (EVENT_SOURCE=dsv2); the built-in json
+    * stream stays the default.
+    */
+  def fileSourceV2(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 0): Dataset[ResourceEventRow] = {
+    import spark.implicits._
+    val reader = spark.readStream.format("graft.sources.EventLogSource")
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    limited.load(dir).as[ResourceEventRow]
   }
 
   /** Split a batch of actions the way the sink does — exposed for the

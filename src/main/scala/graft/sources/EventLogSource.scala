@@ -79,10 +79,10 @@ private[sources] class EventLogTable(path: String) extends Table with SupportsRe
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventLogScanBuilder(path)
+    new EventLogScanBuilder(path, options.getInt("maxFilesPerTrigger", 0))
 }
 
-private[sources] class EventLogScanBuilder(path: String)
+private[sources] class EventLogScanBuilder(path: String, maxFilesPerTrigger: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -111,11 +111,13 @@ private[sources] class EventLogScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EventLogScan(path, required, pushed)
+  override def build(): Scan =
+    new EventLogScan(path, required, pushed, maxFilesPerTrigger)
 }
 
 private[sources] class EventLogScan(
-    path: String, required: StructType, val pushed: Array[Filter])
+    path: String, required: StructType, val pushed: Array[Filter],
+    maxFilesPerTrigger: Int = 0)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -135,7 +137,7 @@ private[sources] class EventLogScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EventLogMicroBatchStream(path, required, pushed)
+    new EventLogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
 }
 
 /** Streaming form of the same scan: the offset is "how many files of the
@@ -149,9 +151,11 @@ private[sources] class EventLogScan(
   * unbounded state).
   */
 private[sources] class EventLogMicroBatchStream(
-    path: String, required: StructType, pushed: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    path: String, required: StructType, pushed: Array[Filter],
+    maxFilesPerTrigger: Int = 0)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private case class FileCount(n: Int) extends Offset {
     override def json(): String = n.toString
@@ -164,6 +168,21 @@ private[sources] class EventLogMicroBatchStream(
   override def latestOffset(): Offset =
     FileCount(EventLogSource.listFiles(path, conf).size)
   override def deserializeOffset(json: String): Offset = FileCount(json.toInt)
+
+  // rate limiting (A15's BATCH_MAX_SIZE analog at the source): admit at
+  // most maxFilesPerTrigger new files per micro-batch when configured
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = EventLogSource.listFiles(path, conf).size
+    limit match {
+      case m: ReadMaxFiles =>
+        FileCount(math.min(start.asInstanceOf[FileCount].n + m.maxFiles(), total))
+      case _ => FileCount(total)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val files = EventLogSource.listFiles(path, conf)

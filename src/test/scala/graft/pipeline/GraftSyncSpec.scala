@@ -31,6 +31,29 @@ class GraftSyncSpec extends SparkSpec {
     assert(GraftSync.log4jLevel("weird") == "INFO")
   }
 
+  test("EVENT_SOURCE=dsv2 tails the log through the engine's own source end-to-end") {
+    val dir = Files.createTempDirectory("graft_dsv2_e2e").toString
+    val iGot = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val iSink = new RestSink(post = p => { iGot.add(p); 200 }, sleep = _ => ())
+    val cfg = SyncPipeline.Config.fromEnv(Map(
+      "DEBOUNCE_WINDOW_MS" -> "200",
+      "BATCH_FLUSH_INTERVAL_MS" -> "100",
+      "EVENT_SOURCE" -> "dsv2",
+      "API_BIND_ADDRESS" -> ":0",
+      "CHECKPOINT_DIR" -> Files.createTempDirectory("graft_dsv2_ckpt").toString))
+    assert(cfg.dsv2Source)
+    val running = GraftSync.wire(spark, cfg, dir, instanceSink = Some(iSink))
+    try {
+      Files.writeString(Paths.get(dir, "a.json"),
+        ev("Deployment", "web-v2", "ADD", 1))
+      import scala.jdk.CollectionConverters._
+      eventually() {
+        if (iGot.asScala.exists(_.contains("Deployment/web-v2"))) Some(())
+        else None
+      }
+    } finally running.close()
+  }
+
   test("full wiring: instances sync, CRDs route to capabilities, API resync replays") {
     val dir = Files.createTempDirectory("graft_e2e").toString
     val iGot = new java.util.concurrent.ConcurrentLinkedQueue[String]()
