@@ -54,6 +54,47 @@ object SourceQueries {
     GQuery("q_src_orc", (s, dir) => roundTrip(s, dir, "orc"), Some(roundTripOracle)),
 
     GQuery(
+      "q_src_dsv2",
+      (s, dir) => {
+        // Round-trip through the engine's OWN DataSource V2 reader
+        // (graft.sources.EventLogSource): events are exported in the
+        // pipeline's event-log shape (strings, longs, timestamps, a map
+        // column, a null map), then read back via the custom TableProvider
+        // and aggregated — the oracle recomputes from the original
+        // parquet, so any fidelity loss in the custom parser (timestamp
+        // micros, map entries, nulls) breaks the hash.
+        val out = s"/tmp/graft_src/dsv2_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Tables.events(s, dir).select(
+            col("event_type"),
+            col("event_id").as("event_seq"),
+            col("ts"),
+            concat_ws("/", col("user_id"), lit("apps/v1"),
+              col("event_type"), col("event_id")).as("id"),
+            concat(lit("ns"), pmod(col("user_id"), lit(5))).as("namespace"),
+            concat(lit("n"), col("event_id")).as("name"),
+            col("event_type").as("kind"),
+            lit("apps/v1").as("apiVersion"),
+            lit("apps").as("apiGroup"),
+            map(lit("u"), col("user_id").cast("string")).as("labels"),
+            lit(null).cast("map<string,string>").as("annotations"),
+            col("ts").as("createdAt"))
+          .coalesce(4).write.mode("overwrite").json(out)
+        s.read.format("graft.sources.EventLogSource").load(out)
+          .groupBy("kind")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("event_seq")).as("seq_sum"),
+            max(element_at(col("labels"), "u")).as("max_u"),
+            fmtTs(min(col("ts"))).as("first_ts"))
+          .orderBy("kind")
+      },
+      Some(s"""SELECT event_type AS kind, count(*) AS n,
+              CAST(sum(event_id) AS BIGINT) AS seq_sum,
+              max(CAST(user_id AS VARCHAR)) AS max_u,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    GQuery(
       "q_sync_diff",
       (s, dir) => {
         // Batch change detection (reference watcher.go:315-331 via
