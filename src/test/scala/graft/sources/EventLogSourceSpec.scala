@@ -101,6 +101,32 @@ class EventLogSourceSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("dsv2_stream") }
   }
 
+  test("a restarted stream resumes from the checkpointed file-count offset") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsv2_restart_ckpt").toString
+    def writeFile(name: String, seqs: Range): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, name),
+        seqs.map(i =>
+          s"""{"event_type":"ADD","event_seq":$i,"ts":"2020-01-01T00:00:00.000Z","id":"x/$i","namespace":"ns","name":"n$i","kind":"D","apiVersion":"apps/v1","apiGroup":"apps","labels":null,"annotations":null,"createdAt":"2020-01-01T00:00:00.000Z"}""")
+          .mkString("\n"))
+    val sink = java.nio.file.Files.createTempDirectory("graft_dsv2_restart_out").toString
+    def start() = spark.readStream.format(fmt).load(d)
+      .select("event_seq")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    writeFile("a.json", 1 to 4)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    writeFile("b.json", 5 to 7) // arrives while the query is DOWN
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val seqs = spark.read.parquet(sink)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (1L to 7L), seqs) // nothing dropped, nothing reprocessed
+  }
+
   test("empty and missing directories read as empty, not as errors") {
     val empty = java.nio.file.Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format(fmt).load(empty).isEmpty)
