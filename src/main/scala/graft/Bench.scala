@@ -76,9 +76,16 @@ object Bench {
     val pipelineIterations = 2
     // subset runs are query-iteration loops — skip the pipeline metric
     val ups = if (only.isDefined) -1.0
-      else (1 to pipelineIterations).map(_ => pipelineThroughput(spark)).max
+      else (1 to pipelineIterations)
+        .map(_ => pipelineThroughput(spark, executorSide = false)).max
+    // the 100 TB sink path (foreachPartition, per-partition sender) gets its
+    // own recorded number — one run; it exists to show the executor path
+    // clears the same gate, not to win a tie against the driver loop
+    val upsExec = if (only.isDefined) -1.0
+      else pipelineThroughput(spark, executorSide = true)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
+      s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
       s""""stat":"min","sf":"$sfDir"}""")
     spark.stop()
@@ -88,7 +95,8 @@ object Bench {
     * config-implied ceiling of 50 per 5 s flush) through the real streaming
     * path — MemoryStream → keyed debounce state → foreachBatch payload sink.
     */
-  private def pipelineThroughput(spark: SparkSession): Double = {
+  private def pipelineThroughput(
+      spark: SparkSession, executorSide: Boolean): Double = {
     import graft.pipeline._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s: SparkSession = spark
@@ -96,9 +104,13 @@ object Bench {
     implicit val enc: org.apache.spark.sql.Encoder[ResourceEventRow] =
       org.apache.spark.sql.Encoders.product[ResourceEventRow]
     val n = 20000
-    val delivered = new java.util.concurrent.atomic.AtomicLong
+    // executor mode serializes the sink per task — a captured driver local
+    // would increment a deserialized copy; the companion-object counter is
+    // classloader-shared in local mode (the SyncPipelineSpec pattern)
+    BenchExecCollector.delivered.set(0)
+    val delivered = BenchExecCollector.delivered
     val sink = new RestSink(
-      post = p => { delivered.addAndGet(countIds(p)); 200 },
+      post = p => { BenchExecCollector.delivered.addAndGet(countIds(p)); 200 },
       sleep = _ => (), jitter = () => 1.0)
     val source = MemoryStream[ResourceEventRow]
     // reference-named env config (A20) with bench-friendly debounce/flush
@@ -106,7 +118,8 @@ object Bench {
       "DEBOUNCE_WINDOW_MS" -> sys.env.getOrElse("BENCH_DEBOUNCE_MS", "300"),
       "BATCH_FLUSH_INTERVAL_MS" -> "100"))
       .copy(checkpointDir =
-        java.nio.file.Files.createTempDirectory("bench_ckpt").toString)
+        java.nio.file.Files.createTempDirectory("bench_ckpt").toString,
+        executorSideSink = executorSide)
     val query = SyncPipeline.start(source.toDS(), sink, cfg)
     val t0 = System.nanoTime()
     try {
@@ -131,4 +144,9 @@ object Bench {
     */
   private def countIds(payload: String): Long =
     "\"createdAt\":".r.findAllMatchIn(payload).length.toLong
+}
+
+/** Classloader-shared delivery counter for the executor-sink bench run. */
+object BenchExecCollector {
+  val delivered = new java.util.concurrent.atomic.AtomicLong
 }
