@@ -72,14 +72,28 @@ object EventLogSource {
   }
 }
 
-private[sources] class EventLogTable(path: String) extends Table with SupportsRead {
+private[sources] class EventLogTable(path: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_events($path)"
   override def schema(): StructType = EventLogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path, options.getInt("maxFilesPerTrigger", 0))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val names = info.schema().fieldNames.toSeq
+    require(names == EventLogSource.schema.fieldNames.toSeq,
+      s"event-log write needs the full event schema, got $names")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new EventLogWrite(path)
+    }
+  }
 }
 
 private[sources] class EventLogScanBuilder(path: String, maxFilesPerTrigger: Int)
@@ -285,4 +299,112 @@ private[sources] class EventLogReader(
       }
     odt.toInstant.getEpochSecond * 1000000L + odt.getNano / 1000L
   }
+}
+
+/** Batch write half of the connector: each task serializes its rows to a
+  * hidden `.json.tmp` file; the DRIVER commit renames every task file to
+  * its visible `.json` name in one pass, and abort deletes the temps. The
+  * reader (batch and streaming) lists only `*.json`, so a write is
+  * all-or-nothing from any concurrent reader's point of view — the same
+  * temp-then-rename protocol the built-in file committers use, expressed
+  * through the V2 commit messages. File names are epoch-prefixed so the
+  * streaming source's "sorted order = arrival order" contract holds for
+  * successive commits.
+  */
+private[sources] class EventLogWrite(path: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new EventLogWriterFactory(path, System.currentTimeMillis())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    messages.foreach {
+      case EventFileCommit(tmp) if tmp.nonEmpty =>
+        val t = new Path(tmp)
+        val fs = t.getFileSystem(conf)
+        fs.rename(t, new Path(tmp.stripSuffix(".tmp")))
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    messages.foreach {
+      case EventFileCommit(tmp) if tmp.nonEmpty =>
+        val t = new Path(tmp)
+        t.getFileSystem(conf).delete(t, false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] case class EventFileCommit(tmpPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class EventLogWriterFactory(path: String, epoch: Long)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new EventLogWriter(path, epoch, partitionId, taskId)
+}
+
+/** Serializes rows back to the exact line shape the reader parses —
+  * Jackson handles escaping, timestamps round-trip through ISO instants.
+  */
+private[sources] class EventLogWriter(
+    dir: String, epoch: Long, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  private val mapper = new ObjectMapper
+  private val schema = EventLogSource.schema
+  private val sb = new StringBuilder
+  private var rows = 0
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case LongType => node.put(f.name, row.getLong(i))
+        case TimestampType =>
+          val us = row.getLong(i)
+          node.put(f.name, java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L).toString)
+        case MapType(StringType, StringType, _) =>
+          val m = row.getMap(i)
+          val o = node.putObject(f.name)
+          (0 until m.numElements()).foreach { j =>
+            o.put(
+              m.keyArray().getUTF8String(j).toString,
+              m.valueArray().getUTF8String(j).toString)
+          }
+        case other => throw new IllegalStateException(s"unhandled type $other")
+      }
+    }
+    sb.append(mapper.writeValueAsString(node)).append('\n')
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (rows == 0) EventFileCommit("")
+    else {
+      val tmp = new Path(dir, f"part-$epoch%013d-$partitionId%05d-$taskId.json.tmp")
+      val fs = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(tmp, true)
+      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      EventFileCommit(tmp.toString)
+    }
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }

@@ -127,6 +127,53 @@ class EventLogSourceSpec extends SparkSpec {
     assert(seqs == (1L to 7L), seqs) // nothing dropped, nothing reprocessed
   }
 
+  test("the write half round-trips through both readers, no temp files left") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dsv2_write").toString
+    val rows = (1 to 25).map { i =>
+      ResourceEventRow(
+        "ADD", i.toLong, new Timestamp(i * 1234L),
+        s"ns/apps/v1/D/n$i", "ns", s"n$i", "D", "apps/v1", "apps",
+        Map("k" -> s"v$i"), if (i % 4 == 0) null else Map("a" -> "b"),
+        new Timestamp(i * 1000L))
+    }
+    rows.toDS().toDF().repartition(3)
+      .write.format(fmt).mode("append").save(out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq // LocalFS .crc shadows are not data
+    assert(files.nonEmpty && files.forall(_.endsWith(".json")), files)
+    val viaCustom = spark.read.format(fmt).load(out)
+      .orderBy("event_seq").collect().map(_.toSeq).toSeq
+    val viaBuiltin = {
+      import org.apache.spark.sql.Encoders
+      spark.read.schema(Encoders.product[ResourceEventRow].schema).json(out)
+        .orderBy("event_seq").collect().map(_.toSeq).toSeq
+    }
+    val original = rows.sortBy(_.event_seq).toDF()
+      .collect().map(_.toSeq).toSeq
+    assert(viaCustom.size == 25)
+    assert(viaCustom == viaBuiltin)
+    assert(viaCustom == original)
+  }
+
+  test("a second write commit appends files the streaming contract can tail") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dsv2_append").toString
+    def batch(range: Range) = range.map(i => ResourceEventRow(
+      "ADD", i.toLong, new Timestamp(0), s"x/$i", "ns", s"n$i", "D",
+      "apps/v1", "apps", null, null, new Timestamp(0))).toDS().toDF()
+    batch(1 to 3).coalesce(1).write.format(fmt).mode("append").save(out)
+    Thread.sleep(5) // epoch prefix strictly increases across commits
+    batch(4 to 6).coalesce(1).write.format(fmt).mode("append").save(out)
+    val names = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names.size == 2, names)
+    // sorted file order must equal commit order (the streaming offset contract)
+    val firstFileSeqs = spark.read.format(fmt)
+      .load(s"$out/${names.head}").collect().map(_.getLong(1)).sorted.toSeq
+    assert(firstFileSeqs == Seq(1L, 2L, 3L), firstFileSeqs)
+  }
+
   test("empty and missing directories read as empty, not as errors") {
     val empty = java.nio.file.Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format(fmt).load(empty).isEmpty)
