@@ -127,6 +127,26 @@ class EventLogSourceSpec extends SparkSpec {
     assert(seqs == (1L to 7L), seqs) // nothing dropped, nothing reprocessed
   }
 
+  test("maxFilesPerTrigger admits one file per micro-batch") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_rate").toString
+    (1 to 4).foreach { f =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, s"f$f.json"),
+        s"""{"event_type":"ADD","event_seq":$f,"ts":"2020-01-01T00:00:00.000Z","id":"x/$f","namespace":"ns","name":"n$f","kind":"D","apiVersion":"apps/v1","apiGroup":"apps","labels":null,"annotations":null,"createdAt":"2020-01-01T00:00:00.000Z"}""")
+    }
+    val q = spark.readStream.format(fmt).option("maxFilesPerTrigger", 1).load(d)
+      .select("event_seq")
+      .writeStream.format("memory").queryName("dsv2_rate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dsv2_rate").head.getLong(0) == 4)
+      // one file (= one row here) admitted per batch, so 4 non-empty batches
+      val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(perBatch.size >= 4 && perBatch.forall(_ == 1), perBatch)
+    } finally { q.stop(); spark.catalog.dropTempView("dsv2_rate") }
+  }
+
   test("the write half round-trips through both readers, no temp files left") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_dsv2_write").toString
