@@ -182,6 +182,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { query.stop(); spark.catalog.dropTempView("ssjoin") }
   }
 
+  test("stream-stream LEFT OUTER join null-completes unmatched rows on watermark expiry") {
+    // the hard outer variant: an impression with no click inside the
+    // interval must still emit — but only once the watermark PROVES no
+    // matching click can arrive. State stays watermark-bounded like the
+    // inner form; the null row is the deliverable (the funnel/attribution
+    // "no conversion" record at stream scale).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val i = imps.toDS().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "10 minutes")
+    val c = clicks.toDS().toDF("click_ts", "click_ad")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = i.join(c, expr(
+      "ad = click_ad AND click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"),
+      "left_outer")
+    val query = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssouter").start()
+    try {
+      imps.addData((t(1), 100L), (t(2), 200L))
+      clicks.addData((t(5), 100L)) // ad 100 converts; ad 200 never does
+      query.processAllAvailable()
+      // push both watermarks far past imp_ts+interval: ad 200's join range
+      // is provably empty, so its null-completed row must emit
+      imps.addData((t(120), 999L)); clicks.addData((t(120), 998L))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT ad, click_ad FROM ssouter WHERE ad IN (100, 200) ORDER BY ad")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.toSeq == Seq((100L, 100L), (200L, -1L)), rows.toSeq)
+    } finally { query.stop(); spark.catalog.dropTempView("ssouter") }
+  }
+
   test("file streaming source tails event JSON with per-trigger rate limit") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
