@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus build vs its constituent oracles: written
+  * partition counts must equal the q_corpus_final manifest, the layout
+  * must be Hive-partitioned by (lang, split), and chunk ids must be
+  * monotone within every partition stream.
+  */
+class CorpusBuildSpec extends SparkSpec {
+
+  private lazy val out = {
+    val d = java.nio.file.Files.createTempDirectory("corpus_build").toString
+    CorpusBuild.run(spark, sf001, d)
+    d
+  }
+
+  test("written counts equal the q_corpus_final manifest") {
+    val manifest = graft.SparkEntry.queries("q_corpus_final")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val written = spark.read.parquet(out)
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(written == manifest)
+  }
+
+  test("the layout is Hive-partitioned by lang then split") {
+    val top = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).toSeq
+    assert(top.nonEmpty, new java.io.File(out).listFiles().map(_.getName).toSeq)
+    val splits = new java.io.File(s"$out/${top.head}").listFiles()
+      .map(_.getName).filter(_.startsWith("split=")).toSeq
+    assert(splits.nonEmpty, splits)
+  }
+
+  test("chunk ids are monotone non-decreasing along each partition's doc order") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "split").orderBy("doc_id")
+    val bad = spark.read.parquet(out)
+      .withColumn("prev", lag("chunk_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("chunk_id") < col("prev"))
+    assert(bad.isEmpty)
+  }
+}
