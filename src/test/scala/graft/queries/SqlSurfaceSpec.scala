@@ -108,6 +108,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlRows == dfRows && sqlRows.nonEmpty)
   }
 
+  test("LATERAL correlated derived tables match the window form") {
+    spark.read.parquet(s"$sf001/orders.parquet").createOrReplaceTempView("orders_sq")
+    // per customer: their single most expensive order, via JOIN LATERAL
+    val sqlRows = spark.sql(
+      """SELECT c.o_custkey, t.o_orderkey FROM
+           (SELECT DISTINCT o_custkey FROM orders_sq) c,
+           LATERAL (SELECT o_orderkey FROM orders_sq o
+                    WHERE o.o_custkey = c.o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val dfRows = spark.read.parquet(s"$sf001/orders.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"))).toSet
+    assert(sqlRows == dfRows && sqlRows.nonEmpty)
+  }
+
   test("the native vec_dot expression is callable from SQL") {
     spark.read.parquet(s"$sf001/embeddings.parquet").createOrReplaceTempView("emb_v")
     val sql = spark.sql(
