@@ -268,5 +268,32 @@ object ScalarQueries {
       Some("""SELECT doc_id,
              CASE WHEN doc_id % 2 = 0 THEN 'NULL' ELSE 'description' END AS kept_keys,
              CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS descr
-             FROM documents ORDER BY doc_id""")))
+             FROM documents ORDER BY doc_id""")),
+
+    GQuery(
+      "q_fn_generator",
+      (s, dir) => {
+        // The generator surface beyond plain explode: posexplode_OUTER
+        // null-completes rows whose array is empty (every 7th doc here) —
+        // the LEFT JOIN of the generator family, needed whenever the
+        // parent row must survive an empty fan-out (docs with no frames,
+        // events with no tags). pos is the engine-maintained ordinal.
+        import graft.functions.TextFunctions.tokens
+        val arr = when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+          .otherwise(slice(tokens(col("text")), 1, 3))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), arr.as("arr"))
+          .select(col("doc_id"), posexplode_outer(col("arr")).as(Seq("pos", "tok")))
+          .orderBy(col("doc_id"), col("pos").asc_nulls_first)
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE (${TextQueries.duckToks})[1:3] END AS arr
+                FROM documents)
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos, arr[i] AS tok
+              FROM d, UNNEST(range(1, len(arr) + 1)) AS t(i)
+              WHERE len(arr) > 0
+              UNION ALL
+              SELECT doc_id, NULL, NULL FROM d WHERE len(arr) = 0
+              ORDER BY doc_id, pos NULLS FIRST""")))
 }
