@@ -234,8 +234,8 @@ private[sources] class EventLogReader(
   // would ship the driver's conf via a SerializableConfiguration broadcast
   private val fs = new Path(file).getFileSystem(
     new org.apache.hadoop.conf.Configuration())
-  private val lines = scala.io.Source.fromInputStream(fs.open(new Path(file)), "UTF-8")
-    .getLines()
+  private val stream = fs.open(new Path(file))
+  private val lines = scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -251,7 +251,7 @@ private[sources] class EventLogReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = stream.close()
 
   private def str(node: JsonNode, field: String): String = {
     val v = node.get(field)
@@ -355,6 +355,8 @@ private[sources] class EventLogWriterFactory(path: String, epoch: Long)
 
 /** Serializes rows back to the exact line shape the reader parses —
   * Jackson handles escaping, timestamps round-trip through ISO instants.
+  * Lines stream straight to the task's temp file (opened at first row) so
+  * writer memory is one row, not one partition.
   */
 private[sources] class EventLogWriter(
     dir: String, epoch: Long, partitionId: Int, taskId: Long)
@@ -363,7 +365,8 @@ private[sources] class EventLogWriter(
 
   private val mapper = new ObjectMapper
   private val schema = EventLogSource.schema
-  private val sb = new StringBuilder
+  private val tmp = new Path(dir, f"part-$epoch%013d-$partitionId%05d-$taskId.json.tmp")
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private var rows = 0
 
   override def write(row: InternalRow): Unit = {
@@ -389,22 +392,26 @@ private[sources] class EventLogWriter(
         case other => throw new IllegalStateException(s"unhandled type $other")
       }
     }
-    sb.append(mapper.writeValueAsString(node)).append('\n')
+    if (out == null)
+      out = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .create(tmp, true)
+    out.write((mapper.writeValueAsString(node) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    if (rows == 0) EventFileCommit("")
-    else {
-      val tmp = new Path(dir, f"part-$epoch%013d-$partitionId%05d-$taskId.json.tmp")
-      val fs = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = fs.create(tmp, true)
-      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      EventFileCommit(tmp.toString)
-    }
+    close()
+    if (rows == 0) EventFileCommit("") else EventFileCommit(tmp.toString)
   }
 
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = {
+    close()
+    if (rows > 0)
+      tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(tmp, false)
+  }
+
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null }
 }
