@@ -34,7 +34,13 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
     s.createContext("/healthz", (ex: HttpExchange) => handlePing(ex))
     s.createContext("/readyz", (ex: HttpExchange) => handlePing(ex))
     s.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
-    s.setExecutor(null) // single dispatch thread; handlers serialize anyway
+    // a cached pool, NOT the single dispatch thread: a resync can run for
+    // the length of a full source scan, and liveness/readiness probes must
+    // answer while it does (resyncs themselves still serialize inside the
+    // ResyncScheduler's runner)
+    s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-api"); t.setDaemon(true); t
+    }))
     s
   }
 
@@ -64,19 +70,26 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
     */
   private def handleMetrics(ex: HttpExchange): Unit =
     try {
-      if (ex.getRequestMethod != "GET") respond(ex, 405, "method not allowed")
-      else respond(ex, 200, Metrics.global.exposition)
+      if (ex.getRequestMethod != "GET")
+        respond(ex, 405, "method not allowed", PromText)
+      else respond(ex, 200, Metrics.global.exposition, PromText)
     } finally ex.close()
 
   private def handlePing(ex: HttpExchange): Unit =
     try {
-      if (ex.getRequestMethod != "GET") respond(ex, 405, "method not allowed")
-      else respond(ex, 200, "ok")
+      if (ex.getRequestMethod != "GET")
+        respond(ex, 405, "method not allowed", "text/plain")
+      else respond(ex, 200, "ok", "text/plain")
     } finally ex.close()
 
-  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+  // the exposition format's registered content type
+  private val PromText = "text/plain; version=0.0.4; charset=utf-8"
+
+  private def respond(
+      ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
   }

@@ -140,11 +140,13 @@ object Payloads {
     delPayloads ++ upPayloads
   }
 
-  /** Instance-pipeline payloads from a micro-batch of actions. */
+  /** Instance-pipeline payloads from a micro-batch of actions. Counting
+    * happens at delivery success (SyncPipeline), NOT here: build-time
+    * counters would double on every failed-epoch replay and task retry,
+    * and would count actions that were never delivered at all.
+    */
   def fromActions(actions: Seq[SyncAction], maxBatch: Int = 50): Seq[String] = {
     val (dels, ups) = actions.partition(_.action == SyncAction.Delete)
-    Metrics.global.inc("graft_upserts_total", ups.size.toLong)
-    Metrics.global.inc("graft_deletes_total", dels.size.toLong)
     build(dels.map(d => jstr(d.id)), ups.flatMap(_.instance).map(instanceJson), maxBatch)
   }
 

@@ -177,19 +177,36 @@ object SyncPipeline {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(config.flushIntervalMs))
       .foreachBatch { (batch: Dataset[SyncAction], _: Long) =>
-        if (config.executorSideSink)
+        // delivery counters increment on the DRIVER, and only after the
+        // epoch's delivery action completed: a failed epoch replays without
+        // having counted, and executor-side task retries can't inflate a
+        // counter that only the driver's /metrics endpoint ever serves
+        if (config.executorSideSink) {
           // 100 TB path: each partition builds and POSTs its own payloads
           // with its own sink instance (no driver round-trip, no driver
           // memory bound). Tradeoff vs the reference's single sender:
           // cross-partition payload order is not defined — per-KEY order
           // still holds (a key lives in one state partition), which is the
           // invariant the idempotent downstream needs.
-          batch.foreachPartition { (it: Iterator[SyncAction]) =>
-            Payloads.deliver(sink, Payloads.fromActions(it.toSeq, maxBatch))
-          }
-        else {
+          batch.persist()
+          try {
+            batch.foreachPartition { (it: Iterator[SyncAction]) =>
+              Payloads.deliver(sink, Payloads.fromActions(it.toSeq, maxBatch))
+            }
+            val byAction = batch.groupBy("action").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            Metrics.global.inc("graft_upserts_total",
+              byAction.getOrElse(SyncAction.Upsert, 0L))
+            Metrics.global.inc("graft_deletes_total",
+              byAction.getOrElse(SyncAction.Delete, 0L))
+          } finally batch.unpersist()
+        } else {
           val acts = batch.collect().toSeq // bounded: ≤ keys quiesced this tick
           Payloads.deliver(sink, Payloads.fromActions(acts, maxBatch))
+          Metrics.global.inc("graft_upserts_total",
+            acts.count(_.action == SyncAction.Upsert).toLong)
+          Metrics.global.inc("graft_deletes_total",
+            acts.count(_.action == SyncAction.Delete).toLong)
         }
       }
     val w =

@@ -70,7 +70,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   private def limitFor(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k)
-    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k - 1)
+    // k must stay > Int.MinValue: rn < MinValue would wrap k-1 to MaxValue
+    // and keep every row where the un-rewritten plan returns none
+    case LessThan(a: Attribute, IntegerLiteral(k))
+        if a.semanticEquals(rank) && k > Int.MinValue => Some(k - 1)
     case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rank) => Some(1)
     case _ => None
   }

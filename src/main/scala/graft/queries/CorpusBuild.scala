@@ -35,8 +35,11 @@ object CorpusBuild {
       .select(col("id").as("doc_id"))
     val w = Window.partitionBy("lang", "split").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // no broadcast hint: the drop set scales with the corpus's duplicate
+    // mass, not with cluster count — let the planner (AQE) pick shuffle vs
+    // broadcast from its actual size
     val kept = docs
-      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .join(drops, Seq("doc_id"), "left_anti")
       .withColumn("split", CorpusQueries.splitCol)
       .withColumn("n_tokens", size(tokens(col("text"))))
       .withColumn("chunk_id",

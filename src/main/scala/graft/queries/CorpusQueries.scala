@@ -74,14 +74,17 @@ object CorpusQueries {
 
   private[queries] def connectedComponentsWithRounds(
       edges: DataFrame): (DataFrame, Int) = {
-    // canonical working set: (u, v) with u < v, deduped
-    var e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    // canonical (u <= v) pairs, deduped — self-loops kept HERE so a node
+    // whose only edge is (x, x) still appears in `nodes` (and labels
+    // itself); they are dropped from the working set right after
+    val e0 = edges.toDF("u", "v")
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
-    // lazy over the materialized round-0 frame — consumed once at the end,
-    // so an eager checkpoint here would only add a job
-    val nodes = e.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    // lazy over the materialized canonical frame — consumed once at the
+    // end, so an eager checkpoint here would only add a job
+    val nodes = e0.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    var e = e0.filter(col("u") =!= col("v")).localCheckpoint()
     var rounds = 0
     var converged = e.isEmpty
     while (!converged) {
@@ -391,16 +394,18 @@ object CorpusQueries {
       (s, dir) => {
         // The capstone: build the training set. Near-dup clusters from the
         // LSH pairs lose everything but their keeper (left_anti on the
-        // non-keeper set — tiny, broadcastable), survivors get their
-        // deterministic split, and the output is the (lang, split) manifest
-        // a training run consumes. One corpus pass + the bounded dedup
-        // machinery — the full pipeline the individual operators exist for.
+        // non-keeper set — sized by the corpus's duplicate mass, so no
+        // broadcast hint: AQE picks shuffle vs broadcast from actual size),
+        // survivors get their deterministic split, and the output is the
+        // (lang, split) manifest a training run consumes. One corpus pass +
+        // the bounded dedup machinery — the full pipeline the individual
+        // operators exist for.
         val edges = TextQueries.minhashPairs(s, dir).select("a_id", "b_id")
         val drops = connectedComponents(edges)
           .filter(col("id") =!= col("cluster_id"))
           .select(col("id").as("doc_id"))
         Tables.documents(s, dir)
-          .join(broadcast(drops), Seq("doc_id"), "left_anti")
+          .join(drops, Seq("doc_id"), "left_anti")
           .select(col("lang"), splitCol.as("split"))
           .groupBy("lang", "split")
           .agg(count(lit(1)).as("n_docs"))

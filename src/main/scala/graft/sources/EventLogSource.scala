@@ -59,6 +59,22 @@ object EventLogSource {
       "apiGroup STRING, labels MAP<STRING,STRING>, " +
       "annotations MAP<STRING,STRING>, createdAt TIMESTAMP")
 
+  /** Driver's effective Hadoop conf as a serializable dump, and back —
+    * tasks must see the session's spark.hadoop.* settings (credentials,
+    * filesystem impls), not a default-constructed Configuration that lists
+    * fine on the driver and then fails to open the same path in a task.
+    */
+  private[sources] def confToMap(
+      c: org.apache.hadoop.conf.Configuration): Array[(String, String)] =
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+
+  private[sources] def mapToConf(
+      m: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private[sources] def listFiles(
       dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val p = new Path(dir)
@@ -147,7 +163,9 @@ private[sources] class EventLogScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(required, pushed)
+    new EventLogReaderFactory(required, pushed,
+      EventLogSource.confToMap(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -206,7 +224,9 @@ private[sources] class EventLogMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(required, pushed)
+    new EventLogReaderFactory(required, pushed,
+      EventLogSource.confToMap(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -215,25 +235,26 @@ private[sources] class EventLogMicroBatchStream(
 private[sources] case class EventFilePartition(file: String) extends InputPartition
 
 private[sources] class EventLogReaderFactory(
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    hadoopConf: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EventLogReader(
-      partition.asInstanceOf[EventFilePartition].file, required, pushed)
+      partition.asInstanceOf[EventFilePartition].file, required, pushed,
+      hadoopConf)
 }
 
 /** Line-at-a-time reader: parse JSON, evaluate pushed predicates on the
   * node, materialize only the required columns.
   */
 private[sources] class EventLogReader(
-    file: String, required: StructType, pushed: Array[Filter])
+    file: String, required: StructType, pushed: Array[Filter],
+    hadoopConf: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper
-  // default Hadoop conf resolves local/HDFS paths; a production source
-  // would ship the driver's conf via a SerializableConfiguration broadcast
   private val fs = new Path(file).getFileSystem(
-    new org.apache.hadoop.conf.Configuration())
+    EventLogSource.mapToConf(hadoopConf))
   private val stream = fs.open(new Path(file))
   private val lines = scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
   private var current: InternalRow = _
@@ -316,24 +337,32 @@ private[sources] class EventLogWrite(path: String)
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
+  // captured on the driver at write-plan time; shipped to every task
+  private val hadoopConf = EventLogSource.confToMap(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EventLogWriterFactory(path, System.currentTimeMillis())
+    new EventLogWriterFactory(path, System.currentTimeMillis(), hadoopConf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = EventLogSource.mapToConf(hadoopConf)
     messages.foreach {
       case EventFileCommit(tmp) if tmp.nonEmpty =>
         val t = new Path(tmp)
         val fs = t.getFileSystem(conf)
-        fs.rename(t, new Path(tmp.stripSuffix(".tmp")))
+        // Hadoop rename reports most failures by RETURNING FALSE, not
+        // throwing — an unchecked rename would "commit" rows into a .tmp
+        // file no reader ever lists (silent data loss)
+        if (!fs.rename(t, new Path(tmp.stripSuffix(".tmp"))))
+          throw new java.io.IOException(s"commit rename failed for $tmp")
       case _ => ()
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = EventLogSource.mapToConf(hadoopConf)
     messages.foreach {
       case EventFileCommit(tmp) if tmp.nonEmpty =>
         val t = new Path(tmp)
@@ -346,11 +375,12 @@ private[sources] class EventLogWrite(path: String)
 private[sources] case class EventFileCommit(tmpPath: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[sources] class EventLogWriterFactory(path: String, epoch: Long)
+private[sources] class EventLogWriterFactory(
+    path: String, epoch: Long, hadoopConf: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new EventLogWriter(path, epoch, partitionId, taskId)
+    new EventLogWriter(path, epoch, partitionId, taskId, hadoopConf)
 }
 
 /** Serializes rows back to the exact line shape the reader parses —
@@ -359,7 +389,8 @@ private[sources] class EventLogWriterFactory(path: String, epoch: Long)
   * writer memory is one row, not one partition.
   */
 private[sources] class EventLogWriter(
-    dir: String, epoch: Long, partitionId: Int, taskId: Long)
+    dir: String, epoch: Long, partitionId: Int, taskId: Long,
+    hadoopConf: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -367,6 +398,7 @@ private[sources] class EventLogWriter(
   private val schema = EventLogSource.schema
   private val tmp = new Path(dir, f"part-$epoch%013d-$partitionId%05d-$taskId.json.tmp")
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var created = false // file may exist even when a first write threw
   private var rows = 0
 
   override def write(row: InternalRow): Unit = {
@@ -392,9 +424,11 @@ private[sources] class EventLogWriter(
         case other => throw new IllegalStateException(s"unhandled type $other")
       }
     }
-    if (out == null)
-      out = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (out == null) {
+      out = tmp.getFileSystem(EventLogSource.mapToConf(hadoopConf))
         .create(tmp, true)
+      created = true
+    }
     out.write((mapper.writeValueAsString(node) + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rows += 1
@@ -407,8 +441,10 @@ private[sources] class EventLogWriter(
 
   override def abort(): Unit = {
     close()
-    if (rows > 0)
-      tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // keyed on `created`, not rows: a first-row write that threw after
+    // opening the stream must not leave an orphan temp behind
+    if (created)
+      tmp.getFileSystem(EventLogSource.mapToConf(hadoopConf))
         .delete(tmp, false)
   }
 

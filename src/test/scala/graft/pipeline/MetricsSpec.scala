@@ -36,7 +36,11 @@ class MetricsSpec extends AnyFunSuite {
     assert(d3("graft_payload_failures_total") == 1)
   }
 
-  test("fromActions counts upserts and deletes") {
+  test("payload building does NOT count — delivery success does") {
+    // build-time counters would double on every failed-epoch replay and
+    // count never-delivered actions; the increments live in SyncPipeline's
+    // foreachBatch AFTER the epoch's delivery completed (asserted live in
+    // the pipeline test below)
     val ts = new java.sql.Timestamp(0)
     val up = SyncAction(SyncAction.Upsert, "k1", Some(ResourceEventRow(
       "ADD", 1, ts, "k1", "ns", "n", "Deployment", "apps/v1", "apps", null, null, ts)))
@@ -44,7 +48,38 @@ class MetricsSpec extends AnyFunSuite {
     val d = delta("graft_upserts_total", "graft_deletes_total") {
       Payloads.fromActions(Seq(up, del, up), maxBatch = 10)
     }
-    assert(d("graft_upserts_total") == 2 && d("graft_deletes_total") == 1)
+    assert(d("graft_upserts_total") == 0 && d("graft_deletes_total") == 0)
+  }
+
+  test("a delivered pipeline epoch counts its upserts and deletes exactly once") {
+    val spark = graft.SparkSpec.session
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[ResourceEventRow] =
+      org.apache.spark.sql.Encoders.product[ResourceEventRow]
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ts = new java.sql.Timestamp(0)
+    val sink = new RestSink(post = _ => 200, sleep = _ => ())
+    val source = MemoryStream[ResourceEventRow]
+    def ev(name: String, typ: String, seq: Long) = ResourceEventRow(
+      typ, seq, ts, s"ns/apps/v1/D/$name", "ns", name, "D", "apps/v1", "apps",
+      null, null, ts)
+    val upsBefore = Metrics.global.value("graft_upserts_total")
+    val delsBefore = Metrics.global.value("graft_deletes_total")
+    val query = SyncPipeline.start(source.toDS(), sink,
+      SyncPipeline.Config(debounceMs = 100, flushIntervalMs = 50,
+        checkpointDir =
+          java.nio.file.Files.createTempDirectory("metrics_ckpt").toString))
+    try {
+      source.addData(ev("a", "ADD", 1), ev("b", "ADD", 2), ev("c", "DELETE", 3))
+      val deadline = System.currentTimeMillis() + 30000
+      while ((Metrics.global.value("graft_upserts_total") < upsBefore + 2 ||
+          Metrics.global.value("graft_deletes_total") < delsBefore + 1) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally query.stop()
+    assert(Metrics.global.value("graft_upserts_total") == upsBefore + 2)
+    assert(Metrics.global.value("graft_deletes_total") == delsBefore + 1)
   }
 
   test("resync runs count; GET /metrics exposes the counters") {

@@ -36,6 +36,12 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(CorpusQueries.connectedComponents(edges()).isEmpty)
   }
 
+  test("connected components: a self-loop-only node labels itself") {
+    val cc = CorpusQueries.connectedComponents(edges(5L -> 5L, 1L -> 2L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("connected components: a 64-node path resolves in O(log n) rounds") {
     // the adversarial case for min-label propagation (diameter rounds =
     // 63); large-star/small-star must land in logarithmic rounds
