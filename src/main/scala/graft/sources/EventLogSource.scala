@@ -96,7 +96,7 @@ private[sources] class EventLogTable(path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path, options.getInt("maxFilesPerTrigger", 0))
   override def newWriteBuilder(
@@ -346,16 +346,39 @@ private[sources] class EventLogWrite(path: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new EventLogWriterFactory(path, System.currentTimeMillis(), hadoopConf)
 
+  /** Streaming form: file names derive from (epochId, partition) — NOT the
+    * task attempt — so a replayed epoch (checkpoint restart before the
+    * commit recorded) rewrites the exact same files instead of appending
+    * duplicates: exactly-once by idempotent naming, the same contract the
+    * pipeline's idempotent REST upserts follow.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        // a standalone factory: an anonymous inner class here would drag
+        // this non-serializable Write into every task closure
+        new EventLogStreamingWriterFactory(path, hadoopConf)
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        EventLogWrite.this.commit(messages)
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        EventLogWrite.this.abort(messages)
+    }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = EventLogSource.mapToConf(hadoopConf)
     messages.foreach {
       case EventFileCommit(tmp) if tmp.nonEmpty =>
         val t = new Path(tmp)
         val fs = t.getFileSystem(conf)
+        val dst = new Path(tmp.stripSuffix(".tmp"))
+        // a replayed streaming epoch legitimately re-commits the same
+        // deterministic name — replace the previous attempt's file
+        if (fs.exists(dst)) fs.delete(dst, false)
         // Hadoop rename reports most failures by RETURNING FALSE, not
         // throwing — an unchecked rename would "commit" rows into a .tmp
         // file no reader ever lists (silent data loss)
-        if (!fs.rename(t, new Path(tmp.stripSuffix(".tmp"))))
+        if (!fs.rename(t, dst))
           throw new java.io.IOException(s"commit rename failed for $tmp")
       case _ => ()
     }
@@ -374,6 +397,16 @@ private[sources] class EventLogWrite(path: String)
 
 private[sources] case class EventFileCommit(tmpPath: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class EventLogStreamingWriterFactory(
+    path: String, hadoopConf: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    // (epoch, partition) naming — task attempt excluded so a replayed
+    // epoch rewrites its files (exactly-once by idempotent naming)
+    new EventLogWriter(path, epochId, partitionId, 0L, hadoopConf)
+}
 
 private[sources] class EventLogWriterFactory(
     path: String, epoch: Long, hadoopConf: Array[(String, String)])

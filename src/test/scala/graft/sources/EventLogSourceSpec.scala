@@ -194,6 +194,36 @@ class EventLogSourceSpec extends SparkSpec {
     assert(firstFileSeqs == Seq(1L, 2L, 3L), firstFileSeqs)
   }
 
+  test("streaming write commits epoch-deterministic files readable by both readers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dsv2_swrite").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsv2_swrite_ckpt").toString
+    val source = MemoryStream[(Long, String)]
+    val events = source.toDS().map { case (i, n) =>
+      ResourceEventRow("ADD", i, new Timestamp(0), s"x/$i", "ns", n, "D",
+        "apps/v1", "apps", null, null, new Timestamp(0))
+    }
+    val q = events.writeStream.format(fmt)
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      source.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    // names carry (epoch, partition) only — a replayed epoch would rewrite
+    // these exact files rather than append attempt-suffixed duplicates
+    assert(files.forall(_.matches("part-\\d{13}-\\d{5}-0\\.json")), files)
+    val seqs = spark.read.format(fmt).load(out)
+      .select("event_seq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(1L, 2L, 3L), seqs)
+  }
+
   test("empty and missing directories read as empty, not as errors") {
     val empty = java.nio.file.Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format(fmt).load(empty).isEmpty)
