@@ -98,7 +98,8 @@ private[sources] class EventLogTable(path: String)
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventLogScanBuilder(path, options.getInt("maxFilesPerTrigger", 0))
+    new EventLogScanBuilder(path, options.getInt("maxFilesPerTrigger", 0),
+      options.getOrDefault("mode", "FAILFAST").toUpperCase == "PERMISSIVE")
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -112,7 +113,8 @@ private[sources] class EventLogTable(path: String)
   }
 }
 
-private[sources] class EventLogScanBuilder(path: String, maxFilesPerTrigger: Int)
+private[sources] class EventLogScanBuilder(
+    path: String, maxFilesPerTrigger: Int, permissive: Boolean)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -142,12 +144,12 @@ private[sources] class EventLogScanBuilder(path: String, maxFilesPerTrigger: Int
     required = requiredSchema
 
   override def build(): Scan =
-    new EventLogScan(path, required, pushed, maxFilesPerTrigger)
+    new EventLogScan(path, required, pushed, maxFilesPerTrigger, permissive)
 }
 
 private[sources] class EventLogScan(
     path: String, required: StructType, val pushed: Array[Filter],
-    maxFilesPerTrigger: Int = 0)
+    maxFilesPerTrigger: Int = 0, permissive: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -165,11 +167,12 @@ private[sources] class EventLogScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(required, pushed,
       EventLogSource.confToMap(org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration))
+        .sparkContext.hadoopConfiguration), permissive)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EventLogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
+    new EventLogMicroBatchStream(
+      path, required, pushed, maxFilesPerTrigger, permissive)
 }
 
 /** Streaming form of the same scan: the offset is "how many files of the
@@ -184,7 +187,7 @@ private[sources] class EventLogScan(
   */
 private[sources] class EventLogMicroBatchStream(
     path: String, required: StructType, pushed: Array[Filter],
-    maxFilesPerTrigger: Int = 0)
+    maxFilesPerTrigger: Int = 0, permissive: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -226,7 +229,7 @@ private[sources] class EventLogMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(required, pushed,
       EventLogSource.confToMap(org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration))
+        .sparkContext.hadoopConfiguration), permissive)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -236,12 +239,12 @@ private[sources] case class EventFilePartition(file: String) extends InputPartit
 
 private[sources] class EventLogReaderFactory(
     required: StructType, pushed: Array[Filter],
-    hadoopConf: Array[(String, String)])
+    hadoopConf: Array[(String, String)], permissive: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EventLogReader(
       partition.asInstanceOf[EventFilePartition].file, required, pushed,
-      hadoopConf)
+      hadoopConf, permissive)
 }
 
 /** Line-at-a-time reader: parse JSON, evaluate pushed predicates on the
@@ -249,7 +252,7 @@ private[sources] class EventLogReaderFactory(
   */
 private[sources] class EventLogReader(
     file: String, required: StructType, pushed: Array[Filter],
-    hadoopConf: Array[(String, String)])
+    hadoopConf: Array[(String, String)], permissive: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper
@@ -264,8 +267,18 @@ private[sources] class EventLogReader(
     while (current == null && lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
-        val node = mapper.readTree(line)
-        if (passes(node)) current = toRow(node)
+        // PERMISSIVE (option mode=permissive): a malformed line is skipped
+        // instead of failing the task — a 100 TB log always carries some
+        // truncated tail or corrupt record, and one bad line must not kill
+        // the scan. Default stays FAILFAST: silent skipping is the wrong
+        // default for a sync pipeline's source of record.
+        val node =
+          try mapper.readTree(line)
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              if (permissive) null else throw e
+          }
+        if (node != null && passes(node)) current = toRow(node)
       }
     }
     current != null

@@ -224,6 +224,23 @@ class EventLogSourceSpec extends SparkSpec {
     assert(seqs == Seq(1L, 2L, 3L), seqs)
   }
 
+  test("a malformed line fails the scan by default and skips under mode=permissive") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, "mixed.json"),
+      Seq(
+        s"""{"event_type":"ADD","event_seq":1,"ts":"2020-01-01T00:00:00.000Z","id":"x/1","namespace":"ns","name":"n1","kind":"D","apiVersion":"apps/v1","apiGroup":"apps","labels":null,"annotations":null,"createdAt":"2020-01-01T00:00:00.000Z"}""",
+        """{"event_type":"ADD","event_seq":2,TRUNCATED GARBAGE""",
+        s"""{"event_type":"ADD","event_seq":3,"ts":"2020-01-01T00:00:00.000Z","id":"x/3","namespace":"ns","name":"n3","kind":"D","apiVersion":"apps/v1","apiGroup":"apps","labels":null,"annotations":null,"createdAt":"2020-01-01T00:00:00.000Z"}""")
+        .mkString("\n"))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format(fmt).load(d).count()
+    }
+    val seqs = spark.read.format(fmt).option("mode", "permissive").load(d)
+      .select("event_seq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(1L, 3L), seqs)
+  }
+
   test("empty and missing directories read as empty, not as errors") {
     val empty = java.nio.file.Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format(fmt).load(empty).isEmpty)
