@@ -99,7 +99,7 @@ private[sources] class EventLogTable(path: String)
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(path, options.getInt("maxFilesPerTrigger", 0),
-      options.getOrDefault("mode", "FAILFAST").toUpperCase == "PERMISSIVE")
+      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "FAILFAST")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -267,18 +267,21 @@ private[sources] class EventLogReader(
     while (current == null && lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
-        // PERMISSIVE (option mode=permissive): a malformed line is skipped
-        // instead of failing the task — a 100 TB log always carries some
-        // truncated tail or corrupt record, and one bad line must not kill
-        // the scan. Default stays FAILFAST: silent skipping is the wrong
+        // PERMISSIVE (option mode=permissive): a malformed line — invalid
+        // JSON, a non-object, or a field that fails conversion (bad
+        // timestamp text) — is skipped instead of failing the task: a
+        // 100 TB log always carries a truncated tail or corrupt record
+        // somewhere. Default stays FAILFAST: silent skipping is the wrong
         // default for a sync pipeline's source of record.
-        val node =
-          try mapper.readTree(line)
-          catch {
-            case e: com.fasterxml.jackson.core.JacksonException =>
-              if (permissive) null else throw e
-          }
-        if (node != null && passes(node)) current = toRow(node)
+        if (permissive) {
+          try {
+            val node = mapper.readTree(line)
+            if (node.isObject && passes(node)) current = toRow(node)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        } else {
+          val node = mapper.readTree(line)
+          if (passes(node)) current = toRow(node)
+        }
       }
     }
     current != null
@@ -359,11 +362,21 @@ private[sources] class EventLogWrite(path: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new EventLogWriterFactory(path, System.currentTimeMillis(), hadoopConf)
 
-  /** Streaming form: file names derive from (epochId, partition) — NOT the
-    * task attempt — so a replayed epoch (checkpoint restart before the
-    * commit recorded) rewrites the exact same files instead of appending
-    * duplicates: exactly-once by idempotent naming, the same contract the
-    * pipeline's idempotent REST upserts follow.
+  /** Streaming form. VISIBLE file names derive from (epochId, partition)
+    * — never the task attempt — while each attempt writes its own
+    * attempt-unique temp (speculative/retried attempts of one partition
+    * cannot clobber each other's in-flight files). Commit first removes
+    * every visible file of the epoch, then renames the new set in: a
+    * replayed epoch (checkpoint restart before its commit was recorded)
+    * therefore ends up with EXACTLY the replay's file set even when the
+    * replay's partitioning differs — no stale file from a partition that
+    * vanished on retry. Exactly-once by idempotent naming, the same
+    * contract as the pipeline's idempotent REST upserts.
+    *
+    * Ownership contract (as with Spark's built-in file sink): the output
+    * directory belongs to ONE streaming query; mixing batch writes or a
+    * second query in the same directory breaks both the epoch-name space
+    * and the reader's sorted-order offset assumption.
     */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -372,26 +385,46 @@ private[sources] class EventLogWrite(path: String)
         // a standalone factory: an anonymous inner class here would drag
         // this non-serializable Write into every task closure
         new EventLogStreamingWriterFactory(path, hadoopConf)
-      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-        EventLogWrite.this.commit(messages)
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        // pre-clean the epoch's visible files so the committed set is
+        // exactly this attempt's — not a union with an earlier attempt's
+        val conf = EventLogSource.mapToConf(hadoopConf)
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(conf)
+        val prefix = f"part-$epochId%013d-"
+        if (fs.exists(dir))
+          fs.listStatus(dir).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isFile && n.startsWith(prefix) && n.endsWith(".json"))
+              fs.delete(st.getPath, false)
+          }
+        EventLogWrite.this.commitRenames(messages, replace = true)
+      }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         EventLogWrite.this.abort(messages)
     }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitRenames(messages, replace = false)
+
+  /** `replace = true` (streaming replay only): an existing destination is
+    * a previous attempt of the SAME epoch and is replaced; the batch path
+    * keeps replace = false so a genuine name collision fails loudly.
+    */
+  private def commitRenames(
+      messages: Array[WriterCommitMessage], replace: Boolean): Unit = {
     val conf = EventLogSource.mapToConf(hadoopConf)
     messages.foreach {
-      case EventFileCommit(tmp) if tmp.nonEmpty =>
+      case EventFileCommit(tmp, dst) if tmp.nonEmpty =>
         val t = new Path(tmp)
         val fs = t.getFileSystem(conf)
-        val dst = new Path(tmp.stripSuffix(".tmp"))
-        // a replayed streaming epoch legitimately re-commits the same
-        // deterministic name — replace the previous attempt's file
-        if (fs.exists(dst)) fs.delete(dst, false)
+        val d = new Path(dst)
+        // delete returns false on a missing path — no exists() round-trip
+        if (replace) fs.delete(d, false)
         // Hadoop rename reports most failures by RETURNING FALSE, not
         // throwing — an unchecked rename would "commit" rows into a .tmp
         // file no reader ever lists (silent data loss)
-        if (!fs.rename(t, dst))
+        if (!fs.rename(t, d))
           throw new java.io.IOException(s"commit rename failed for $tmp")
       case _ => ()
     }
@@ -400,7 +433,7 @@ private[sources] class EventLogWrite(path: String)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = EventLogSource.mapToConf(hadoopConf)
     messages.foreach {
-      case EventFileCommit(tmp) if tmp.nonEmpty =>
+      case EventFileCommit(tmp, _) if tmp.nonEmpty =>
         val t = new Path(tmp)
         t.getFileSystem(conf).delete(t, false)
       case _ => ()
@@ -408,7 +441,7 @@ private[sources] class EventLogWrite(path: String)
   }
 }
 
-private[sources] case class EventFileCommit(tmpPath: String)
+private[sources] case class EventFileCommit(tmpPath: String, dstPath: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class EventLogStreamingWriterFactory(
@@ -416,9 +449,13 @@ private[sources] class EventLogStreamingWriterFactory(
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    // (epoch, partition) naming — task attempt excluded so a replayed
-    // epoch rewrites its files (exactly-once by idempotent naming)
-    new EventLogWriter(path, epochId, partitionId, 0L, hadoopConf)
+    // temp carries the ATTEMPT (taskId) so concurrent attempts never share
+    // a file; the visible name carries only (epoch, partition) so replays
+    // land on identical names
+    new EventLogWriter(path,
+      tmpName = f"part-$epochId%013d-$partitionId%05d-$taskId.json.tmp",
+      dstName = f"part-$epochId%013d-$partitionId%05d.json",
+      hadoopConf)
 }
 
 private[sources] class EventLogWriterFactory(
@@ -426,7 +463,10 @@ private[sources] class EventLogWriterFactory(
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new EventLogWriter(path, epoch, partitionId, taskId, hadoopConf)
+    new EventLogWriter(path,
+      tmpName = f"part-$epoch%013d-$partitionId%05d-$taskId.json.tmp",
+      dstName = f"part-$epoch%013d-$partitionId%05d-$taskId.json",
+      hadoopConf)
 }
 
 /** Serializes rows back to the exact line shape the reader parses —
@@ -435,14 +475,15 @@ private[sources] class EventLogWriterFactory(
   * writer memory is one row, not one partition.
   */
 private[sources] class EventLogWriter(
-    dir: String, epoch: Long, partitionId: Int, taskId: Long,
+    dir: String, tmpName: String, dstName: String,
     hadoopConf: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
   private val mapper = new ObjectMapper
   private val schema = EventLogSource.schema
-  private val tmp = new Path(dir, f"part-$epoch%013d-$partitionId%05d-$taskId.json.tmp")
+  private val tmp = new Path(dir, tmpName)
+  private val dst = new Path(dir, dstName)
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private var created = false // file may exist even when a first write threw
   private var rows = 0
@@ -482,7 +523,8 @@ private[sources] class EventLogWriter(
 
   override def commit(): WriterCommitMessage = {
     close()
-    if (rows == 0) EventFileCommit("") else EventFileCommit(tmp.toString)
+    if (rows == 0) EventFileCommit("", "")
+    else EventFileCommit(tmp.toString, dst.toString)
   }
 
   override def abort(): Unit = {

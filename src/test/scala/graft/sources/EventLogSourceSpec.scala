@@ -216,9 +216,10 @@ class EventLogSourceSpec extends SparkSpec {
     } finally q.stop()
     val files = new java.io.File(out).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted.toSeq
-    // names carry (epoch, partition) only — a replayed epoch would rewrite
-    // these exact files rather than append attempt-suffixed duplicates
-    assert(files.forall(_.matches("part-\\d{13}-\\d{5}-0\\.json")), files)
+    // visible names carry (epoch, partition) only — a replayed epoch would
+    // rewrite these exact files rather than append attempt-suffixed
+    // duplicates (attempts only ever differ in their .tmp names)
+    assert(files.forall(_.matches("part-\\d{13}-\\d{5}\\.json")), files)
     val seqs = spark.read.format(fmt).load(out)
       .select("event_seq").collect().map(_.getLong(0)).sorted.toSeq
     assert(seqs == Seq(1L, 2L, 3L), seqs)
