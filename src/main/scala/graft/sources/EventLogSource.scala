@@ -97,9 +97,13 @@ private[sources] class EventLogTable(path: String)
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val mode = options.getOrDefault("mode", "FAILFAST")
+    require(Seq("failfast", "permissive").exists(_.equalsIgnoreCase(mode)),
+      s"unsupported mode '$mode' — this source supports FAILFAST and PERMISSIVE")
     new EventLogScanBuilder(path, options.getInt("maxFilesPerTrigger", 0),
-      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "FAILFAST")))
+      "permissive".equalsIgnoreCase(mode))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -280,6 +284,12 @@ private[sources] class EventLogReader(
           } catch { case scala.util.control.NonFatal(_) => () }
         } else {
           val node = mapper.readTree(line)
+          // a valid-JSON non-object ('42', '[1]') must FAIL here, not
+          // fabricate an all-null row — silent fabrication is worse than
+          // the silent skipping the mode exists to prevent
+          if (!node.isObject)
+            throw new java.io.IOException(
+              s"event-log line is not a JSON object: $line")
           if (passes(node)) current = toRow(node)
         }
       }
@@ -376,7 +386,12 @@ private[sources] class EventLogWrite(path: String)
     * Ownership contract (as with Spark's built-in file sink): the output
     * directory belongs to ONE streaming query; mixing batch writes or a
     * second query in the same directory breaks both the epoch-name space
-    * and the reader's sorted-order offset assumption.
+    * and the reader's sorted-order offset assumption. Composition caveat:
+    * a count-offset EventLogSource READER tailing this sink's directory
+    * sees the replayed epoch's file set swap during the first commit after
+    * a sink restart — readers should tail append-only logs (the pipeline's
+    * actual topology); chaining reader-on-sink-dir needs a manifest-based
+    * sink (Spark's built-in file sink) for a seamless replay window.
     */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -385,20 +400,28 @@ private[sources] class EventLogWrite(path: String)
         // a standalone factory: an anonymous inner class here would drag
         // this non-serializable Write into every task closure
         new EventLogStreamingWriterFactory(path, hadoopConf)
+      // only the FIRST commit after (re)start can be an epoch replay —
+      // every later epoch id is fresh by construction — so the pre-clean
+      // listing runs once per query run, not once per micro-batch
+      private var firstCommit = true
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-        // pre-clean the epoch's visible files so the committed set is
-        // exactly this attempt's — not a union with an earlier attempt's
-        val conf = EventLogSource.mapToConf(hadoopConf)
-        val dir = new Path(path)
-        val fs = dir.getFileSystem(conf)
-        val prefix = f"part-$epochId%013d-"
-        if (fs.exists(dir))
-          fs.listStatus(dir).foreach { st =>
-            val n = st.getPath.getName
-            if (st.isFile && n.startsWith(prefix) && n.endsWith(".json"))
-              fs.delete(st.getPath, false)
-          }
-        EventLogWrite.this.commitRenames(messages, replace = true)
+        if (firstCommit) {
+          // remove the replayed epoch's previous visible files so the
+          // committed set is exactly this attempt's — not a union with an
+          // earlier attempt that may have partitioned differently
+          val conf = EventLogSource.mapToConf(hadoopConf)
+          val dir = new Path(path)
+          val fs = dir.getFileSystem(conf)
+          val prefix = f"part-$epochId%013d-"
+          if (fs.exists(dir))
+            fs.listStatus(dir).foreach { st =>
+              val n = st.getPath.getName
+              if (st.isFile && n.startsWith(prefix) && n.endsWith(".json"))
+                fs.delete(st.getPath, false)
+            }
+          firstCommit = false
+        }
+        EventLogWrite.this.commitRenames(messages, replace = false)
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         EventLogWrite.this.abort(messages)
