@@ -45,11 +45,20 @@ object CorpusBuild {
       .withColumn("chunk_id",
         floor(coalesce(sum("n_tokens").over(w), lit(0)) / 512.0))
     kept.write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)
-    spark.read.parquet(outDir)
-      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
+    // counts come from re-READING the written layout (proving the write,
+    // not the plan); an all-empty corpus writes no partition directories,
+    // which parquet cannot infer a schema from — that IS the empty manifest
+    try
+      spark.read.parquet(outDir)
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        Map.empty
+    }
   }
 
   /** `runMain graft.queries.CorpusBuild [outDir]` over SPARK_GRAFT_SF_DIR;

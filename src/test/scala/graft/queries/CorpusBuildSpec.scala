@@ -34,6 +34,18 @@ class CorpusBuildSpec extends SparkSpec {
     assert(splits.nonEmpty, splits)
   }
 
+  test("an empty corpus builds an empty manifest, not an error") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("corpus_empty_in").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.names.foreach { t =>
+      spark.read.parquet(graft.Tables.path(sf001, t))
+        .limit(0).write.mode("overwrite").parquet(graft.Tables.path(emptyDir, t))
+    }
+    val out = java.nio.file.Files.createTempDirectory("corpus_empty_out").toString
+    val counts = CorpusBuild.run(spark, emptyDir, out)
+    assert(counts.isEmpty, counts)
+  }
+
   test("chunk ids are monotone non-decreasing along each partition's doc order") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "split").orderBy("doc_id")
