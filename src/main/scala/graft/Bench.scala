@@ -83,12 +83,24 @@ object Bench {
     // clears the same gate, not to win a tie against the driver loop
     val upsExec = if (only.isDefined) -1.0
       else pipelineThroughput(spark, executorSide = true)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
-      s""""stat":"min","sf":"$sfDir"}""")
+      s""""stat":"min","sf":"$sfDir"}"""
+    println(line)
+    // Tail-capture defense: BENCH_r04/r05 both recorded `parsed: null`
+    // because executor-shutdown WARN spam after this point pushed the metric
+    // line out of the driver's captured tail. Persist it to a sidecar file
+    // and RE-print it after spark.stop(), flushed, as the process's final
+    // stdout line — whichever channel survives, the record does.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => }
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 
   /** BASELINE.md pipeline gate: sustain ≥100 upserts/s (10× the reference's

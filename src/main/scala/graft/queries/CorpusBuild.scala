@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The runnable corpus build — the training-data twin of the sync side's
@@ -33,17 +32,19 @@ object CorpusBuild {
     val drops = CorpusQueries.connectedComponents(edges)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
-    val w = Window.partitionBy("lang", "split").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
     // no broadcast hint: the drop set scales with the corpus's duplicate
     // mass, not with cluster count — let the planner (AQE) pick shuffle vs
-    // broadcast from its actual size
-    val kept = docs
-      .join(drops, Seq("doc_id"), "left_anti")
-      .withColumn("split", CorpusQueries.splitCol)
-      .withColumn("n_tokens", size(tokens(col("text"))))
-      .withColumn("chunk_id",
-        floor(coalesce(sum("n_tokens").over(w), lit(0)) / 512.0))
+    // broadcast from its actual size. Chunk ids come from the two-phase
+    // blocked prefix sum (CorpusQueries.withTokensBefore) keyed by the
+    // output partition — never one window task per (lang, split).
+    val kept = CorpusQueries.withTokensBefore(
+        docs
+          .join(drops, Seq("doc_id"), "left_anti")
+          .withColumn("split", CorpusQueries.splitCol)
+          .withColumn("n_tokens", size(tokens(col("text")))),
+        Seq("lang", "split"))
+      .withColumn("chunk_id", floor(col("tokens_before") / 512.0))
+      .drop("tokens_before")
     kept.write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)
     // counts come from re-READING the written layout (proving the write,
     // not the plan); an all-empty corpus writes no partition directories,

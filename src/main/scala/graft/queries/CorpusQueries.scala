@@ -46,6 +46,66 @@ object CorpusQueries {
          WHEN $duckBucket < 90 THEN 'val'
          ELSE 'test' END"""
 
+  /** Default chunking block: 2^18 consecutive doc_ids per window partition.
+    * At ~10^10 docs (a 100 TB corpus) that is ~40k blocks per language —
+    * the offsets table stays broadcast-sized while each window partition
+    * is bounded by the block, not by the language's share of the corpus.
+    */
+  val ChunkBlockSize: Long = 1L << 18
+
+  /** Exclusive running sum of `n_tokens` ordered by `doc_id` within each
+    * `keys` group, as a two-phase (blocked) prefix sum — the scale-safe
+    * form of `sum(n_tokens) OVER (PARTITION BY keys ORDER BY doc_id ROWS
+    * UNBOUNDED PRECEDING .. 1 PRECEDING)`.
+    *
+    * A single window partitioned only by `lang` puts an entire language on
+    * one task — at 100 TB a hot language is a multi-TB window partition.
+    * Instead: bucket rows by `doc_id DIV blockSize` (deterministic integer
+    * arithmetic — blocks are contiguous doc_id ranges, so (keys, _blk asc,
+    * doc_id asc) is the same total order; no range-partitioner sampling,
+    * no pinned partitioning needed), then
+    *
+    *   phase 1 — ONE shuffle on (keys, _blk): per-block local exclusive
+    *     cumsum plus the block's total, both from the same WindowExec
+    *     partitioning; materialized (localCheckpoint) so the expensive
+    *     upstream (tokenize at 100 TB) runs once;
+    *   phase 2 — reduce to one row per (keys, _blk) [tiny: #keys × #blocks],
+    *     exclusive-prefix those totals per key (a window over the tiny
+    *     frame), broadcast-join the offsets back: tokens_before =
+    *     local_before + block_offset.
+    *
+    * Row-identical to the single-window form (CorpusQueriesSpec proves it
+    * on a one-language skew fixture where this plan uses many window
+    * partitions and the naive plan uses one).
+    *
+    * `docs` must carry `doc_id` (integral), the `keys` columns, and
+    * `n_tokens`; adds `tokens_before`.
+    */
+  private[queries] def withTokensBefore(
+      docs: DataFrame, keys: Seq[String],
+      blockSize: Long = ChunkBlockSize): DataFrame = {
+    val grpBlk = (keys :+ "_blk").map(col)
+    val localW = Window.partitionBy(grpBlk: _*).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockW = Window.partitionBy(grpBlk: _*)
+    val staged = docs
+      .withColumn("_blk", expr(s"doc_id DIV $blockSize"))
+      .withColumn("_local_before",
+        coalesce(sum("n_tokens").over(localW), lit(0L)))
+      .withColumn("_blk_total", sum("n_tokens").over(blockW))
+      .localCheckpoint()
+    val offW = Window.partitionBy(keys.map(col): _*).orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = staged
+      .groupBy(grpBlk: _*).agg(max("_blk_total").as("_t"))
+      .withColumn("_blk_before", coalesce(sum("_t").over(offW), lit(0L)))
+      .drop("_t")
+    staged
+      .join(broadcast(offsets), keys :+ "_blk")
+      .withColumn("tokens_before", col("_local_before") + col("_blk_before"))
+      .drop("_blk", "_local_before", "_blk_total", "_blk_before")
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014). Each round contracts the graph toward per-component stars
@@ -225,17 +285,16 @@ object CorpusQueries {
       (s, dir) => {
         // Token-budget sequence chunking: stream each lang's docs in
         // doc_id order and cut a new training chunk every 512 tokens of
-        // cumulative budget (chunk_id = ⌊tokens-before / 512⌋). One
-        // window cumsum per lang — a single shuffle on the partition key;
-        // at 100 TB the partition key set (lang, or lang×source) keeps
-        // every window partition executor-sized, unlike a global pack.
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, dir)
+        // cumulative budget (chunk_id = ⌊tokens-before / 512⌋). The cumsum
+        // is the two-phase blocked prefix sum (withTokensBefore) — a naive
+        // PARTITION BY lang window is one task per language, and at 100 TB
+        // a hot language is a multi-TB window partition.
+        val d = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             size(tokens(col("text"))).as("n_tokens"))
-          .withColumn("chunk_id",
-            floor(coalesce(sum("n_tokens").over(w), lit(0)) / 512.0))
+        withTokensBefore(d, Seq("lang"))
+          .withColumn("chunk_id", floor(col("tokens_before") / 512.0))
+          .select("doc_id", "lang", "n_tokens", "chunk_id")
           .orderBy("doc_id")
       },
       Some(s"""WITH d AS (SELECT doc_id, lang,

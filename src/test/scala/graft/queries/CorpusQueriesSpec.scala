@@ -87,6 +87,35 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.1) < 0.05)
   }
 
+  test("blocked prefix sum matches the single-window cumsum and splits a hot language") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5k docs in TWO languages, one of them 90% of the corpus — the naive
+    // PARTITION BY lang window puts that language on ONE task; the blocked
+    // form must spread it over many (lang, _blk) window partitions while
+    // producing identical exclusive cumsums.
+    val docs = (0L until 5000L)
+      .map(i => (i, if (i % 10 == 0) "zh" else "en", (i % 37 + 1).toInt))
+      .toDF("doc_id", "lang", "n_tokens")
+    val blocked =
+      CorpusQueries.withTokensBefore(docs, Seq("lang"), blockSize = 256L)
+    val naiveW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs.withColumn("tokens_before",
+      coalesce(sum("n_tokens").over(naiveW), lit(0L)))
+    val got = blocked.select("doc_id", "tokens_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = naive.select("doc_id", "tokens_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // the heavy window really is partitioned by the block, not just lang:
+    // the executed plan's Window nodes carry _blk in their partition spec,
+    // and the fixture spans many blocks (5000 / 256 = 20)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(plan.contains("_blk"), plan.take(2000))
+    assert(docs.select(expr("doc_id DIV 256")).distinct().count() == 20)
+  }
+
   test("cluster keepers: exactly one keeper per cluster, keeper is the min id") {
     val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, sf001)
     val perCluster = out.groupBy("cluster_id").agg(
