@@ -2,7 +2,6 @@ package graft.functions
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF index construction: a k-means centroid table (the coarse quantizer)
@@ -30,11 +29,18 @@ object VectorIndex {
       k: Int,
       iters: Int): DataFrame = {
     import spark.implicits._
-    var centroids = embeddings
+    // number the k seeds on the driver: they're already a bounded collect
+    // (k·dim doubles, the same budget as the per-iteration centroid
+    // refresh below) — an unpartitioned row_number window here would move
+    // the k rows to one task AND spam "No Partition Defined for Window"
+    // over every bench/test run
+    val seeds = embeddings
       .orderBy("vec_id").limit(k)
-      .select(
-        (row_number().over(Window.orderBy("vec_id")) - 1).as("cell"),
-        col("embedding").cast("array<double>").as("centroid"))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    var centroids = seeds.sortBy(_._1).zipWithIndex
+      .map { case ((_, v), cell) => (cell, v) }.toSeq
+      .toDF("cell", "centroid")
     (0 until iters).foreach { _ =>
       val assigned = assignCells(embeddings, centroids)
       val updated = assigned

@@ -14,6 +14,9 @@ import java.nio.charset.StandardCharsets
   *   - success  → 200 {"status":"ok","resources":N,"message":"resynced N resources"}
   *   - failure  → 500 {"status":"error","resources":0,"message":"resync failed: ..."}
   *   - non-POST → 405 (the reference's "POST /api/v1/resync" mux pattern)
+  *   - already running → 429 (engine addition: a second concurrent request
+  *     is rejected up front instead of parking a handler thread for the
+  *     length of a full source scan)
   *
   * The trigger funnels through [[ResyncScheduler.triggerNow]], so API-driven
   * and cadence-driven resyncs serialize on the same runner and can never
@@ -34,15 +37,23 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
     s.createContext("/healthz", (ex: HttpExchange) => handlePing(ex))
     s.createContext("/readyz", (ex: HttpExchange) => handlePing(ex))
     s.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
-    // a cached pool, NOT the single dispatch thread: a resync can run for
-    // the length of a full source scan, and liveness/readiness probes must
-    // answer while it does (resyncs themselves still serialize inside the
-    // ResyncScheduler's runner)
-    s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    // a small BOUNDED pool, NOT the single dispatch thread: a resync can
+    // run for the length of a full source scan and liveness/readiness
+    // probes must answer while it does — but an unbounded (cached) pool
+    // plus a blocking handler is a thread-exhaustion surface on an ops
+    // endpoint. Four threads cover probes + metrics + the one admitted
+    // resync; extra resync requests are rejected up front (429 below)
+    // instead of parking a thread each for the length of a scan.
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-api"); t.setDaemon(true); t
     }))
     s
   }
+
+  // admission gate for the one long-running endpoint: a second concurrent
+  // resync request answers 429 immediately rather than queueing behind the
+  // running scan (the ResyncScheduler would serialize it anyway)
+  private val resyncInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def start(): this.type = { server.start(); this }
 
@@ -53,6 +64,9 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
     try {
       if (ex.getRequestMethod != "POST") respond(ex, 405,
         """{"status":"error","resources":0,"message":"method not allowed"}""")
+      else if (!resyncInFlight.compareAndSet(false, true))
+        respond(ex, 429,
+          """{"status":"error","resources":0,"message":"resync already in progress"}""")
       else
         try {
           val n = scheduler.triggerNow()
@@ -62,7 +76,7 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
           case e: Exception => respond(ex, 500,
             s"""{"status":"error","resources":0,"message":"resync failed: ${
               e.getMessage.replace("\"", "'")}"}""")
-        }
+        } finally resyncInFlight.set(false)
     } finally ex.close()
 
   /** Prometheus scrape endpoint (metrics-bind-address analog,

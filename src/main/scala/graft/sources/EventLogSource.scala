@@ -38,7 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference analog: the informer list+watch snapshot (A1,
   * watcher.go:110-145) — this is the batch replay of that stream.
   */
-class EventLogSource extends TableProvider {
+class EventLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** Registered via META-INF/services so
+    * `spark.read.format("graft-events")` resolves without the class name.
+    */
+  override def shortName(): String = "graft-events"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     EventLogSource.schema
 
@@ -49,6 +55,14 @@ class EventLogSource extends TableProvider {
     new EventLogTable(properties.get("path"))
 
   override def supportsExternalMetadata(): Boolean = false
+}
+
+/** SQL-friendly alias: `CREATE TABLE ... USING graft_events` (an
+  * unquoted SQL identifier can't carry the dash of the DataFrame-side
+  * short name).
+  */
+class GraftEventsProvider extends EventLogSource {
+  override def shortName(): String = "graft_events"
 }
 
 object EventLogSource {
@@ -107,9 +121,18 @@ private[sources] class EventLogTable(path: String)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val names = info.schema().fieldNames.toSeq
-    require(names == EventLogSource.schema.fieldNames.toSeq,
-      s"event-log write needs the full event schema, got $names")
+    // names AND types: a frame with the right names but wrong types
+    // (event_seq as int, ts as string) must fail here at plan time with a
+    // field-level message, not later as an executor ClassCastException
+    val got = info.schema().fields.map(f => f.name -> f.dataType)
+    val want = EventLogSource.schema.fields.map(f => f.name -> f.dataType)
+    require(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"event-log write needs the full event schema, got ${got.map(_._1).toSeq}")
+    val badTypes = got.zip(want).collect {
+      case ((n, g), (_, w)) if g != w => s"$n: $g (need $w)"
+    }
+    require(badTypes.isEmpty,
+      s"event-log write schema has wrong types: ${badTypes.mkString(", ")}")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new EventLogWrite(path)
@@ -180,14 +203,19 @@ private[sources] class EventLogScan(
 }
 
 /** Streaming form of the same scan: the offset is "how many files of the
-  * sorted listing have been consumed", so each micro-batch plans exactly
-  * the newly-arrived files and a checkpoint restart resumes from the
-  * recorded count — the custom-source analog of the built-in file
-  * stream's seen-files log (and of the informer's resourceVersion
-  * bookmark, watcher.go:110-145). Assumes the event log is append-only
-  * with lexically increasing file names (the writer's contract; the
-  * production file stream tracks a seen-set instead, at the cost of
-  * unbounded state).
+  * sorted listing have been consumed" PLUS the name of the last consumed
+  * file, so each micro-batch plans exactly the newly-arrived files and a
+  * checkpoint restart resumes from the recorded count — the custom-source
+  * analog of the built-in file stream's seen-files log (and of the
+  * informer's resourceVersion bookmark, watcher.go:110-145). Assumes the
+  * event log is append-only with lexically increasing file names (the
+  * writer's contract; the production file stream tracks a seen-set
+  * instead, at the cost of unbounded state). The recorded name makes that
+  * contract ENFORCED rather than assumed: if a new file ever sorts before
+  * an already-consumed one (non-zero-padded counters, an external writer
+  * with random names), the consumed prefix of the listing no longer ends
+  * at the recorded name and the stream fails loudly instead of silently
+  * re-reading consumed files and skipping the new one.
   */
 private[sources] class EventLogMicroBatchStream(
     path: String, required: StructType, pushed: Array[Filter],
@@ -196,17 +224,57 @@ private[sources] class EventLogMicroBatchStream(
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
-  private case class FileCount(n: Int) extends Offset {
-    override def json(): String = n.toString
+  /** `last` = file NAME at listing position n-1 ("" when n == 0; null on
+    * an offset deserialized from a pre-name checkpoint, which skips the
+    * prefix check once and is re-anchored at the next offset advance).
+    */
+  private case class FileCount(n: Int, last: String) extends Offset {
+    override def json(): String = {
+      val m = new ObjectMapper
+      val node = m.createObjectNode()
+      node.put("n", n)
+      if (last != null) node.put("last", last)
+      m.writeValueAsString(node)
+    }
   }
 
   private def conf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
-  override def initialOffset(): Offset = FileCount(0)
-  override def latestOffset(): Offset =
-    FileCount(EventLogSource.listFiles(path, conf).size)
-  override def deserializeOffset(json: String): Offset = FileCount(json.toInt)
+  private def name(f: String): String = new Path(f).getName
+
+  private def offsetAt(files: Seq[String], n: Int): FileCount =
+    FileCount(n, if (n == 0) "" else name(files(n - 1)))
+
+  /** Fail loudly when the sorted listing's consumed prefix no longer ends
+    * at the offset's recorded file — the append-only/lexical contract was
+    * violated and a silent slice would duplicate and drop data.
+    */
+  private def checkPrefix(files: Seq[String], at: FileCount): Unit = {
+    if (at.last != null && at.n > 0) {
+      val ok = files.size >= at.n && name(files(at.n - 1)) == at.last
+      if (!ok) throw new IllegalStateException(
+        s"event-log listing violates the append-only/lexical-name contract: " +
+          s"offset says file #${at.n} is '${at.last}' but the listing has " +
+          (if (files.size < at.n) s"only ${files.size} files"
+           else s"'${name(files(at.n - 1))}' at that position") +
+          s" — a file was removed or a new file sorted before a consumed one ($path)")
+    }
+  }
+
+  override def initialOffset(): Offset = FileCount(0, "")
+  override def latestOffset(): Offset = {
+    val files = EventLogSource.listFiles(path, conf)
+    offsetAt(files, files.size)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = new ObjectMapper().readTree(t)
+      FileCount(node.get("n").asInt(),
+        if (node.has("last")) node.get("last").asText() else null)
+    } else FileCount(t.toInt, null) // pre-name checkpoint format
+  }
 
   // rate limiting (A15's BATCH_MAX_SIZE analog at the source): admit at
   // most maxFilesPerTrigger new files per micro-batch when configured
@@ -215,18 +283,22 @@ private[sources] class EventLogMicroBatchStream(
     else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = EventLogSource.listFiles(path, conf).size
+    val files = EventLogSource.listFiles(path, conf)
+    val s = start.asInstanceOf[FileCount]
+    checkPrefix(files, s)
     limit match {
       case m: ReadMaxFiles =>
-        FileCount(math.min(start.asInstanceOf[FileCount].n + m.maxFiles(), total))
-      case _ => FileCount(total)
+        offsetAt(files, math.min(s.n + m.maxFiles(), files.size))
+      case _ => offsetAt(files, files.size)
     }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val files = EventLogSource.listFiles(path, conf)
-    files.slice(
-        start.asInstanceOf[FileCount].n, end.asInstanceOf[FileCount].n)
+    val (s, e) = (start.asInstanceOf[FileCount], end.asInstanceOf[FileCount])
+    checkPrefix(files, s)
+    checkPrefix(files, e)
+    files.slice(s.n, e.n)
       .map(f => EventFilePartition(f): InputPartition).toArray
   }
 
@@ -370,7 +442,32 @@ private[sources] class EventLogWrite(path: String)
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EventLogWriterFactory(path, System.currentTimeMillis(), hadoopConf)
+    new EventLogWriterFactory(path, nextEpoch(), hadoopConf)
+
+  /** Batch epochs must be strictly increasing across commits to the same
+    * directory or the streaming reader's "sorted file order = commit
+    * order" contract breaks: two commits inside one millisecond (or a
+    * clock-skewed writer) would share an epoch prefix. Take
+    * max(now, max existing epoch + 1) from the directory's current names —
+    * monotonic under same-process rapid commits and under modest clock
+    * skew between serialized writers.
+    */
+  private def nextEpoch(): Long = {
+    val conf = EventLogSource.mapToConf(hadoopConf)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val maxExisting =
+      if (!fs.exists(dir)) -1L
+      else fs.listStatus(dir).foldLeft(-1L) { (acc, st) =>
+        val n = st.getPath.getName
+        // visible and temp names both start with part-<13-digit epoch>-
+        if (st.isFile && n.startsWith("part-") && n.length > 18 &&
+            n.charAt(18) == '-' && n.substring(5, 18).forall(_.isDigit))
+          math.max(acc, n.substring(5, 18).toLong)
+        else acc
+      }
+    math.max(System.currentTimeMillis(), maxExisting + 1L)
+  }
 
   /** Streaming form. VISIBLE file names derive from (epochId, partition)
     * — never the task attempt — while each attempt writes its own
@@ -421,29 +518,28 @@ private[sources] class EventLogWrite(path: String)
             }
           firstCommit = false
         }
-        EventLogWrite.this.commitRenames(messages, replace = false)
+        EventLogWrite.this.commitRenames(messages)
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         EventLogWrite.this.abort(messages)
     }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    commitRenames(messages, replace = false)
+    commitRenames(messages)
 
-  /** `replace = true` (streaming replay only): an existing destination is
-    * a previous attempt of the SAME epoch and is replaced; the batch path
-    * keeps replace = false so a genuine name collision fails loudly.
+  /** Rename every task's temp to its visible name. A pre-existing
+    * destination makes the rename fail loudly: streaming replays are
+    * handled BEFORE this point by the first-commit pre-clean (see
+    * toStreaming), and on the batch path a collision is a genuine bug
+    * (nextEpoch makes honest concurrent commits impossible to collide).
     */
-  private def commitRenames(
-      messages: Array[WriterCommitMessage], replace: Boolean): Unit = {
+  private def commitRenames(messages: Array[WriterCommitMessage]): Unit = {
     val conf = EventLogSource.mapToConf(hadoopConf)
     messages.foreach {
       case EventFileCommit(tmp, dst) if tmp.nonEmpty =>
         val t = new Path(tmp)
         val fs = t.getFileSystem(conf)
         val d = new Path(dst)
-        // delete returns false on a missing path — no exists() round-trip
-        if (replace) fs.delete(d, false)
         // Hadoop rename reports most failures by RETURNING FALSE, not
         // throwing — an unchecked rename would "commit" rows into a .tmp
         // file no reader ever lists (silent data loss)

@@ -77,6 +77,28 @@ class ApiServerSpec extends AnyFunSuite {
     } finally { api.close(); sched.close() }
   }
 
+  test("a second resync while one runs is rejected 429, probes still answer") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val sched = new ResyncScheduler(intervalMs = 3600000,
+      doResync = () => { entered.countDown(); gate.await(); 1L })
+    val api = new ApiServer(":0", sched).start()
+    try {
+      val first = new java.util.concurrent.FutureTask(() => call(api.port, "POST"))
+      new Thread(first, "first-resync").start()
+      assert(entered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+      // the long scan is in flight: a second request must NOT park a
+      // handler thread behind it
+      val (code, body) = call(api.port, "POST")
+      assert(code == 429, body)
+      assert(body.contains("already in progress"))
+      // and liveness keeps answering on the bounded pool
+      assert(call(api.port, "GET", "/healthz")._1 == 200)
+      gate.countDown()
+      assert(first.get(5, java.util.concurrent.TimeUnit.SECONDS)._1 == 200)
+    } finally { api.close(); sched.close() }
+  }
+
   test("bind parse: ':port' binds all interfaces, 'host:port' binds host") {
     assert(ApiServer.parseBind(":8082").getPort == 8082)
     val h = ApiServer.parseBind("127.0.0.1:9000")

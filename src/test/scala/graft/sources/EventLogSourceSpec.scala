@@ -182,8 +182,9 @@ class EventLogSourceSpec extends SparkSpec {
     def batch(range: Range) = range.map(i => ResourceEventRow(
       "ADD", i.toLong, new Timestamp(0), s"x/$i", "ns", s"n$i", "D",
       "apps/v1", "apps", null, null, new Timestamp(0))).toDS().toDF()
+    // no sleep between commits: nextEpoch() guarantees strictly increasing
+    // epoch prefixes even for back-to-back same-millisecond commits
     batch(1 to 3).coalesce(1).write.format(fmt).mode("append").save(out)
-    Thread.sleep(5) // epoch prefix strictly increases across commits
     batch(4 to 6).coalesce(1).write.format(fmt).mode("append").save(out)
     val names = new java.io.File(out).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted.toSeq
@@ -246,5 +247,69 @@ class EventLogSourceSpec extends SparkSpec {
     val empty = java.nio.file.Files.createTempDirectory("graft_dsv2_empty").toString
     assert(spark.read.format(fmt).load(empty).isEmpty)
     assert(spark.read.format(fmt).load(s"$empty/nope").isEmpty)
+  }
+
+  test("short names resolve: format(\"graft-events\") and SQL USING graft_events") {
+    assert(spark.read.format("graft-events").load(dir).count() == 40)
+    spark.sql("DROP TABLE IF EXISTS graft_ev_tbl")
+    spark.sql(s"CREATE TABLE graft_ev_tbl USING graft_events OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql("SELECT count(*) AS n FROM graft_ev_tbl")
+        .collect()(0).getLong(0)
+      assert(n == 40)
+    } finally spark.sql("DROP TABLE graft_ev_tbl")
+  }
+
+  test("a write frame with the right names but wrong types fails at plan time") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dsv2_badtypes").toString
+    // int event_seq is UPCAST by Spark's output resolver (safe widening) —
+    // the write must succeed with the table's long type on disk
+    spark.read.format(fmt).load(dir).limit(2)
+      .withColumn("event_seq", col("event_seq").cast("int"))
+      .write.format(fmt).mode("append").save(out)
+    assert(spark.read.format(fmt).load(out)
+      .schema("event_seq").dataType.typeName == "long")
+    // a NON-upcastable mismatch (ts as string) must fail at plan time with
+    // a field-level message, never as an executor ClassCastException
+    val bad = spark.read.format(fmt).load(dir)
+      .withColumn("ts", col("ts").cast("string"))
+    val e = intercept[Throwable] {
+      bad.write.format(fmt).mode("append").save(out)
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("ts"), chain)
+    assert(!chain.contains("ClassCastException"), chain)
+  }
+
+  test("streaming offset pins the last consumed file name and fails loudly on lexical violations") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_offs").toString
+    def writeFile(name: String): Unit = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, name),
+      s"""{"event_type":"ADD","event_seq":1,"ts":"2020-01-01T00:00:00.000Z","id":"x/1","namespace":"ns","name":"n1","kind":"D","apiVersion":"apps/v1","apiGroup":"apps","labels":null,"annotations":null,"createdAt":"2020-01-01T00:00:00.000Z"}\n""")
+    writeFile("5.json")
+    val stream = new EventLogMicroBatchStream(d, EventLogSource.schema, Array.empty)
+    val start = stream.initialOffset()
+    val end1 = stream.latestOffset()
+    // the offset carries the consumed prefix's last NAME, round-trips, and
+    // plans exactly the new file
+    assert(end1.json().contains("\"last\":\"5.json\""), end1.json())
+    assert(stream.deserializeOffset(end1.json()).json() == end1.json())
+    assert(stream.planInputPartitions(start, end1).length == 1)
+    // a writer that violates the zero-padded/lexical contract: "10.json"
+    // sorts BEFORE the already-consumed "5.json" — a bare count offset
+    // would silently re-read 10.json as "the new file" and never see 5.json
+    // again; the pinned name turns that into a loud failure
+    writeFile("10.json")
+    intercept[IllegalStateException] {
+      stream.latestOffset(end1, stream.getDefaultReadLimit)
+    }
+    intercept[IllegalStateException] {
+      stream.planInputPartitions(end1, stream.latestOffset())
+    }
+    // a pre-name (count-only) checkpoint still deserializes and is accepted
+    // once without the prefix check
+    val legacy = stream.deserializeOffset("1")
+    assert(stream.planInputPartitions(legacy, stream.latestOffset()).length == 1)
   }
 }
