@@ -95,8 +95,20 @@ object VectorFunctions {
   }
 
   /** All L table signatures in one array column (posexplode → (tbl, bucket)
-    * rows for the banded candidate join).
+    * rows for the banded candidate join) — the native fused kernel
+    * ([[HyperplaneSigs]]): one pass over the vector for every
+    * tables×bits projection instead of tables×bits separate dot-product
+    * expression trees. Bucket-identical to [[lshSignaturesHof]]
+    * (HyperplaneSigsSpec parity).
     */
-  def lshSignatures(v: Column, bits: Int, tables: Int, dim: Int = 64): Column =
+  def lshSignatures(v: Column, bits: Int, tables: Int, dim: Int = 64): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.col(HyperplaneSigs(Bridge.expr(v), bits, tables, dim))
+  }
+
+  /** The pure-Column composition — kept as the parity oracle for the
+    * native kernel.
+    */
+  def lshSignaturesHof(v: Column, bits: Int, tables: Int, dim: Int = 64): Column =
     array((0 until tables).map(t => lshSignature(v, bits, dim, t)): _*)
 }

@@ -31,27 +31,33 @@ class QualityChecksSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
       .toSet
 
-  test("q_sim_topk_lsh: multi-table LSH recalls >= 60% of the exact top-5") {
+  // Floors at 0.9 (raised from 0.6/0.7 in round 6; graft.RecallProbe is
+  // the measurement loop): L=16 LSH tables, nprobe=2 + low-confidence
+  // full-scan fallback for IVF, R=320 ADC shortlist for PQ. Measured
+  // recall: sf0.001 0.92 / 0.93 / 1.00, sf0.1 0.96 / 1.00 / 0.92 — each
+  // within 1.4× its pre-tuning wall-clock (LSH 2.3s, IVF 2.2s, PQ 3.2s at
+  // sf0.1).
+  test("q_sim_topk_lsh: multi-table LSH recalls >= 90% of the exact top-5") {
     val exact = pairs("q_sim_topk", 5)
     val lsh = pairs("q_sim_topk_lsh", 5)
     val recall = (exact & lsh).size.toDouble / exact.size
     info(f"LSH recall@5 = $recall%.3f (${(exact & lsh).size}/${exact.size})")
-    assert(recall >= 0.6, f"LSH recall $recall%.3f below 0.6")
+    assert(recall >= 0.9, f"LSH recall $recall%.3f below 0.9")
   }
 
-  test("q_sim_ivf_kmeans: cell-pruned search recalls >= 70% of the exact top-3") {
+  test("q_sim_ivf_kmeans: cell-pruned search recalls >= 90% of the exact top-3") {
     val exact = pairs("q_sim_topk", 3)
     val ivf = pairs("q_sim_ivf_kmeans", 3)
     val recall = (exact & ivf).size.toDouble / exact.size
     info(f"IVF recall@3 = $recall%.3f (${(exact & ivf).size}/${exact.size})")
-    assert(recall >= 0.7, f"IVF recall $recall%.3f below 0.7")
+    assert(recall >= 0.9, f"IVF recall $recall%.3f below 0.9")
   }
 
-  test("q_sim_topk_pq: compressed-domain ADC recalls >= 60% of the exact top-5") {
+  test("q_sim_topk_pq: compressed-domain ADC recalls >= 90% of the exact top-5") {
     val exact = pairs("q_sim_topk", 5)
     val pq = pairs("q_sim_topk_pq", 5)
     val recall = (exact & pq).size.toDouble / exact.size
     info(f"PQ recall@5 = $recall%.3f (${(exact & pq).size}/${exact.size})")
-    assert(recall >= 0.6, f"PQ recall $recall%.3f below 0.6")
+    assert(recall >= 0.9, f"PQ recall $recall%.3f below 0.9")
   }
 }
