@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe (VERDICT r5 item 7): time the slowest document/embedding
+  * queries at sf0.1 and at a synthesized ×FACTOR corpus, and record each
+  * query's empirical scaling exponent log(t_big/t_base)/log(FACTOR) to
+  * `BENCH_scale.json` — a superlinear exponent (≳1.2, i.e. worse than
+  * n·log n) flags a query that would fall over on a real cluster long
+  * before 100 TB.
+  *
+  * The ×FACTOR corpus is NOT naive replication: identical copies would
+  * pair with each other in every dedup query and quadratically inflate the
+  * OUTPUT (a data artifact, not an algorithmic cost). Instead each replica
+  * r > 0 gets
+  *   - documents: a per-replica alphabet substitution (translate with a
+  *     seeded shuffle) — token/shingle STRUCTURE identical, shingle SETS
+  *     disjoint across replicas, so near-dup mass scales ×FACTOR;
+  *   - embeddings: a per-replica deterministic ±1 sign mask — norms and
+  *     intra-replica similarities preserved, cross-replica cosines
+  *     decorrelated.
+  * Other tables are symlinked from sf0.1 (the probed queries don't read
+  * them at scale).
+  *
+  * `runMain graft.ScaleProbe [factor]` — writes BENCH_scale.json in cwd.
+  */
+object ScaleProbe {
+
+  private val Probed = Seq(
+    "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
+    "q_dedup_clusters", "q_corpus_final", "q_pack_chunks", "q_text_tfidf",
+    "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(5)
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"/tmp/graft_scale_x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, base, scaled, factor)
+
+    // warm codegen/JIT on the small sf so neither timed dir pays it
+    Probed.foreach(n =>
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count())
+
+    // interleaved passes, min per (query, dir) — this VM has transient
+    // noise windows (see Bench.scala)
+    val passes = 2
+    val times = scala.collection.mutable.Map[(String, String), Double]()
+    (1 to passes).foreach { _ =>
+      Probed.foreach { name =>
+        Seq(base, scaled).foreach { dir =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          val k = (name, dir)
+          times(k) = math.min(times.getOrElse(k, Double.MaxValue), t)
+        }
+      }
+    }
+    val entries = Probed.map { name =>
+      val t1 = times((name, base)); val t2 = times((name, scaled))
+      val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+      f""""$name":{"sec_sf01":${math.rint(t1 * 1000) / 1000},"sec_x$factor":${
+        math.rint(t2 * 1000) / 1000},"exponent":${math.rint(exp * 100) / 100}}"""
+    }
+    val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
+      s""""stat":"min","queries":{${entries.mkString(",")}}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_scale.json"), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+
+  /** Synthesize the ×factor corpus next to symlinks of the other tables. */
+  private def buildScaled(
+      spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val dir = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.isDirectory(dir) &&
+        java.nio.file.Files.exists(dir.resolve("documents.parquet"))) return
+    java.nio.file.Files.createDirectories(dir)
+    val others = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    others.foreach { t =>
+      val link = dir.resolve(s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(base, s"$t.parquet"))
+    }
+    val stride = 10000000L
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    def replicaDocs(r: Int): DataFrame = {
+      val d = Tables.documents(spark, base)
+        .withColumn("doc_id", col("doc_id") + lit(r * stride))
+      if (r == 0) d
+      else {
+        val shuffled = new scala.util.Random(1000 + r)
+          .shuffle(abc.toList).mkString
+        d.withColumn("text", translate(col("text"), abc, shuffled))
+      }
+    }
+    (0 until factor).map(replicaDocs).reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    def replicaEmb(r: Int): DataFrame = {
+      val e = Tables.embeddings(spark, base)
+        .withColumn("vec_id", col("vec_id") + lit(r * stride))
+      if (r == 0) e
+      else {
+        val mask = typedLit(
+          graft.functions.VectorFunctions.lshPlane(9000 + r, 64).map(_.toFloat))
+        e.withColumn("embedding",
+          zip_with(col("embedding"), mask, (x, s) => (x * s).cast("float")))
+      }
+    }
+    (0 until factor).map(replicaEmb).reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+}
