@@ -90,13 +90,48 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     })
 }
 
-/** Session registration for graft's native expressions; idempotent. */
+/** Session registration for graft's native expressions; idempotent. All
+  * four codegen kernels are exposed to SQL under the same names the
+  * DataFrame helpers use, so `spark.sql` users get the fused paths too:
+  * `vec_dot(a, b)`, `minhash_sig(text, n, k)`, `simhash_sig(text, nbits)`,
+  * `hyperplane_sigs(vec, bits, tables[, dim])` (int args must be literals —
+  * they parameterize the generated kernel, they are not per-row values).
+  */
 object GraftExpressions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.IntegerType
+
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> build _,
+    "minhash_sig" -> { exprs =>
+      require(exprs.length == 3,
+        s"minhash_sig requires (text, shingleN, seeds), got ${exprs.length} args")
+      MinHashSig(exprs.head, intLit(exprs(1), "shingleN"), intLit(exprs(2), "seeds"))
+    },
+    "simhash_sig" -> { exprs =>
+      require(exprs.length == 2,
+        s"simhash_sig requires (text, nbits), got ${exprs.length} args")
+      SimHashSig(exprs.head, intLit(exprs(1), "nbits"))
+    },
+    "hyperplane_sigs" -> { exprs =>
+      require(exprs.length == 3 || exprs.length == 4,
+        s"hyperplane_sigs requires (vec, bits, tables[, dim]), got ${exprs.length} args")
+      HyperplaneSigs(exprs.head, intLit(exprs(1), "bits"), intLit(exprs(2), "tables"),
+        if (exprs.length == 4) intLit(exprs(3), "dim") else 64)
+    })
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
-    if (!registry.functionExists(id)) {
-      registry.createOrReplaceTempFunction("vec_dot", build, "built-in")
+    builders.foreach { case (name, b) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 
@@ -119,11 +154,13 @@ object GraftExpressions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => GraftExpressions.build(exprs)))
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    GraftExpressions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[FloatVecDot].getName, name),
+        b))
+    }
     // whole-operator extension: the two-phase per-key top-k, plus the
     // optimizer rewrite that turns row_number()<=k window filters into it
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)

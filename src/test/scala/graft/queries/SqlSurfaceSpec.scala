@@ -140,4 +140,40 @@ class SqlSurfaceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sql == df)
   }
+
+  test("the native signature kernels are callable from SQL and match the DataFrame forms") {
+    import graft.functions.TextFunctions
+    import graft.functions.VectorFunctions
+    spark.read.parquet(s"$sf001/documents.parquet").createOrReplaceTempView("docs_v")
+    spark.read.parquet(s"$sf001/embeddings.parquet").createOrReplaceTempView("emb_v")
+    val sqlSim = spark.sql(
+      "SELECT doc_id, simhash_sig(text, 16) AS s FROM docs_v ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dfSim = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), TextFunctions.simhashFast(col("text"), 16).as("s"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlSim == dfSim && sqlSim.nonEmpty)
+    val sqlMin = spark.sql(
+      "SELECT doc_id, minhash_sig(text, 3, 4) AS m FROM docs_v ORDER BY doc_id LIMIT 50")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    val dfMin = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), TextFunctions.minhashSigFast(col("text"), 3, 4).as("m"))
+      .orderBy("doc_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(sqlMin == dfMin)
+    val sqlLsh = spark.sql(
+      "SELECT vec_id, hyperplane_sigs(embedding, 4, 8) AS h FROM emb_v ORDER BY vec_id LIMIT 50")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val dfLsh = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        VectorFunctions.lshSignatures(col("embedding"), bits = 4, tables = 8).as("h"))
+      .orderBy("vec_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(sqlLsh == dfLsh)
+    // kernel parameters are plan-time constants, not per-row values
+    val e = intercept[Exception](
+      spark.sql("SELECT simhash_sig(text, CAST(n_chars AS INT)) FROM docs_v").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("literal"))))
+  }
 }
