@@ -263,6 +263,10 @@ object VectorQueries {
         // exact re-rank rows — the compressed-domain scan, which dominates
         // at scale, is untouched by R. Rows-only: float k-means + PQ
         // distortion admit no SQL oracle.
+        // One Lloyd pass suffices here: the deep shortlist absorbs codebook
+        // distortion (recall identical to iters=2 at both sf0.001 and
+        // sf0.1 per RecallProbe) and every extra pass is a full
+        // assign+update job chain.
         import graft.functions.VectorIndex
         val m = 8; val dim = 64; val kcb = 16; val shortlist = 320
         val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -277,7 +281,7 @@ object VectorQueries {
         val sv = VectorIndex.subvectors(
             unit.repartition(s.sparkContext.defaultParallelism), m, dim)
           .localCheckpoint()
-        val books = VectorIndex.pqCodebooks(s, sv, m, kcb, iters = 2)
+        val books = VectorIndex.pqCodebooks(s, sv, m, kcb, iters = 1)
         val codes = VectorIndex.pqEncode(sv, books)
         val lut = sv.filter(col("vec_id") < 10)
           .withColumnRenamed("vec_id", "q_id")
