@@ -21,25 +21,28 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def pairs(name: String, maxRnk: Int): (Set[(Long, Long)], Double) = {
+    def run(name: String): (Array[org.apache.spark.sql.Row], Double) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, sfDir).collect()
-      val secs = (System.nanoTime() - t0) / 1e9
-      (rows.filter(_.getAs[Int]("rnk") <= maxRnk)
-        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet, secs)
+      (rows, (System.nanoTime() - t0) / 1e9)
     }
+    def toPairs(rows: Array[org.apache.spark.sql.Row], maxRnk: Int) =
+      rows.filter(_.getAs[Int]("rnk") <= maxRnk)
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
 
     // warm once so JIT/codegen doesn't pollute the comparison
     Seq("q_sim_topk", "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq")
       .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
 
-    val (exact5, tExact) = pairs("q_sim_topk", 5)
-    val exact3 = exact5 // recomputed below at rnk<=3 from the same run
-    val (e3, _) = pairs("q_sim_topk", 3)
+    // one exact run serves both cut-offs — rnk<=3 is a filter of rnk<=5
+    val (exactRows, tExact) = run("q_sim_topk")
+    val exact5 = toPairs(exactRows, 5)
+    val e3 = toPairs(exactRows, 3)
     val results = Seq(
       ("q_sim_topk_lsh", 5, exact5), ("q_sim_ivf_kmeans", 3, e3),
       ("q_sim_topk_pq", 5, exact5)).map { case (name, k, exact) =>
-      val (got, secs) = pairs(name, k)
+      val (rows, secs) = run(name)
+      val got = toPairs(rows, k)
       val recall = if (exact.isEmpty) 1.0 else (exact & got).size.toDouble / exact.size
       f""""$name":{"recall@$k":$recall%.3f,"sec":$secs%.2f}"""
     }

@@ -85,8 +85,10 @@ object ScaleProbe {
   private def buildScaled(
       spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val dir = java.nio.file.Paths.get(out)
+    // guard on the LAST artifact written (embeddings) — a build that died
+    // between the two writes must be redone, not silently reused
     if (java.nio.file.Files.isDirectory(dir) &&
-        java.nio.file.Files.exists(dir.resolve("documents.parquet"))) return
+        java.nio.file.Files.exists(dir.resolve("embeddings.parquet"))) return
     java.nio.file.Files.createDirectories(dir)
     val others = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")
@@ -116,8 +118,12 @@ object ScaleProbe {
         .withColumn("vec_id", col("vec_id") + lit(r * stride))
       if (r == 0) e
       else {
+        // seed family far outside every in-use plane family: LSH tables
+        // use t*1000+b (0..~16063) and the JL projection uses 5000+j — a
+        // mask drawn from one of those planes would CANCEL in the very
+        // projection being measured ((x⊙p)·p = Σx) and skew the exponent
         val mask = typedLit(
-          graft.functions.VectorFunctions.lshPlane(9000 + r, 64).map(_.toFloat))
+          graft.functions.VectorFunctions.lshPlane(1000000 + r, 64).map(_.toFloat))
         e.withColumn("embedding",
           zip_with(col("embedding"), mask, (x, s) => (x * s).cast("float")))
       }

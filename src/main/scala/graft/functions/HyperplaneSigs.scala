@@ -35,6 +35,13 @@ case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
 
   require(bits > 0 && bits <= 63, s"hyperplane_sigs supports 1..63 bits, got $bits")
   require(tables > 0, s"hyperplane_sigs needs tables > 0, got $tables")
+  // dim is SQL-reachable (hyperplane_sigs(v, bits, tables, dim)) — an
+  // unvalidated value would surface as a per-row NegativeArraySizeException
+  // at execution instead of failing analysis; the product bound caps the
+  // plane table at 16 MB of floats
+  require(dim > 0, s"hyperplane_sigs needs dim > 0, got $dim")
+  require(tables.toLong * bits * dim <= (1L << 22),
+    s"hyperplane_sigs plane table too large: $tables*$bits*$dim floats (max 2^22)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sigs"
@@ -48,22 +55,34 @@ case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any =
-    HyperplaneSigs.compute(input.asInstanceOf[ArrayData], bits, tables, dim)
+  // resolved once per plan, not per row: the kernel must not pay a boxed
+  // cache lookup in its inner loop
+  @transient private lazy val planes: Array[Float] =
+    HyperplaneSigs.planesFor(bits, tables, dim)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSigs.compute(input.asInstanceOf[ArrayData], bits, tables, dim, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hyperplanes", planes, "float[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneSigs.compute($c, $bits, $tables, $dim)")
+      s"graft.functions.HyperplaneSigs.compute($c, $bits, $tables, $dim, $planesRef)")
+  }
 }
 
 object HyperplaneSigs {
 
   // planes are deterministic in (bits, tables, dim) — computed once per
-  // JVM, shared across tasks; a few KB of ±1 floats
+  // JVM, shared across tasks; a few KB of ±1 floats per shape. The cache
+  // is BOUNDED: shapes are user-controlled from SQL, and an unbounded map
+  // of 16 MB-max plane tables would be a driver/executor memory leak —
+  // entries are cheap to recompute, so past the cap the map is simply
+  // cleared.
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]
 
-  private def planesFor(bits: Int, tables: Int, dim: Int): Array[Float] =
+  private[functions] def planesFor(bits: Int, tables: Int, dim: Int): Array[Float] = {
+    if (planeCache.size > 32) planeCache.clear()
     planeCache.computeIfAbsent((bits, tables, dim), { _ =>
       val flat = new Array[Float](tables * bits * dim)
       var t = 0
@@ -82,9 +101,15 @@ object HyperplaneSigs {
       }
       flat
     })
+  }
 
-  /** Row kernel, shared by eval and generated code. */
-  def compute(arr: ArrayData, bits: Int, tables: Int, dim: Int): ArrayData = {
+  /** Row kernel, shared by eval and generated code; `planes` comes in as a
+    * plan-time reference (addReferenceObj / the expression's lazy val), so
+    * the hot loop touches no cache.
+    */
+  def compute(
+      arr: ArrayData, bits: Int, tables: Int, dim: Int,
+      planes: Array[Float]): ArrayData = {
     val out = new Array[Long](tables)
     val n = arr.numElements()
     var clean = n == dim
@@ -97,7 +122,6 @@ object HyperplaneSigs {
       }
     }
     if (clean) {
-      val planes = planesFor(bits, tables, dim)
       var t = 0
       while (t < tables) {
         var sig = 0L

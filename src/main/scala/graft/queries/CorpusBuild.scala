@@ -36,15 +36,21 @@ object CorpusBuild {
     // mass, not with cluster count — let the planner (AQE) pick shuffle vs
     // broadcast from its actual size. Chunk ids come from the two-phase
     // blocked prefix sum (CorpusQueries.withTokensBefore) keyed by the
-    // output partition — never one window task per (lang, split).
-    val kept = CorpusQueries.withTokensBefore(
-        docs
-          .join(drops, Seq("doc_id"), "left_anti")
-          .withColumn("split", CorpusQueries.splitCol)
-          .withColumn("n_tokens", size(tokens(col("text")))),
+    // output partition — never one window task per (lang, split). The
+    // helper localCheckpoints its input, so it gets only the NARROW
+    // (doc_id, lang, split, n_tokens) projection — materializing the full
+    // text column a second time would roughly double the job's I/O at the
+    // design scale — and the chunk ids join back on doc_id.
+    val enriched = docs
+      .join(drops, Seq("doc_id"), "left_anti")
+      .withColumn("split", CorpusQueries.splitCol)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+    val chunkIds = CorpusQueries.withTokensBefore(
+        enriched.select("doc_id", "lang", "split", "n_tokens"),
         Seq("lang", "split"))
       .withColumn("chunk_id", floor(col("tokens_before") / 512.0))
-      .drop("tokens_before")
+      .select("doc_id", "chunk_id")
+    val kept = enriched.join(chunkIds, "doc_id")
     kept.write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)
     // counts come from re-READING the written layout (proving the write,
     // not the plan); an all-empty corpus writes no partition directories,

@@ -100,8 +100,19 @@ object CorpusQueries {
       .groupBy(grpBlk: _*).agg(max("_blk_total").as("_t"))
       .withColumn("_blk_before", coalesce(sum("_t").over(offW), lit(0L)))
       .drop("_t")
-    staged
-      .join(broadcast(offsets), keys :+ "_blk")
+    // null-SAFE join on the keys: windows and groupBy both treat a null
+    // key as its own group, so a plain equijoin here would silently DROP
+    // every null-key row (null never equals null) — a divergence from the
+    // single-window form this replaces. Alias-qualified: offsets derives
+    // from staged, so unqualified refs to the grouping columns resolve to
+    // ONE attribute and the condition degenerates to always-true (the
+    // q_sim_topk_pq self-lineage lesson).
+    val cond = (keys :+ "_blk")
+      .map(k => col(s"s.$k") <=> col(s"o.$k")).reduce(_ && _)
+    staged.as("s")
+      .join(broadcast(offsets.as("o")), cond)
+      .select((docs.columns.map(c => col(s"s.$c")) :+
+        col("s._blk") :+ col("s._local_before") :+ col("o._blk_before")): _*)
       .withColumn("tokens_before", col("_local_before") + col("_blk_before"))
       .drop("_blk", "_local_before", "_blk_total", "_blk_before")
   }

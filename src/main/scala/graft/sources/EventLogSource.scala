@@ -123,13 +123,19 @@ private[sources] class EventLogTable(path: String)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     // names AND types: a frame with the right names but wrong types
     // (event_seq as int, ts as string) must fail here at plan time with a
-    // field-level message, not later as an executor ClassCastException
+    // field-level message, not later as an executor ClassCastException.
+    // catalogString comparison ignores container NULLABILITY on purpose —
+    // a frame whose map values happen to be non-nullable (e.g. built from
+    // map(lit(k), lit(v))) is safely writable and Spark's output resolver
+    // inserts no cast for it, so strict DataType equality would reject it
+    // with a message printing two visually identical types
     val got = info.schema().fields.map(f => f.name -> f.dataType)
     val want = EventLogSource.schema.fields.map(f => f.name -> f.dataType)
     require(got.map(_._1).toSeq == want.map(_._1).toSeq,
       s"event-log write needs the full event schema, got ${got.map(_._1).toSeq}")
     val badTypes = got.zip(want).collect {
-      case ((n, g), (_, w)) if g != w => s"$n: $g (need $w)"
+      case ((n, g), (_, w)) if g.catalogString != w.catalogString =>
+        s"$n: ${g.catalogString} (need ${w.catalogString})"
     }
     require(badTypes.isEmpty,
       s"event-log write schema has wrong types: ${badTypes.mkString(", ")}")

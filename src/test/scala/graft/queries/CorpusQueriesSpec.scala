@@ -116,6 +116,28 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(docs.select(expr("doc_id DIV 256")).distinct().count() == 20)
   }
 
+  test("blocked prefix sum keeps null-key rows, matching the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // windows/groupBy treat a null key as its own group — the blocked form
+    // must too (a plain equijoin on the key would silently drop these rows)
+    val docs = Seq[(Long, String, Int)](
+      (0L, "en", 10), (1L, null, 7), (2L, "en", 5), (3L, null, 2), (4L, null, 9))
+      .toDF("doc_id", "lang", "n_tokens")
+    val blocked =
+      CorpusQueries.withTokensBefore(docs, Seq("lang"), blockSize = 2L)
+    val naiveW = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs.withColumn("tokens_before",
+      coalesce(sum("n_tokens").over(naiveW), lit(0L)))
+    val got = blocked.select("doc_id", "tokens_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = naive.select("doc_id", "tokens_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.size == 5) // nothing dropped
+  }
+
   test("cluster keepers: exactly one keeper per cluster, keeper is the min id") {
     val out = graft.SparkEntry.queries("q_dedup_clusters")(spark, sf001)
     val perCluster = out.groupBy("cluster_id").agg(

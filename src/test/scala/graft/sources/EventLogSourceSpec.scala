@@ -280,6 +280,13 @@ class EventLogSourceSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("ts"), chain)
     assert(!chain.contains("ClassCastException"), chain)
+    // container NULLABILITY must not be rejected: a frame whose maps are
+    // value-non-nullable (map(lit, lit)) is safely writable
+    spark.read.format(fmt).load(dir).limit(1)
+      .withColumn("labels", map(lit("k"), lit("v")))
+      .write.format(fmt).mode("append").save(out)
+    assert(spark.read.format(fmt).load(out)
+      .filter(col("labels")("k") === "v").count() == 1)
   }
 
   test("streaming offset pins the last consumed file name and fails loudly on lexical violations") {
