@@ -211,10 +211,15 @@ object VectorQueries {
         // candidates stay unique without a dedup. Rows-only check:
         // parallel float averaging in the centroid update is not
         // bit-reproducible in SQL.
+        // One Lloyd pass: the deterministic by-id seeds land near the true
+        // label clusters, so the second pass bought no recall (RecallProbe:
+        // identical at sf0.1, higher at sf0.001) while costing an
+        // assign+update job chain — multi-probe + the fallback do the
+        // recall work, not quantizer polish.
         import graft.functions.VectorIndex
         val nprobe = 2
         val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val centroids = VectorIndex.kmeansCentroids(s, e, k = 8, iters = 2)
+        val centroids = VectorIndex.kmeansCentroids(s, e, k = 8, iters = 1)
         val cells = VectorIndex.assignCells(e, centroids)
           .withColumn("nrm", l2Norm(col("embedding")))
         val wProbe = Window.partitionBy("q_id")
