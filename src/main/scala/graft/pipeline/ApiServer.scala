@@ -73,9 +73,15 @@ final class ApiServer(bindAddress: String, scheduler: ResyncScheduler)
           respond(ex, 200,
             s"""{"status":"ok","resources":$n,"message":"resynced $n resources"}""")
         } catch {
-          case e: Exception => respond(ex, 500,
-            s"""{"status":"error","resources":0,"message":"resync failed: ${
-              e.getMessage.replace("\"", "'")}"}""")
+          case e: Exception =>
+            // full JSON escaping (Payloads.jstr), not just quote swapping:
+            // Spark exception messages are routinely multi-line, and
+            // getMessage can be null (NPE) — either would produce an
+            // invalid or crashed 500 body
+            val msg = Payloads.jstr("resync failed: " +
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+            respond(ex, 500,
+              s"""{"status":"error","resources":0,"message":$msg}""")
         } finally resyncInFlight.set(false)
     } finally ex.close()
 

@@ -22,33 +22,68 @@ object CrdPipeline {
 
   final case class CrdAction(action: String, crd_name: String)
 
-  final case class Pending(seq: Long, tombstone: Boolean = false)
+  /** Per-name state, mirroring Debounce.Pending's three roles: a pending
+    * (not yet quiesced) upsert, a delete tombstone, or — after a flush —
+    * seq-only memory (`flushed = true`, no timer) so a cross-batch-
+    * reordered OLDER event cannot act after the flush (without it, a
+    * delayed DELETE seq=3 arriving after ADD seq=5 flushed would wrongly
+    * delete the capability). `deadlineMs` is the armed flush deadline, so
+    * a stale-only micro-batch restores the remaining window instead of
+    * re-extending it (debounce.go:139-147 resets only on accepted events).
+    */
+  final case class Pending(
+      seq: Long, tombstone: Boolean = false, flushed: Boolean = false,
+      deadlineMs: Long = 0L)
 
   /** Same keyed-state shape as Debounce.stateFunc, over names: tombstones
-    * block cross-batch out-of-order resurrection and expire via timeout.
+    * block cross-batch out-of-order resurrection and expire via timeout;
+    * flushed keys stay resident as seq memory (bounded by the CRD count,
+    * far below the instance pipeline's live-key bound).
     */
   def stateFunc(debounceMs: Long)(
       name: String,
       events: Iterator[CrdEventRow],
       state: GroupState[Pending]): Iterator[CrdAction] = {
     if (state.hasTimedOut) {
-      val emit = state.getOption.filterNot(_.tombstone)
-        .map(_ => CrdAction(SyncAction.Upsert, name))
-      state.remove()
-      emit.iterator
+      state.getOption match {
+        case Some(p) if !p.tombstone && !p.flushed =>
+          // quiesced upsert flushes; keep seq memory, no timer
+          state.update(Pending(p.seq, flushed = true))
+          Iterator(CrdAction(SyncAction.Upsert, name))
+        case _ =>
+          // tombstone expiry (or a stray timeout on flushed memory)
+          state.remove()
+          Iterator.empty
+      }
     } else {
+      val prevDeadline = state.getOption
+        .filterNot(_.flushed).map(_.deadlineMs).filter(_ > 0)
       var out = List.empty[CrdAction]
+      var applied = false
       events.toSeq.sortBy(_.event_seq).foreach { e =>
         if (state.getOption.forall(_.seq < e.event_seq)) {
           if (e.event_type == "DELETE") {
+            applied = true
             state.update(Pending(e.event_seq, tombstone = true))
             out ::= CrdAction(SyncAction.Delete, name)
           } else if (e.event_type == "ADD") {
+            applied = true
             state.update(Pending(e.event_seq))
           } // UPDATE dropped (watcher.go:240-243)
         }
       }
-      if (state.exists) state.setTimeoutDuration(debounceMs)
+      state.getOption match {
+        case Some(p) if !p.flushed =>
+          // invoking the function clears the timeout, so armed state must
+          // re-set one — but only ACCEPTED events move the deadline
+          val now = state.getCurrentProcessingTimeMs()
+          val deadline =
+            if (applied || prevDeadline.isEmpty) now + debounceMs
+            else prevDeadline.get
+          state.update(p.copy(deadlineMs = deadline))
+          state.setTimeoutDuration(math.max(1L, deadline - now))
+        case _ => () // flushed memory: resident, timerless
+      }
       out.reverse.iterator
     }
   }

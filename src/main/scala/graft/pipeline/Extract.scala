@@ -58,14 +58,18 @@ object Extract {
     * (map key order is undefined in both engines).
     */
   def diff(newSnap: DataFrame, prev: DataFrame): DataFrame = {
-    // coalesce each side to a distinct "null" token: concat_ws SKIPS nulls,
-    // so without it (labels=null, annotations=m) and (labels=m,
-    // annotations=null) would produce the same signature and a real
-    // metadata change would be missed
-    def sig(labels: org.apache.spark.sql.Column, ann: org.apache.spark.sql.Column) =
-      concat_ws("#",
-        coalesce(to_json(array_sort(map_entries(labels))), lit("null")),
-        coalesce(to_json(array_sort(map_entries(ann))), lit("null")))
+    // a null map normalizes to the EMPTY map before serializing, so
+    // null-vs-{} transitions read as unchanged — the same contract as the
+    // streaming path's metadataUnchanged and the reference's
+    // mapsEqual(nil, empty) (watcher.go:315-331); normalization also keeps
+    // both concat_ws operands non-null, so the two fields can never
+    // collapse into an ambiguous signature
+    def sig(labels: org.apache.spark.sql.Column, ann: org.apache.spark.sql.Column) = {
+      def norm(m: org.apache.spark.sql.Column) =
+        to_json(array_sort(map_entries(
+          coalesce(m, typedLit(Map.empty[String, String])))))
+      concat_ws("#", norm(labels), norm(ann))
+    }
     val n = newSnap.select(
       col("id").as("n_id"),
       sig(col("labels"), col("annotations")).as("n_sig"))

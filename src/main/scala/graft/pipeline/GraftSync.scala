@@ -66,21 +66,30 @@ object GraftSync {
       if (cfg.dsv2Source) SyncPipeline.fileSourceV2(spark, watchDir)
       else SyncPipeline.fileSource(spark, watchDir)
 
-    // A2 allow/blocklist for instances (CRDs blocklisted by default). The
-    // lists hold plural resource types like the reference's config; events
-    // carry Kinds, so the filter sees the mapped resource string.
-    val instanceQuery = SyncPipeline.start(
-      events.filter(cfg.watchFilter(
-        graft.functions.KubeFunctions.kindToResourceType(col("kind")))),
-      iSink, cfg)
+    // A21 at the SOURCE (watcher.go:198-205): the effective watch set —
+    // the A2 lists force-unioned with CRDs when the capabilities pipeline
+    // is on — prunes events neither pipeline wants before the stream
+    // splits. The lists hold plural resource types like the reference's
+    // config; events carry Kinds, so the filters see the mapped resource
+    // string.
+    val mappedKind =
+      graft.functions.KubeFunctions.kindToResourceType(col("kind"))
+    val watched = events.filter(cfg.effectiveWatchFilter(mappedKind))
 
-    // A21/A11: capabilities pipeline on its own name-keyed debounce
+    // A2 allow/blocklist for instances (CRDs blocklisted by default, so
+    // they route ONLY to the capabilities pipeline below)
+    val instanceQuery = SyncPipeline.start(
+      watched.filter(cfg.watchFilter(mappedKind)), iSink, cfg)
+
+    // A21/A11: capabilities pipeline on its own name-keyed debounce —
+    // CRDs reach here through the force-union in effectiveWatchFilter even
+    // when the A2 lists would exclude them
     val crdQuery =
       if (!cfg.crdPipelineEnabled) None
       else {
         import spark.implicits._
         val cSink = crdSink.getOrElse(RestSink.http(cfg.capabilitiesEndpoint))
-        val crdEvents = events
+        val crdEvents = watched
           .filter(lower(col("kind"))
             .isin("customresourcedefinition", "customresourcedefinitions"))
           .map(e => CrdPipeline.CrdEventRow(e.event_type, e.event_seq, e.ts, e.name))
@@ -124,6 +133,11 @@ object GraftSync {
     spark.sparkContext.setLogLevel(GraftSync.log4jLevel(cfg.logLevel))
     val running = wire(spark, cfg, watchDir)
     sys.addShutdownHook(running.close())
-    running.instances.awaitTermination()
+    // await ANY stream, not just instances: a dead CRD capabilities query
+    // must fail the process (and its exception must surface) rather than
+    // leaving a half-alive controller that answers probes while capability
+    // sync is silently stopped — the reference's manager exits when any
+    // component dies (cmd/main.go:190-193)
+    spark.streams.awaitAnyTermination()
   }
 }

@@ -5,10 +5,14 @@ package graft.pipeline
   * (cmd/main.go:59-95, controller-runtime metricsserver). Served by
   * [[ApiServer]] at GET /metrics.
   *
-  * Counters are per-JVM by design, the standard Prometheus pattern: in a
-  * cluster every driver/executor process exposes its own endpoint and the
-  * scraper sums across instances — so executor-side sink deliveries count
-  * where they happen, and nothing needs a cross-JVM merge on the hot path.
+  * Counters are per-JVM (no cross-JVM merge on the hot path), and ONLY the
+  * driver serves an endpoint ([[ApiServer]]). With the default driver-side
+  * sink every delivery counter increments on the driver and is scrapeable.
+  * Caveat — executorSideSink mode: payload counters increment inside
+  * foreachPartition on EXECUTOR JVMs, which expose no endpoint here, so
+  * they are process-local diagnostics; wiring them into a scraper needs an
+  * executor-local agent or Spark's metrics system (out of scope — the
+  * reference is single-process and has no equivalent split).
   */
 object Metrics {
 

@@ -157,7 +157,14 @@ object Payloads {
     * same payload, same answer): logged and dropped, matching the
     * reference's fail-fast classification (rest.go:139-144).
     */
-  def deliver(sink: RestSink, payloads: Seq[String]): Unit =
+  def deliver(sink: RestSink, payloads: Seq[String]): Unit = {
+    // delivered is counted AFTER the whole batch succeeds, matching the
+    // deferred upsert/delete counters in SyncPipeline.start — counting
+    // per-payload as delivery proceeds would double-count the pre-failure
+    // payloads of every failed-and-replayed epoch. failures/drops stay
+    // immediate: a failure aborts this method (nothing else will record
+    // it) and a 4xx drop is final on first sight.
+    var delivered = 0L
     payloads.foreach { p =>
       sink.send(p) match {
         case sink.Exhausted(status) =>
@@ -168,8 +175,11 @@ object Payloads {
           Metrics.global.inc("graft_payloads_dropped_total")
           System.err.println(s"[sink] dropping payload rejected with $status")
         case sink.Delivered =>
-          Metrics.global.inc("graft_payloads_delivered_total")
+          delivered += 1
         case _ => ()
       }
     }
+    if (delivered > 0)
+      Metrics.global.inc("graft_payloads_delivered_total", delivered)
+  }
 }

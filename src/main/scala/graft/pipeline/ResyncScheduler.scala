@@ -47,8 +47,18 @@ final class ResyncScheduler(
     * informer List, not a resync).
     */
   def start(): this.type = {
-    scheduler.scheduleAtFixedRate(() => runOnce(), intervalMs, intervalMs,
-      TimeUnit.MILLISECONDS)
+    // a task that THROWS silently cancels scheduleAtFixedRate's future
+    // runs — one transient sink outage during a tick must not kill the
+    // cadence for the rest of the process lifetime (the reference's ticker
+    // keeps ticking through failed resyncs). Ad-hoc triggerNow still
+    // propagates, so the API's 500 contract is untouched.
+    scheduler.scheduleAtFixedRate(() =>
+      try runOnce()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Metrics.global.inc("graft_resync_failures_total")
+          System.err.println(s"[resync] scheduled resync failed: ${e.getMessage}")
+      }, intervalMs, intervalMs, TimeUnit.MILLISECONDS)
     this
   }
 

@@ -389,6 +389,21 @@ class SyncPipelineSpec extends SparkSpec {
     assert(dep.getAs[String]("apiGroup") == "apps")
     assert(dep.getAs[Map[String, String]]("annotations") == Map("description" -> "web"))
   }
+
+  test("batch diff treats null and empty maps as equal, like the streaming path") {
+    import spark.implicits._
+    // reference mapsEqual(nil, empty) / Debounce.metadataUnchanged parity:
+    // a null↔{} transition is NOT a metadata change; a null↔{k:v} one is
+    def snap(rows: (String, Map[String, String])*) =
+      rows.toSeq.toDF("id", "labels")
+        .withColumn("annotations",
+          org.apache.spark.sql.functions.typedLit(Map.empty[String, String]))
+    val prev = snap("a" -> null, "b" -> null, "c" -> Map("k" -> "v"))
+    val next = snap("a" -> Map.empty[String, String], "b" -> Map("k" -> "v"), "c" -> null)
+    val got = Extract.diff(next, prev).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("b" -> "upsert-changed", "c" -> "upsert-changed"))
+  }
 }
 
 /** Static collector for the executor-side sink test: reachable from any
