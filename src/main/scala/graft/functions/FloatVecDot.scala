@@ -155,10 +155,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // each entry reports its OWN implementing class so DESCRIBE FUNCTION
+    // introspection isn't misleading
+    val implClass = Map(
+      "vec_dot" -> classOf[FloatVecDot].getName,
+      "minhash_sig" -> classOf[MinHashSig].getName,
+      "simhash_sig" -> classOf[SimHashSig].getName,
+      "hyperplane_sigs" -> classOf[HyperplaneSigs].getName)
     GraftExpressions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[FloatVecDot].getName, name),
+        new ExpressionInfo(implClass(name), name),
         b))
     }
     // whole-operator extension: the two-phase per-key top-k, plus the

@@ -84,14 +84,24 @@ object KubeFunctions {
   /** Kind → resource-type string ("Lease" → "leases"): the A2 filter lists
     * hold plural resource types (config.go:52-53) because the reference
     * filters on the GVR resource it gets from API discovery; event rows
-    * carry the singular Kind. English-plural heuristic (s/x/z/ch/sh → es)
-    * covers the built-in types — incl. every default exclude — without a
-    * discovery client; a deployment with exotic CRD kinds supplies explicit
-    * lists instead.
+    * carry the singular Kind. English-plural heuristic, in rule order:
+    *
+    *   - irregular built-ins first: "Endpoints" is ALREADY plural (its
+    *     resource is `endpoints`, not `endpointses`);
+    *   - consonant+y → ies ("NetworkPolicy" → `networkpolicies`, the rule
+    *     K8s's own flect pluralizer applies);
+    *   - s/x/z/ch/sh → es ("ComponentStatus" → `componentstatuses`);
+    *   - else append s.
+    *
+    * This covers the built-in types — incl. every default exclude and the
+    * *Policy families — without a discovery client; a deployment with
+    * exotic CRD kinds supplies explicit lists instead.
     */
   def kindToResourceType(kind: Column): Column = {
     val k = lower(kind)
-    when(k.rlike("(s|x|z|ch|sh)$"), concat(k, lit("es")))
+    when(k === "endpoints", k)
+      .when(k.rlike("[^aeiou]y$"), regexp_replace(k, "y$", "ies"))
+      .when(k.rlike("(s|x|z|ch|sh)$"), concat(k, lit("es")))
       .otherwise(concat(k, lit("s")))
   }
 }

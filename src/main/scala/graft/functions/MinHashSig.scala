@@ -21,6 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * static call (the FloatVecDot escalation applied to the dedup family's
   * hottest kernel), one MessageDigest instance serves the whole row, and
   * shingle bytes are encoded once and reused across all k seeds.
+  *
+  * One deliberate divergence: NULL text returns NULL, where the HOF
+  * composition folds null into an array of k nulls — null-in/null-out is
+  * the saner contract and the corpus loaders reject null text anyway
+  * (same carve-out as [[SimHashSig]]/[[HyperplaneSigs]]).
   */
 case class MinHashSig(child: Expression, shingleN: Int, seeds: Int)
     extends UnaryExpression {
@@ -53,6 +58,16 @@ object MinHashSig {
     * `split(lower(trim(text)), "\\s+")` and shingling matches
     * TextFunctions.shingles (short docs collapse to one whole-doc shingle).
     */
+  // seed prefixes depend only on k — computed once per JVM, not per row
+  // (the HyperplaneSigs plane-table pattern); k is a query constant, so
+  // the cache holds a handful of entries
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
+
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, kk => Array.tabulate(kk)(seed =>
+      (seed.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
     // UTF8String lowercase (locale-free), then JVM split — identical to
     // Spark's split() on the already-lowercased bytes
@@ -64,8 +79,7 @@ object MinHashSig {
         toks.slice(i, i + n).mkString(" "))
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = new Array[String](k)
-    val seedPrefix = Array.tabulate(k)(seed =>
-      (seed.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val seedPrefix = prefixesFor(k)
     var si = 0
     while (si < shingles.length) {
       val shingleBytes = shingles(si).getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -17,6 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda trees per token at the pair-query's width. Here the digest runs
   * once and all nbits positions read their nibble from its bytes, inside
   * whole-stage codegen (same escalation as [[MinHashSig]]).
+  *
+  * One deliberate divergence: NULL text returns NULL (null-in/null-out),
+  * where the HOF composition folds null into signature 0L — the corpus
+  * loaders reject null text, and a null row silently hashing into the 0L
+  * bucket (colliding with genuinely-empty docs) is the worse contract.
+  * Same carve-out as [[HyperplaneSigs]]/[[MinHashSig]]; pinned by the
+  * "null text yields null signature" test.
   */
 case class SimHashSig(child: Expression, nbits: Int) extends UnaryExpression {
 

@@ -58,6 +58,13 @@ object Skew {
         agg.aggregateExpressions.collect {
           case a @ Alias(child, name) if name.startsWith("_p_") =>
             val merge: Column => Column = child match {
+              // DISTINCT never decomposes over salts: hash(salt source)
+              // scatters equal values across buckets, each bucket counts
+              // them once, and the sum-merge multiple-counts
+              case ae: AggregateExpression if ae.isDistinct =>
+                throw new IllegalArgumentException(
+                  s"saltedAgg: '${name.stripPrefix("_p_")}' is DISTINCT — " +
+                    "distinct aggregates do not merge across salt buckets")
               case ae: AggregateExpression => ae.aggregateFunction match {
                 case _: Sum | _: Count => sum(_)
                 case _: Min            => min(_)

@@ -70,16 +70,25 @@ object VectorIndex {
   /** Tag each vector with its nearest (max-cosine) cell; ties → lowest id.
     * Centroids are broadcast; the argmax is a partial+final max_by
     * aggregation, so the exchange carries one pre-combined row per vector —
-    * not the corpus×k rows a window-over-vec_id would shuffle.
+    * not the corpus×k rows a window-over-vec_id would shuffle. Norms are
+    * precomputed on each side BEFORE the pair explosion (the
+    * cosineWithNorms contract): scoring one of the N·k pairs costs one dot
+    * product, not three — bit-identical results, ~3× less assign-step
+    * arithmetic per Lloyd pass.
     */
-  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame =
-    embeddings.crossJoin(broadcast(centroids))
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = embeddings
+      .withColumn("_v", col("embedding").cast("array<double>"))
+      .withColumn("_vn", l2Norm(col("_v")))
+    val c = centroids.withColumn("_cn", l2Norm(col("centroid")))
+    e.crossJoin(broadcast(c))
       .withColumn("sim",
-        cosineSimilarity(col("embedding").cast("array<double>"), col("centroid")))
+        cosineWithNorms(col("_v"), col("centroid"), col("_vn"), col("_cn")))
       .groupBy("vec_id")
       .agg(
         max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
         first(col("embedding")).as("embedding")) // identical across the k copies
+  }
 
   // ---------------------------------------------------------------------
   // Product quantization (Jégou et al., "Product Quantization for Nearest

@@ -78,5 +78,10 @@ class KubeFunctionsSpec extends SparkSpec {
     assert(conv("CustomResourceDefinition") == "customresourcedefinitions")
     assert(conv("Deployment") == "deployments")
     assert(conv("Ingress") == "ingresses")
+    // irregular + y-rule built-ins (the real K8s resource strings)
+    assert(conv("Endpoints") == "endpoints") // already plural, not endpointses
+    assert(conv("NetworkPolicy") == "networkpolicies")
+    assert(conv("PodSecurityPolicy") == "podsecuritypolicies")
+    assert(conv("Gateway") == "gateways") // vowel+y is a plain s
   }
 }

@@ -38,6 +38,21 @@ class SkewSpec extends SparkSpec {
     assert(e.getMessage.contains("not a bare aggregate"))
   }
 
+  test("DISTINCT aggregates are rejected as non-decomposable") {
+    // hash(uniq) scatters equal values across salts — each bucket counts
+    // them once and the sum-merge would multiple-count
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(fixture, Seq("k"), col("v"), buckets = 4)(
+        "d" -> countDistinct(col("v")))
+    }
+    assert(e.getMessage.contains("DISTINCT"))
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(fixture, Seq("k"), col("v"), buckets = 4)(
+        "sd" -> sum_distinct(col("v")))
+    }
+    assert(e2.getMessage.contains("DISTINCT"))
+  }
+
   test("non-positive bucket count is rejected") {
     intercept[IllegalArgumentException] {
       Skew.saltedAgg(fixture, Seq("k"), col("v"), buckets = 0)("s" -> sum("v"))
