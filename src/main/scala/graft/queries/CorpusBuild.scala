@@ -45,12 +45,17 @@ object CorpusBuild {
       .join(drops, Seq("doc_id"), "left_anti")
       .withColumn("split", CorpusQueries.splitCol)
       .withColumn("n_tokens", size(tokens(col("text"))))
+    // the helper's checkpoint already holds (doc_id, split, n_tokens), so
+    // the write joins RAW docs against it — re-joining `enriched` would
+    // re-run the anti-join and re-tokenize the whole corpus a second
+    // time; chunkIds' doc_id set IS the kept set, so the inner join also
+    // re-applies the drop filter for free
     val chunkIds = CorpusQueries.withTokensBefore(
         enriched.select("doc_id", "lang", "split", "n_tokens"),
         Seq("lang", "split"))
       .withColumn("chunk_id", floor(col("tokens_before") / 512.0))
-      .select("doc_id", "chunk_id")
-    val kept = enriched.join(chunkIds, "doc_id")
+      .select("doc_id", "split", "n_tokens", "chunk_id")
+    val kept = docs.join(chunkIds, "doc_id")
     kept.write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)
     // counts come from re-READING the written layout (proving the write,
     // not the plan); an all-empty corpus writes no partition directories,

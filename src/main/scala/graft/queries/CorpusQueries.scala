@@ -47,9 +47,13 @@ object CorpusQueries {
          ELSE 'test' END"""
 
   /** Default chunking block: 2^18 consecutive doc_ids per window partition.
-    * At ~10^10 docs (a 100 TB corpus) that is ~40k blocks per language —
-    * the offsets table stays broadcast-sized while each window partition
-    * is bounded by the block, not by the language's share of the corpus.
+    * At ~10^10 docs (a 100 TB corpus) that is ~40k GLOBAL blocks; the
+    * offsets table is one row per (key, block) — with interleaved keys that
+    * can reach keys×blocks rows (~10^6-10^7 at the design point), which is
+    * why the offsets join carries NO broadcast hint: AQE broadcasts it
+    * when it is actually small and shuffle-joins otherwise. Each window
+    * partition stays bounded by the block, not by a key's share of the
+    * corpus.
     */
   val ChunkBlockSize: Long = 1L << 18
 
@@ -87,17 +91,15 @@ object CorpusQueries {
     val grpBlk = (keys :+ "_blk").map(col)
     val localW = Window.partitionBy(grpBlk: _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val blockW = Window.partitionBy(grpBlk: _*)
     val staged = docs
       .withColumn("_blk", expr(s"doc_id DIV $blockSize"))
       .withColumn("_local_before",
         coalesce(sum("n_tokens").over(localW), lit(0L)))
-      .withColumn("_blk_total", sum("n_tokens").over(blockW))
       .localCheckpoint()
     val offW = Window.partitionBy(keys.map(col): _*).orderBy("_blk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = staged
-      .groupBy(grpBlk: _*).agg(max("_blk_total").as("_t"))
+      .groupBy(grpBlk: _*).agg(sum("n_tokens").as("_t"))
       .withColumn("_blk_before", coalesce(sum("_t").over(offW), lit(0L)))
       .drop("_t")
     // null-SAFE join on the keys: windows and groupBy both treat a null
@@ -106,15 +108,16 @@ object CorpusQueries {
     // single-window form this replaces. Alias-qualified: offsets derives
     // from staged, so unqualified refs to the grouping columns resolve to
     // ONE attribute and the condition degenerates to always-true (the
-    // q_sim_topk_pq self-lineage lesson).
+    // q_sim_topk_pq self-lineage lesson). No broadcast hint: offsets is
+    // keys×blocks rows (see ChunkBlockSize) — AQE picks the join side.
     val cond = (keys :+ "_blk")
       .map(k => col(s"s.$k") <=> col(s"o.$k")).reduce(_ && _)
     staged.as("s")
-      .join(broadcast(offsets.as("o")), cond)
+      .join(offsets.as("o"), cond)
       .select((docs.columns.map(c => col(s"s.$c")) :+
         col("s._blk") :+ col("s._local_before") :+ col("o._blk_before")): _*)
       .withColumn("tokens_before", col("_local_before") + col("_blk_before"))
-      .drop("_blk", "_local_before", "_blk_total", "_blk_before")
+      .drop("_blk", "_local_before", "_blk_before")
   }
 
   /** Connected components via alternating large-star / small-star rounds
@@ -417,17 +420,41 @@ object CorpusQueries {
         // uses). Ranking key is the INTEGER micro-quality q4 plus doc_id,
         // never the raw double (the tie/rounding lesson from
         // q_text_tfidf): both engines order identically or the admitted
-        // set itself would drift. One window cumsum per lang — a single
-        // shuffle on the mixture key, executor-sized partitions at 100 TB.
-        val w = Window.partitionBy("lang")
-          .orderBy(col("q4").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, dir)
+        // set itself would drift.
+        //
+        // The cumsum is the same two-phase blocked prefix sum as
+        // q_pack_chunks, blocked on the QUALITY BAND (10000−q4) DIV 64 —
+        // a deterministic coarsening of the (q4 desc, doc_id) order, so
+        // no single window partition spans a whole language. The budget
+        // adds a second scale lever the chunker doesn't have: a block
+        // whose offset already exceeds the budget cannot admit ANY row,
+        // so the offsets filter prunes every such block BEFORE the
+        // per-row window — at 100 TB only the top quality bands of each
+        // language ever reach the expensive phase.
+        val base = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             size(tokens(col("text"))).as("n_tokens"),
             round(qualityFromStats(tokenStats(col("text"))) * 1e4)
               .cast("long").as("q4"))
-          .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("_blk", expr("(10000 - q4) DIV 64"))
+          .localCheckpoint()
+        val offW = Window.partitionBy("lang").orderBy("_blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = base
+          .groupBy("lang", "_blk").agg(sum("n_tokens").as("_t"))
+          .withColumn("_blk_before", coalesce(sum("_t").over(offW), lit(0L)))
+          .drop("_t")
+          .filter(col("_blk_before") < 2000) // block-level budget pruning
+        val localW = Window.partitionBy("lang", "_blk")
+          .orderBy(col("q4").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.as("b")
+          .join(offsets.as("o"),
+            col("b.lang") <=> col("o.lang") && col("b._blk") <=> col("o._blk"))
+          .select(col("b.doc_id"), col("b.lang"), col("b.n_tokens"),
+            col("b.q4"), col("b._blk"), col("o._blk_before"))
+          .withColumn("before",
+            coalesce(sum("n_tokens").over(localW), lit(0L)) + col("_blk_before"))
           .filter(col("before") < 2000)
           .select(col("lang"), col("doc_id"), col("q4"),
             (col("before") + col("n_tokens")).as("cum_tokens"))
