@@ -100,6 +100,16 @@ object Bench {
     catch { case _: java.io.IOException => }
     spark.stop()
     println(line)
+    // The driver keeps only a ~2,000-char stdout tail; the full per-query
+    // line is ~2.6 KB, so its head (and the opening brace) can be cut off
+    // and the parse fails (r4-r6 all recorded `parsed: null`). Print a
+    // compact summary — same headline numbers, no per-query map — as the
+    // process's very last stdout line; it fits any tail window.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
+      s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
+      s""""n_queries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
     System.out.flush()
   }
 

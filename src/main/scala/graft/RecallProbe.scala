@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** ANN tuning probe: recall@k of each approximate similarity query vs the
-  * exact q_sim_topk, with wall-clock, at an arbitrary sf-dir — the
-  * measurement loop behind the QualityChecksSpec floors (the spec pins
-  * sf0.001; the floors are tuned so sf0.1 clears them too).
+  * exact ranking, with wall-clock, at an arbitrary sf-dir — the measurement
+  * loop behind the QualityChecksSpec/KnnGraphSpec floors (the specs pin
+  * sf0.001; the floors are tuned so sf0.1 clears them too). All recall math
+  * goes through [[Recall]] — the same code path the specs assert against.
   * `runMain graft.RecallProbe [sfDir]`.
   */
 object RecallProbe {
@@ -26,27 +27,35 @@ object RecallProbe {
       val rows = SparkEntry.queries(name)(spark, sfDir).collect()
       (rows, (System.nanoTime() - t0) / 1e9)
     }
-    def toPairs(rows: Array[org.apache.spark.sql.Row], maxRnk: Int) =
-      rows.filter(_.getAs[Int]("rnk") <= maxRnk)
-        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
 
     // warm once so JIT/codegen doesn't pollute the comparison
-    Seq("q_sim_topk", "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq")
+    Seq("q_sim_topk", "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq",
+      "q_sim_knn_graph")
       .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
 
     // one exact run serves both cut-offs — rnk<=3 is a filter of rnk<=5
     val (exactRows, tExact) = run("q_sim_topk")
-    val exact5 = toPairs(exactRows, 5)
-    val e3 = toPairs(exactRows, 3)
+    val exact5 = Recall.pairs(exactRows, 5)
+    val e3 = Recall.pairs(exactRows, 3)
     val results = Seq(
       ("q_sim_topk_lsh", 5, exact5), ("q_sim_ivf_kmeans", 3, e3),
       ("q_sim_topk_pq", 5, exact5)).map { case (name, k, exact) =>
       val (rows, secs) = run(name)
-      val got = toPairs(rows, k)
-      val recall = if (exact.isEmpty) 1.0 else (exact & got).size.toDouble / exact.size
+      val recall = Recall.of(exact, Recall.pairs(rows, k))
       f""""$name":{"recall@$k":$recall%.3f,"sec":$secs%.2f}"""
     }
-    println(s"""{"sf":"$sfDir","exact_sec":$tExact,${results.mkString(",")}}""")
+    // the graph query's oracle is the full brute-force graph, not the
+    // 10-query exact run — every vector is a query
+    val knn = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries("q_sim_knn_graph")(spark, sfDir).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val exact = Recall.pairs(
+        graft.queries.VectorQueries.bruteKnnGraph(spark, sfDir, 5).collect(), 5)
+      val recall = Recall.of(exact, Recall.pairs(rows, 5))
+      f""""q_sim_knn_graph":{"recall@5":$recall%.3f,"sec":$secs%.2f}"""
+    }
+    println(s"""{"sf":"$sfDir","exact_sec":$tExact,${(results :+ knn).mkString(",")}}""")
     spark.stop()
   }
 }

@@ -75,14 +75,19 @@ object HyperplaneSigs {
   // planes are deterministic in (bits, tables, dim) — computed once per
   // JVM, shared across tasks; a few KB of ±1 floats per shape. The cache
   // is BOUNDED: shapes are user-controlled from SQL, and an unbounded map
-  // of 16 MB-max plane tables would be a driver/executor memory leak —
-  // entries are cheap to recompute, so past the cap the map is simply
-  // cleared.
+  // of 16 MB-max plane tables would be a driver/executor memory leak.
+  // Past the cap ONE arbitrary entry is evicted — a wholesale clear()
+  // would drop hot entries still in use and turn >32 shapes in steady
+  // rotation into a recompute-per-lookup thrash; entries are cheap to
+  // recompute either way, so losing an active one occasionally is fine.
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]
 
   private[functions] def planesFor(bits: Int, tables: Int, dim: Int): Array[Float] = {
-    if (planeCache.size > 32) planeCache.clear()
+    if (planeCache.size > 32) {
+      val it = planeCache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     planeCache.computeIfAbsent((bits, tables, dim), { _ =>
       val flat = new Array[Float](tables * bits * dim)
       var t = 0

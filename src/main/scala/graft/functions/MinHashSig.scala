@@ -31,6 +31,10 @@ case class MinHashSig(child: Expression, shingleN: Int, seeds: Int)
     extends UnaryExpression {
 
   require(shingleN > 0 && seeds > 0, s"need positive n/k, got ($shingleN, $seeds)")
+  // minhash_sig(text, n, k) is SQL-reachable with an arbitrary literal k:
+  // cap it (the bits <= 63 guard in HyperplaneSigs) so a huge k can't
+  // allocate proportionally per row or bloat the per-JVM prefix cache.
+  require(seeds <= 4096, s"minhash_sig supports at most 4096 seeds, got $seeds")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -60,13 +64,22 @@ object MinHashSig {
     */
   // seed prefixes depend only on k — computed once per JVM, not per row
   // (the HyperplaneSigs plane-table pattern); k is a query constant, so
-  // the cache holds a handful of entries
+  // the cache normally holds a handful of entries. BOUNDED all the same:
+  // k is SQL-supplied, so distinct values could otherwise accumulate
+  // k-sized tables per JVM forever. Past the cap one arbitrary entry is
+  // evicted (not clear() — a full wipe would invalidate hot entries still
+  // in steady rotation); entries are cheap to recompute either way.
   private val prefixCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
 
-  private def prefixesFor(k: Int): Array[Array[Byte]] =
+  private def prefixesFor(k: Int): Array[Array[Byte]] = {
+    if (prefixCache.size > 32) {
+      val it = prefixCache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     prefixCache.computeIfAbsent(k, kk => Array.tabulate(kk)(seed =>
       (seed.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
 
   def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
     // UTF8String lowercase (locale-free), then JVM split — identical to

@@ -30,6 +30,18 @@ object CrdPipeline {
     * delete the capability). `deadlineMs` is the armed flush deadline, so
     * a stale-only micro-batch restores the remaining window instead of
     * re-extending it (debounce.go:139-147 resets only on accepted events).
+    *
+    * CHECKPOINT-SCHEMA CONTRACT: this shape is persisted in the state
+    * store, and Spark's state-schema check rejects a restart whose state
+    * class gained/lost/retyped fields. A checkpoint written before
+    * `flushed`/`deadlineMs` existed (the original 2-field shape) therefore
+    * fails on upgrade — DISCARD the CRD pipeline's checkpoint dir when
+    * upgrading across a Pending shape change. That is safe by design: CRD
+    * state is fully reconstructible from one resync pass (A19 re-lists
+    * everything, and the REST upsert contract is idempotent), so a
+    * discarded checkpoint costs one resync, never data loss. The shape is
+    * considered FROZEN from here; a future change must bump a new state
+    * class name + checkpoint dir rather than mutate this one in place.
     */
   final case class Pending(
       seq: Long, tombstone: Boolean = false, flushed: Boolean = false,

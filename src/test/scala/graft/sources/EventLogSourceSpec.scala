@@ -319,4 +319,27 @@ class EventLogSourceSpec extends SparkSpec {
     val legacy = stream.deserializeOffset("1")
     assert(stream.planInputPartitions(legacy, stream.latestOffset()).length == 1)
   }
+
+  test("no-arg latestOffset() enforces the prefix contract against the committed offset") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2_commit").toString
+    def writeFile(name: String): Unit = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, name),
+      s"""{"event_type":"ADD","event_seq":1,"ts":"2020-01-01T00:00:00.000Z","id":"x/1","namespace":"ns","name":"n1","kind":"D","apiVersion":"apps/v1","apiGroup":"apps","labels":null,"annotations":null,"createdAt":"2020-01-01T00:00:00.000Z"}\n""")
+    writeFile("5.json")
+    val stream = new EventLogMicroBatchStream(d, EventLogSource.schema, Array.empty)
+    val end1 = stream.latestOffset()
+    // before any commit there is no anchor — the plain engine path cannot
+    // check (it has no start offset); the per-batch checks still run in
+    // planInputPartitions
+    stream.commit(end1)
+    // "10.json" sorts BEFORE the consumed "5.json": with the committed
+    // anchor, even the no-argument variant now fails loudly instead of
+    // computing an end offset from the corrupted listing (ADVICE r6)
+    writeFile("10.json")
+    intercept[IllegalStateException] { stream.latestOffset() }
+    // a replayed OLDER commit (or a name-less pre-upgrade one) must not
+    // downgrade the anchor
+    stream.commit(stream.deserializeOffset("1"))
+    intercept[IllegalStateException] { stream.latestOffset() }
+  }
 }
