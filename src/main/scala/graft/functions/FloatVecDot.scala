@@ -118,12 +118,45 @@ object GraftExpressions {
         s"hyperplane_sigs requires (vec, bits, tables[, dim]), got ${exprs.length} args")
       HyperplaneSigs(exprs.head, intLit(exprs(1), "bits"), intLit(exprs(2), "tables"),
         if (exprs.length == 4) intLit(exprs(3), "dim") else 64)
+    },
+    "token_prefix" -> { exprs =>
+      require(exprs.length == 3,
+        s"token_prefix requires (toks, dfs_map, threshold), got ${exprs.length} args")
+      TokenPrefix(exprs.head, mapLit(exprs(1), "dfs_map"), doubleLit(exprs(2), "threshold"))
     })
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, name: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: java.math.BigDecimal, _: DecimalType) => v.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
+  }
+
+  /** A foldable MAP<STRING, int/long> argument, folded at plan time — the
+    * df table parameterizes the generated kernel, it is not a per-row
+    * value.
+    */
+  private def mapLit(e: Expression, name: String): Map[String, Long] = {
+    require(e.foldable, s"$name must be a foldable map literal, got $e")
+    val valueIsLong = e.dataType match {
+      case MapType(StringType, LongType, _)    => true
+      case MapType(StringType, IntegerType, _) => false
+      case t => throw new IllegalArgumentException(
+        s"$name must be map<string, int|bigint>, got $t")
+    }
+    val m = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val keys = m.keyArray()
+    val values = m.valueArray()
+    (0 until m.numElements()).map { i =>
+      keys.getUTF8String(i).toString ->
+        (if (valueIsLong) values.getLong(i) else values.getInt(i).toLong)
+    }.toMap
   }
 
   def register(spark: SparkSession): Unit = {
@@ -161,7 +194,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "vec_dot" -> classOf[FloatVecDot].getName,
       "minhash_sig" -> classOf[MinHashSig].getName,
       "simhash_sig" -> classOf[SimHashSig].getName,
-      "hyperplane_sigs" -> classOf[HyperplaneSigs].getName)
+      "hyperplane_sigs" -> classOf[HyperplaneSigs].getName,
+      "token_prefix" -> classOf[TokenPrefix].getName)
     GraftExpressions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),

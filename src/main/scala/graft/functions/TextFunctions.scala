@@ -78,6 +78,16 @@ object TextFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Native PPJoin prefix over a distinct-token array ([[TokenPrefix]];
+    * parity with the explode→df-join→window form asserted in
+    * TokenPrefixSpec). `dfs` is the vocabulary-sized document-frequency
+    * table, shipped as a plan constant.
+    */
+  def tokenPrefix(toks: Column, dfs: Map[String, Long], t: Double): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.col(TokenPrefix(Bridge.expr(toks), dfs, t))
+  }
+
   /** Tiny deterministic stopword lists per language for the n-gram/stopword
     * language-ID heuristic. (The testdata vocabulary is synthetic; what the
     * oracle checks is the scoring machinery, not linguistics.)

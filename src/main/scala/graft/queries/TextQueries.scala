@@ -265,18 +265,27 @@ object TextQueries {
           .select(col("doc_id"), col("lang"),
             array_distinct(tokens(col("text"))).as("toks"))
           .localCheckpoint()
-        val t = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
-        val dfs = t.groupBy("token").agg(count(lit(1)).as("df"))
-        val wDoc = Window.partitionBy("doc_id")
         // dfs is vocabulary-sized (one row per distinct token — orders of
-        // magnitude below the corpus even at 100 TB); broadcasting it keeps
-        // the exploded token stream from shuffling on token just to learn df
-        val pfx = t.join(broadcast(dfs), "token")
-          .withColumn("pos", row_number().over(wDoc.orderBy("df", "token")))
-          .withColumn("sz", count(lit(1)).over(wDoc))
-          .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.6) + 1)
+        // magnitude below the corpus even at 100 TB); the same bound that
+        // made it broadcastable makes it collectable, and shipping it into
+        // the TokenPrefix kernel as a plan constant (the VectorIndex
+        // centroid pattern) deletes the whole explode → broadcast-join →
+        // double-window stage the prefix used to cost: the token stream no
+        // longer shuffles or sorts per doc AT ALL — the prefix is computed
+        // row-local in one codegen pass over the checkpointed frame
+        // (TokenPrefixSpec pins bit-for-bit parity with the window form).
+        val dfsMap = d.select(explode(col("toks")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df"))
+          .toMap
+        // no checkpoint for pfx anymore: it is a row-local kernel
+        // projection over the already-checkpointed d, so recomputing it on
+        // each self-join side is cheaper than materializing it (the old
+        // window form re-ran a shuffle+sort per consumer — THAT needed it)
+        val pfx = d.select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("sz"),
+            explode(tokenPrefix(col("toks"), dfsMap, 0.6)).as("token"))
           .select("doc_id", "lang", "token", "sz")
-          .localCheckpoint()
         // LENGTH FILTER (the SSJoin companion lemma): jac(A,B) ≥ t forces
         // t·|A| ≤ |B| ≤ |A|/t, so size-mismatched docs sharing a prefix
         // token never become candidates — carried on the prefix rows, it
