@@ -22,13 +22,82 @@ import org.apache.spark.sql.functions._
   * Every stage is the already-oracle-checked operator — this class only
   * composes them; CorpusBuildSpec ties the written output back to the
   * q_corpus_final manifest counts.
+  *
+  * == Incremental (delta) mode ==
+  *
+  * The reference's resync (A19) re-lists *everything*; a real corpus
+  * pipeline re-runs on append-only deltas. Each build persists its working
+  * state under `outDir/_graft_state/`: the kept docs' MinHash signatures
+  * (`sigs`), the per-(lang, split) token totals (`totals`), and the max
+  * doc_id seen (`meta`). [[runDelta]] then takes ONLY the new documents:
+  * they are deduped against the kept signatures (plus each other) without
+  * touching the existing corpus text, chunk ids continue from the stored
+  * totals (the blocked prefix sum is a natural continuation — new rows'
+  * `tokens_before` = stored total + prefix among the delta), and only the
+  * new rows are appended to the partitioned layout.
+  *
+  * Delta contract (append-only): new doc_ids must sort after every id the
+  * build has seen (validated against `meta`, loudly), and previously-kept
+  * docs are never evicted. Under that contract delta output ≡ a full
+  * rebuild on base ∪ delta (CorpusBuildSpec proves it on the real corpus),
+  * with one documented divergence: a new doc near-dup-similar to TWO
+  * previously-distinct kept docs merges their clusters in a full rebuild
+  * (evicting one) but evicts neither here — the append-only reading, which
+  * is also the one a served training corpus wants (published data does not
+  * retroactively vanish because a later near-duplicate bridged two
+  * clusters).
   */
 object CorpusBuild {
 
-  /** Run the build; returns per-(lang, split) kept-document counts. */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Map[(String, String), Long] = {
-    val docs = Tables.documents(spark, sfDir)
-    val edges = TextQueries.minhashPairs(spark, sfDir).select("a_id", "b_id")
+  private def stateDir(outDir: String) = s"$outDir/_graft_state"
+
+  /** Run the full build; returns per-(lang, split) kept-document counts. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[(String, String), Long] =
+    build(spark, Tables.documents(spark, sfDir), outDir)
+
+  /** Full build over an arbitrary document frame (doc_id, lang, text, ...). */
+  def build(spark: SparkSession, docs: DataFrame, outDir: String): Map[(String, String), Long] = {
+    // signatures materialized once: they feed the pair self-join AND the
+    // persisted dedup state (the frame the next delta joins against)
+    val sigs = TextQueries.minhashSigs(docs).localCheckpoint()
+    val edges = TextQueries.sigPairs(sigs, sigs).select("a_id", "b_id")
+    writeKept(spark, docs, sigs, edges, outDir,
+      baseTotals = Map.empty, baseMaxId = None)
+  }
+
+  /** Incremental build: dedup `newDocs` against the stored kept signatures
+    * (and each other), continue chunk ids from the stored totals, append
+    * only the new rows. Output ≡ full rebuild on base ∪ delta under the
+    * append-only contract (class scaladoc).
+    */
+  def runDelta(spark: SparkSession, newDocs: DataFrame, outDir: String): Map[(String, String), Long] = {
+    val st = stateDir(outDir)
+    val (baseTotals, baseMaxId) = readState(spark, st)
+    val minNew = newDocs.agg(min("doc_id")).head.getLong(0)
+    require(minNew > baseMaxId,
+      s"delta doc_ids must sort after every id the build has seen " +
+        s"(append-only contract): new min $minNew <= stored max $baseMaxId")
+    val keptSigs = spark.read.parquet(s"$st/sigs")
+    val sigs = TextQueries.minhashSigs(newDocs).localCheckpoint()
+    // new-vs-new self pairs ∪ new-vs-kept cross pairs: the kept side anchors
+    // components at its (smaller) ids, so any new doc joining a kept doc's
+    // component is a non-keeper — exactly the full-rebuild outcome
+    val edges = TextQueries.sigPairs(sigs, sigs).select("a_id", "b_id")
+      .union(TextQueries.sigPairs(sigs, keptSigs).select("a_id", "b_id"))
+    writeKept(spark, newDocs, sigs, edges, outDir,
+      baseTotals = baseTotals, baseMaxId = Some(baseMaxId))
+  }
+
+  /** Shared tail of both modes: drop non-keepers, split, chunk (continuing
+    * from `baseTotals`), write the layout + the state a future delta needs.
+    * `baseMaxId = None` ⇒ full build (overwrite); Some ⇒ delta (append).
+    */
+  private def writeKept(
+      spark: SparkSession, docs: DataFrame, sigs: DataFrame, edges: DataFrame,
+      outDir: String, baseTotals: Map[(String, String), Long],
+      baseMaxId: Option[Long]): Map[(String, String), Long] = {
+    val append = baseMaxId.isDefined
+    val mode = if (append) "append" else "overwrite"
     val drops = CorpusQueries.connectedComponents(edges)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
@@ -45,18 +114,52 @@ object CorpusBuild {
       .join(drops, Seq("doc_id"), "left_anti")
       .withColumn("split", CorpusQueries.splitCol)
       .withColumn("n_tokens", size(tokens(col("text"))))
+    val wtb = CorpusQueries.withTokensBefore(
+      enriched.select("doc_id", "lang", "split", "n_tokens"),
+      Seq("lang", "split"))
+    // chunk-id continuation: tokens_before among the delta + the stored
+    // per-(lang, split) total — for a full build the offset map is empty.
+    // The offset table is partitions-sized (langs × 3), a plan literal.
+    val offsetCol = baseTotals.foldLeft(lit(0L)) { case (acc, ((l, sp), t)) =>
+      when(col("lang") === l && col("split") === sp, lit(t)).otherwise(acc)
+    }
+    val chunked = wtb
+      .withColumn("tokens_before", col("tokens_before") + offsetCol)
+      .withColumn("chunk_id", floor(col("tokens_before") / 512.0))
+      .localCheckpoint()
     // the helper's checkpoint already holds (doc_id, split, n_tokens), so
     // the write joins RAW docs against it — re-joining `enriched` would
     // re-run the anti-join and re-tokenize the whole corpus a second
-    // time; chunkIds' doc_id set IS the kept set, so the inner join also
+    // time; chunked's doc_id set IS the kept set, so the inner join also
     // re-applies the drop filter for free
-    val chunkIds = CorpusQueries.withTokensBefore(
-        enriched.select("doc_id", "lang", "split", "n_tokens"),
-        Seq("lang", "split"))
-      .withColumn("chunk_id", floor(col("tokens_before") / 512.0))
-      .select("doc_id", "split", "n_tokens", "chunk_id")
-    val kept = docs.join(chunkIds, "doc_id")
-    kept.write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)
+    val kept = docs.join(
+      chunked.select("doc_id", "split", "n_tokens", "chunk_id"), "doc_id")
+    kept.write.mode(mode).partitionBy("lang", "split").parquet(outDir)
+
+    // ---- persist the state the next delta needs --------------------------
+    val st = stateDir(outDir)
+    sigs.join(chunked.select("doc_id"), "doc_id")
+      .write.mode(mode).parquet(s"$st/sigs")
+    // totals merge driver-side: the frame is (langs × 3 splits) rows
+    val deltaTotals = chunked.groupBy("lang", "split")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = (baseTotals.keySet ++ deltaTotals.keySet).map { k =>
+      k -> (baseTotals.getOrElse(k, 0L) + deltaTotals.getOrElse(k, 0L))
+    }.toSeq
+    // max id over ALL docs seen (kept or dropped): a dropped id must not be
+    // accepted again either
+    val maxRow = docs.agg(max("doc_id")).head
+    val maxId = math.max(
+      if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0),
+      baseMaxId.getOrElse(Long.MinValue))
+    import spark.implicits._
+    totals.map { case ((l, sp), t) => (l, sp, t) }
+      .toDF("lang", "split", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$st/totals")
+    Seq(maxId).toDF("max_doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
+
     // counts come from re-READING the written layout (proving the write,
     // not the plan); an all-empty corpus writes no partition directories,
     // which parquet cannot infer a schema from — that IS the empty manifest
@@ -71,6 +174,14 @@ object CorpusBuild {
           if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
         Map.empty
     }
+  }
+
+  /** (per-(lang, split) totals, max doc_id) from a previous build's state. */
+  private def readState(spark: SparkSession, st: String): (Map[(String, String), Long], Long) = {
+    val totals = spark.read.parquet(s"$st/totals").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val maxId = spark.read.parquet(s"$st/meta").head.getLong(0)
+    (totals, maxId)
   }
 
   /** `runMain graft.queries.CorpusBuild [outDir]` over SPARK_GRAFT_SF_DIR;

@@ -55,27 +55,50 @@ object TextQueries {
     */
   private[queries] def minhashPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    // signature via the native MinHashSig expression — value-identical to
-    // the staged HOF pipeline (parity spec), one codegen'd kernel per row
-    val sigs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val sigs = minhashSigs(Tables.documents(s, dir)).localCheckpoint()
+    sigPairs(sigs, sigs)
+  }
+
+  /** (doc_id, mh) signature frame: the native MinHashSig expression —
+    * value-identical to the staged HOF pipeline (parity spec), one codegen'd
+    * kernel per row. Callers materialize (localCheckpoint) before joining.
+    */
+  private[queries] def minhashSigs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), minhashSigFast(col("text"), 5, 8).as("mh"))
-      .localCheckpoint()
-    val banded = sigs.select(
+
+  /** 4-band × 2-row banding of a signature frame. */
+  private def mhBanded(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         concat_ws("|",
           element_at(col("mh"), b * 2 + 1),
           element_at(col("mh"), b * 2 + 2)))).as(Seq("band", "bsig")))
-    val a = banded.toDF("a_id", "band", "bsig")
-    val b = banded.toDF("b_id", "band", "bsig")
+
+  /** est-verified candidate pairs between two (materialized) signature
+    * frames: the banded bucket join, pair dedup on bare ids, then the
+    * matching-minhash Jaccard estimate joined back from both sides. When
+    * `left` and `right` are the SAME frame this is the classic self-join
+    * (a_id < b_id emits each pair once); with distinct frames (the
+    * incremental-build new-vs-kept dedup) every cross pair is a candidate.
+    */
+  private[queries] def sigPairs(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val self = left eq right
+    val a = mhBanded(left).toDF("a_id", "band", "bsig")
+    val b = mhBanded(right).toDF("b_id", "band", "bsig")
+    val cond = if (self) col("a_id") < col("b_id") else col("a_id") =!= col("b_id")
     val pairs = a.join(b, Seq("band", "bsig"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(cond)
       .select("a_id", "b_id")
       .distinct() // a pair may collide in several bands — emit once
     pairs
-      .join(sigs.select(col("doc_id").as("a_id"), col("mh").as("a_mh")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("mh").as("b_mh")), "b_id")
+      .join(left.select(col("doc_id").as("a_id"), col("mh").as("a_mh")), "a_id")
+      .join(right.select(col("doc_id").as("b_id"), col("mh").as("b_mh")), "b_id")
       .withColumn("est", aggregate(
         zip_with(col("a_mh"), col("b_mh"),
           (p, q) => when(p === q, 1).otherwise(0)),

@@ -46,6 +46,38 @@ class CorpusBuildSpec extends SparkSpec {
     assert(counts.isEmpty, counts)
   }
 
+  test("delta build ≡ full rebuild on the same data") {
+    // split the corpus at the median id: base build, then the rest as an
+    // append-only delta — output must match one full build over everything
+    val docs = graft.Tables.documents(spark, sf001)
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
+    val cols = Seq("doc_id", "lang", "split", "n_tokens", "chunk_id")
+
+    val outDelta = java.nio.file.Files.createTempDirectory("corpus_delta").toString
+    CorpusBuild.build(spark, docs.filter(col("doc_id") <= mid), outDelta)
+    val deltaCounts = CorpusBuild.runDelta(
+      spark, docs.filter(col("doc_id") > mid), outDelta)
+
+    val fullCounts = spark.read.parquet(out)
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(deltaCounts == fullCounts)
+    def canon(dir: String) = spark.read.parquet(dir)
+      .select(cols.map(col): _*).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(canon(outDelta) == canon(out))
+  }
+
+  test("delta rejects doc_ids at or below the stored high-water mark") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val d = java.nio.file.Files.createTempDirectory("corpus_hwm").toString
+    CorpusBuild.build(spark, docs, d)
+    val e = intercept[IllegalArgumentException] {
+      CorpusBuild.runDelta(spark, docs.limit(10), d)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("chunk ids are monotone non-decreasing along each partition's doc order") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "split").orderBy("doc_id")
