@@ -133,7 +133,9 @@ object GraftExpressions {
 
   private def doubleLit(e: Expression, name: String): Double = e match {
     case Literal(v: Double, DoubleType) => v
-    case Literal(v: java.math.BigDecimal, _: DecimalType) => v.doubleValue()
+    // the SQL parser types a bare `0.6` as DECIMAL, carried as Catalyst's
+    // Decimal wrapper (not java.math.BigDecimal)
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$name must be a numeric literal, got $other")
   }
@@ -154,6 +156,10 @@ object GraftExpressions {
     val keys = m.keyArray()
     val values = m.valueArray()
     (0 until m.numElements()).map { i =>
+      // a null slot would otherwise unbox to df 0 — the rarest-possible
+      // value, silently promoting that token into every prefix
+      require(!values.isNullAt(i),
+        s"$name must not contain null values (key ${keys.getUTF8String(i)})")
       keys.getUTF8String(i).toString ->
         (if (valueIsLong) values.getLong(i) else values.getInt(i).toLong)
     }.toMap

@@ -27,14 +27,17 @@ import org.apache.spark.sql.functions._
   *
   * The reference's resync (A19) re-lists *everything*; a real corpus
   * pipeline re-runs on append-only deltas. Each build persists its working
-  * state under `outDir/_graft_state/`: the kept docs' MinHash signatures
-  * (`sigs`), the per-(lang, split) token totals (`totals`), and the max
-  * doc_id seen (`meta`). [[runDelta]] then takes ONLY the new documents:
-  * they are deduped against the kept signatures (plus each other) without
-  * touching the existing corpus text, chunk ids continue from the stored
-  * totals (the blocked prefix sum is a natural continuation — new rows'
-  * `tokens_before` = stored total + prefix among the delta), and only the
-  * new rows are appended to the partitioned layout.
+  * state under `outDir/_graft_state/`: the MinHash signatures of EVERY doc
+  * seen (`sigs` — kept AND dropped: a delta doc whose nearest duplicate was
+  * itself dropped must still join that doc's component, or near-dups of
+  * dropped docs would leak in), the per-(lang, split) token totals
+  * (`totals`), and the max doc_id seen (`meta`). [[runDelta]] then takes
+  * ONLY the new documents: they are deduped against the stored signatures
+  * (plus each other) without touching the existing corpus text, chunk ids
+  * continue from the stored totals (the blocked prefix sum is a natural
+  * continuation — new rows' `tokens_before` = stored total + prefix among
+  * the delta), and only the new rows are appended to the partitioned
+  * layout.
   *
   * Delta contract (append-only): new doc_ids must sort after every id the
   * build has seen (validated against `meta`, loudly), and previously-kept
@@ -46,6 +49,12 @@ import org.apache.spark.sql.functions._
   * is also the one a served training corpus wants (published data does not
   * retroactively vanish because a later near-duplicate bridged two
   * clusters).
+  *
+  * Delivery: the delta's writes (meta → corpus append → sigs append →
+  * totals) are not one atomic transaction; the high-water mark is written
+  * FIRST so a crash mid-delta fails CLOSED — re-running the same delta is
+  * rejected by the append-only guard (inspect and rebuild) instead of
+  * silently double-appending rows whose first append did land.
   */
 object CorpusBuild {
 
@@ -60,7 +69,7 @@ object CorpusBuild {
     // signatures materialized once: they feed the pair self-join AND the
     // persisted dedup state (the frame the next delta joins against)
     val sigs = TextQueries.minhashSigs(docs).localCheckpoint()
-    val edges = TextQueries.sigPairs(sigs, sigs).select("a_id", "b_id")
+    val edges = TextQueries.sigPairs(sigs, sigs, self = true).select("a_id", "b_id")
     writeKept(spark, docs, sigs, edges, outDir,
       baseTotals = Map.empty, baseMaxId = None)
   }
@@ -73,17 +82,20 @@ object CorpusBuild {
   def runDelta(spark: SparkSession, newDocs: DataFrame, outDir: String): Map[(String, String), Long] = {
     val st = stateDir(outDir)
     val (baseTotals, baseMaxId) = readState(spark, st)
-    val minNew = newDocs.agg(min("doc_id")).head.getLong(0)
+    val minRow = newDocs.agg(min("doc_id")).head
+    if (minRow.isNullAt(0)) return readCounts(spark, outDir) // empty delta: no-op
+    val minNew = minRow.getLong(0)
     require(minNew > baseMaxId,
       s"delta doc_ids must sort after every id the build has seen " +
         s"(append-only contract): new min $minNew <= stored max $baseMaxId")
-    val keptSigs = spark.read.parquet(s"$st/sigs")
+    val seenSigs = spark.read.parquet(s"$st/sigs")
     val sigs = TextQueries.minhashSigs(newDocs).localCheckpoint()
-    // new-vs-new self pairs ∪ new-vs-kept cross pairs: the kept side anchors
-    // components at its (smaller) ids, so any new doc joining a kept doc's
-    // component is a non-keeper — exactly the full-rebuild outcome
-    val edges = TextQueries.sigPairs(sigs, sigs).select("a_id", "b_id")
-      .union(TextQueries.sigPairs(sigs, keptSigs).select("a_id", "b_id"))
+    // new-vs-new self pairs ∪ new-vs-seen cross pairs: the stored side
+    // anchors components at its (smaller) ids, so any new doc joining a
+    // previously-seen doc's component — kept OR dropped — is a non-keeper,
+    // exactly the full-rebuild outcome
+    val edges = TextQueries.sigPairs(sigs, sigs, self = true).select("a_id", "b_id")
+      .union(TextQueries.sigPairs(sigs, seenSigs, self = false).select("a_id", "b_id"))
     writeKept(spark, newDocs, sigs, edges, outDir,
       baseTotals = baseTotals, baseMaxId = Some(baseMaxId))
   }
@@ -132,14 +144,33 @@ object CorpusBuild {
     // re-run the anti-join and re-tokenize the whole corpus a second
     // time; chunked's doc_id set IS the kept set, so the inner join also
     // re-applies the drop filter for free
+    // In a DELTA the high-water mark goes FIRST (class scaladoc delivery
+    // note): a crash between here and the last write leaves a mark that
+    // makes a retry of the same delta fail the append-only guard — loud and
+    // safe — instead of double-appending the rows that did land. A FULL
+    // build cannot do that: its corpus overwrite clears outDir wholesale,
+    // _graft_state included, so there the state follows the corpus write.
+    // Covers ALL docs seen (kept or dropped): a dropped id must not be
+    // accepted again.
+    val st = stateDir(outDir)
+    val maxRow = docs.agg(max("doc_id")).head
+    val maxId = math.max(
+      if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0),
+      baseMaxId.getOrElse(Long.MinValue))
+    import spark.implicits._
+    def writeMeta(): Unit = Seq(maxId).toDF("max_doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
+    if (append) writeMeta()
+
     val kept = docs.join(
       chunked.select("doc_id", "split", "n_tokens", "chunk_id"), "doc_id")
     kept.write.mode(mode).partitionBy("lang", "split").parquet(outDir)
+    if (!append) writeMeta()
 
-    // ---- persist the state the next delta needs --------------------------
-    val st = stateDir(outDir)
-    sigs.join(chunked.select("doc_id"), "doc_id")
-      .write.mode(mode).parquet(s"$st/sigs")
+    // ---- persist the rest of the state the next delta needs --------------
+    // ALL of this batch's signatures, dropped docs included (class scaladoc:
+    // a later near-dup of a dropped doc must still find its component)
+    sigs.write.mode(mode).parquet(s"$st/sigs")
     // totals merge driver-side: the frame is (langs × 3 splits) rows
     val deltaTotals = chunked.groupBy("lang", "split")
       .agg(sum("n_tokens").as("t")).collect()
@@ -147,22 +178,18 @@ object CorpusBuild {
     val totals = (baseTotals.keySet ++ deltaTotals.keySet).map { k =>
       k -> (baseTotals.getOrElse(k, 0L) + deltaTotals.getOrElse(k, 0L))
     }.toSeq
-    // max id over ALL docs seen (kept or dropped): a dropped id must not be
-    // accepted again either
-    val maxRow = docs.agg(max("doc_id")).head
-    val maxId = math.max(
-      if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0),
-      baseMaxId.getOrElse(Long.MinValue))
-    import spark.implicits._
     totals.map { case ((l, sp), t) => (l, sp, t) }
       .toDF("lang", "split", "total_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$st/totals")
-    Seq(maxId).toDF("max_doc_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
+    readCounts(spark, outDir)
+  }
 
-    // counts come from re-READING the written layout (proving the write,
-    // not the plan); an all-empty corpus writes no partition directories,
-    // which parquet cannot infer a schema from — that IS the empty manifest
+  /** Per-(lang, split) row counts by re-READING the written layout (proving
+    * the write, not the plan); an all-empty corpus writes no partition
+    * directories, which parquet cannot infer a schema from — that IS the
+    * empty manifest.
+    */
+  private def readCounts(spark: SparkSession, outDir: String): Map[(String, String), Long] =
     try
       spark.read.parquet(outDir)
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
@@ -174,7 +201,6 @@ object CorpusBuild {
           if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
         Map.empty
     }
-  }
 
   /** (per-(lang, split) totals, max doc_id) from a previous build's state. */
   private def readState(spark: SparkSession, st: String): (Map[(String, String), Long], Long) = {

@@ -56,7 +56,7 @@ object TextQueries {
   private[queries] def minhashPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val sigs = minhashSigs(Tables.documents(s, dir)).localCheckpoint()
-    sigPairs(sigs, sigs)
+    sigPairs(sigs, sigs, self = true)
   }
 
   /** (doc_id, mh) signature frame: the native MinHashSig expression —
@@ -80,15 +80,17 @@ object TextQueries {
 
   /** est-verified candidate pairs between two (materialized) signature
     * frames: the banded bucket join, pair dedup on bare ids, then the
-    * matching-minhash Jaccard estimate joined back from both sides. When
-    * `left` and `right` are the SAME frame this is the classic self-join
-    * (a_id < b_id emits each pair once); with distinct frames (the
-    * incremental-build new-vs-kept dedup) every cross pair is a candidate.
+    * matching-minhash Jaccard estimate joined back from both sides.
+    * `self = true` is the classic self-join over one frame (a_id < b_id
+    * emits each pair once); `self = false` (the incremental-build
+    * new-vs-seen dedup) treats the frames as disjoint id spaces and emits
+    * every cross pair. An explicit parameter, not inferred from frame
+    * identity — aliasing must never silently switch pair semantics.
     */
   private[queries] def sigPairs(
       left: org.apache.spark.sql.DataFrame,
-      right: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val self = left eq right
+      right: org.apache.spark.sql.DataFrame,
+      self: Boolean): org.apache.spark.sql.DataFrame = {
     val a = mhBanded(left).toDF("a_id", "band", "bsig")
     val b = mhBanded(right).toDF("b_id", "band", "bsig")
     val cond = if (self) col("a_id") < col("b_id") else col("a_id") =!= col("b_id")

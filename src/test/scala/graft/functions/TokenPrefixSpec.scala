@@ -80,7 +80,7 @@ class TokenPrefixSpec extends SparkSpec {
     GraftExpressions.register(spark)
     val out = spark.sql(
       """SELECT token_prefix(array('hot', 'rare'),
-        |  map('rare', 1, 'hot', 100), 0.6d) AS pfx""".stripMargin)
+        |  map('rare', 1, 'hot', 100), 0.6) AS pfx""".stripMargin)
       .collect().head.getSeq[String](0)
     assert(out == Seq("rare"))
   }

@@ -68,6 +68,16 @@ class CorpusBuildSpec extends SparkSpec {
     assert(canon(outDelta) == canon(out))
   }
 
+  test("signature state covers every doc seen, dropped ones included") {
+    // a later delta doc whose nearest duplicate was itself DROPPED must
+    // still find that doc's component — so the state must hold all-seen
+    // signatures, not kept-only ones
+    val total = graft.Tables.documents(spark, sf001).count()
+    assert(spark.read.parquet(s"$out/_graft_state/sigs").count() == total)
+    val kept = spark.read.parquet(out).count()
+    assert(kept < total) // the corpus HAS dropped docs, so the check bites
+  }
+
   test("delta rejects doc_ids at or below the stored high-water mark") {
     val docs = graft.Tables.documents(spark, sf001)
     val d = java.nio.file.Files.createTempDirectory("corpus_hwm").toString

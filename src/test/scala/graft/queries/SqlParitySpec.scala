@@ -149,7 +149,7 @@ class SqlParitySpec extends SparkSpec {
             .orElse(Some((sqlRows.headOption.getOrElse(""), dfRows.headOption.getOrElse(""))))}")
       } catch {
         case e: Throwable =>
-          Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
@@ -174,7 +174,7 @@ class SqlParitySpec extends SparkSpec {
           else Some(s"$name: MISMATCH sql=${sqlRows.size} rows df=${dfRows.size}")
         } catch {
           case e: Throwable =>
-            Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+            Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       } finally spark.conf.set(escConf, prev)
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
