@@ -21,6 +21,96 @@ import org.apache.spark.sql.types.DecimalType
 object VectorQueries {
   import Canon._
 
+  /** Adaptive LSH bucket width: bits = log2(n/64) clamped to [4, 16], so
+    * the expected bucket stays ~64 vectors and the per-table self-join cost
+    * grows ~linearly with n.
+    */
+  private[queries] def adaptiveBits(n: Long): Int =
+    math.min(16, math.max(4,
+      math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
+
+  /** (vec_id, embedding, nrm, sigs) — the materializable signature frame the
+    * graph build and its incremental form both start from. The signature
+    * function is DETERMINISTIC in (bits, tables), which is what makes the
+    * incremental build exact (KnnGraphBuild).
+    */
+  private[queries] def sigFrame(e: org.apache.spark.sql.DataFrame,
+      bits: Int, tables: Int): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"),
+      lshSignatures(col("embedding"), bits, tables).as("sigs"))
+
+  /** One row per (vec, table): the exact bucket. */
+  private[queries] def bucketsOf(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sigs.select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+
+  /** MULTI-PROBE side: the exact bucket plus every Hamming-1 neighbor,
+    * widening the per-table collision condition from signature equality to
+    * d(sig_a, sig_b) <= 1. The condition is symmetric, so probing ONE join
+    * side covers every such pair; the probe fan-out is (1+bits) rows — the
+    * price of keeping recall at the floor while bits GROWS with n (p^b
+    * alone collapses: measured 0.61 recall at 6 bits without the probes,
+    * 0.9+ with; the alternative — more tables — needs ~1/p^b of them,
+    * exponential in b).
+    */
+  private[queries] def probesOf(buckets: org.apache.spark.sql.DataFrame,
+      bits: Int): org.apache.spark.sql.DataFrame = {
+    val flips = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    buckets.select(col("vec_id"), col("tbl"),
+      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+  }
+
+  /** Undirected self-join candidates: keep a<b and dedup across
+    * tables/probes before scoring, so a pair colliding many ways scores
+    * ONCE.
+    */
+  private[queries] def selfCandidates(buckets: org.apache.spark.sql.DataFrame,
+      bits: Int): org.apache.spark.sql.DataFrame =
+    probesOf(buckets, bits).as("ba").join(buckets.as("bb"),
+        col("ba.tbl") === col("bb.tbl") &&
+          col("ba.bucket") === col("bb.bucket") &&
+          col("ba.vec_id") < col("bb.vec_id"))
+      .select(col("ba.vec_id").as("a_id"), col("bb.vec_id").as("b_id"))
+      .distinct()
+
+  /** One codegen cosine per (a_id, b_id) pair, endpoints fetched from the
+    * given signature frames (both sides the same frame for a self build).
+    * 6-decimal rounding BEFORE any top-k so reruns and incremental merges
+    * order ties identically.
+    */
+  private[queries] def scorePairs(cand: org.apache.spark.sql.DataFrame,
+      aSide: org.apache.spark.sql.DataFrame,
+      bSide: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cand
+      .join(aSide.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_n")), "a_id")
+      .join(bSide.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"), round(cosineWithNorms(
+        col("a_emb"), col("b_emb"), col("a_n"), col("b_n")), 6).as("cos_r"))
+
+  /** Directed top-k edges from undirected scored pairs: mirror, then the
+    * two-phase TopKPerKey operator (bounded heaps; only k rows per
+    * (vec, map partition) cross the final shuffle — a window would sort
+    * every edge). Returns (a_id, b_id, cos_r) — a_id is the query vertex.
+    */
+  private[queries] def topKEdges(scored: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val directed = scored.union(scored.select(
+      col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_r")))
+    graft.plans.TopKPerKey(directed,
+      Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), k)
+  }
+
+  /** Edge list (a_id, b_id, cos_r) → the catalog's ranked output shape. */
+  private[queries] def rankGraph(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // rank only the k-bounded survivors (n·k rows), never the edge set
+    edges.withColumn("rnk", row_number().over(Window.partitionBy("a_id")
+        .orderBy(col("cos_r").desc, col("b_id").asc)))
+      .select(col("a_id").as("q_id"), col("rnk"),
+        col("b_id").as("vec_id"), r4(col("cos_r")).as("cos"))
+      .orderBy("q_id", "rnk")
+
   /** The q_sim_knn_graph body (also driven by RecallProbe with explicit
     * knobs): directed top-`k` cosine neighbors for EVERY corpus vector via
     * an LSH bucket self-join. No broadcast hint anywhere — both join sides
@@ -29,53 +119,12 @@ object VectorQueries {
   def knnGraph(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, tables: Int, bitsOverride: Int = 0): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val bits =
-      if (bitsOverride > 0) bitsOverride
-      else math.min(16, math.max(4,
-        math.ceil(math.log(e.count() / 64.0) / math.log(2)).toInt))
-    val sigs = e.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"),
-        lshSignatures(col("embedding"), bits, tables).as("sigs"))
-      .localCheckpoint()
-    val buckets = sigs.select(
-      col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-    // MULTI-PROBE: one side also visits every Hamming-1 neighbor bucket,
-    // widening the per-table collision condition from signature equality
-    // to d(sig_a, sig_b) <= 1. The condition is symmetric, so probing ONE
-    // side covers every such pair; the probe fan-out is (1+bits) rows —
-    // the price of keeping recall at the floor while bits GROWS with n
-    // (p^b alone collapses: measured 0.61 recall at 6 bits without the
-    // probes, 0.9+ with; the alternative — more tables — needs ~1/p^b of
-    // them, exponential in b).
-    val flips = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    val probes = buckets.select(col("vec_id"), col("tbl"),
-      explode(array(col("bucket") +: flips: _*)).as("bucket"))
-    // undirected candidates: keep a<b and dedup across tables/probes
-    // before scoring, so a pair colliding many ways scores ONCE
-    val cand = probes.as("ba").join(buckets.as("bb"),
-        col("ba.tbl") === col("bb.tbl") &&
-          col("ba.bucket") === col("bb.bucket") &&
-          col("ba.vec_id") < col("bb.vec_id"))
-      .select(col("ba.vec_id").as("a_id"), col("bb.vec_id").as("b_id"))
-      .distinct()
-    val v = sigs.select(col("vec_id"), col("embedding"), col("nrm"))
-    val scored = cand
-      .join(v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("nrm").as("a_n")), "a_id")
-      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("nrm").as("b_n")), "b_id")
-      .select(col("a_id"), col("b_id"), round(cosineWithNorms(
-        col("a_emb"), col("b_emb"), col("a_n"), col("b_n")), 6).as("cos_r"))
-    val directed = scored.union(scored.select(
-      col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_r")))
-    val top = graft.plans.TopKPerKey(directed,
-      Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), k)
-    // rank only the k-bounded survivors (n·k rows), never the edge set
-    top.withColumn("rnk", row_number().over(Window.partitionBy("a_id")
-        .orderBy(col("cos_r").desc, col("b_id").asc)))
-      .select(col("a_id").as("q_id"), col("rnk"),
-        col("b_id").as("vec_id"), r4(col("cos_r")).as("cos"))
-      .orderBy("q_id", "rnk")
+    val bits = if (bitsOverride > 0) bitsOverride else adaptiveBits(e.count())
+    val sigs = sigFrame(e, bits, tables).localCheckpoint()
+    val buckets = bucketsOf(sigs)
+    val cand = selfCandidates(buckets, bits)
+    val scored = scorePairs(cand, sigs, sigs)
+    rankGraph(topKEdges(scored, k))
   }
 
   /** Exact k-NN graph (every vector × every vector, window top-k) — the

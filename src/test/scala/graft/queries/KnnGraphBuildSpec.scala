@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The incremental k-NN graph vs a full rebuild: because the hyperplane
+  * signatures are deterministic in (bits, tables) and the stored top-k edge
+  * list dominates every old-old pair, absorbing a delta must be EXACTLY the
+  * full rebuild's graph — row-identical, not recall-approximate.
+  */
+class KnnGraphBuildSpec extends SparkSpec {
+
+  private val (kk, tbls, bts) = (5, 8, 6)
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  test("delta build ≡ full rebuild, bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
+
+    val outFull = java.nio.file.Files.createTempDirectory("knn_full").toString
+    // bits pinned on both paths: the full build over MORE vectors would
+    // otherwise size its tables differently than the base build did
+    KnnGraphBuild.build(spark, e, outFull, kk, tbls, bitsOverride = bts)
+
+    val outDelta = java.nio.file.Files.createTempDirectory("knn_delta").toString
+    KnnGraphBuild.build(spark, e.filter(col("vec_id") <= mid), outDelta,
+      kk, tbls, bitsOverride = bts)
+    val nEdges = KnnGraphBuild.delta(spark, e.filter(col("vec_id") > mid), outDelta)
+    assert(nEdges > 0)
+
+    val full = canon(KnnGraphBuild.readGraph(spark, outFull))
+    val delta = canon(KnnGraphBuild.readGraph(spark, outDelta))
+    assert(full.nonEmpty)
+    assert(delta == full)
+  }
+
+  test("graph output matches the q_sim_knn_graph catalog shape and params") {
+    val out = java.nio.file.Files.createTempDirectory("knn_shape").toString
+    KnnGraphBuild.build(spark, graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding"), out, k = 5, tables = 8)
+    val g = KnnGraphBuild.readGraph(spark, out)
+    assert(g.columns.toSeq == Seq("q_id", "rnk", "vec_id", "cos"))
+    val catalog = graft.SparkEntry.queries("q_sim_knn_graph")(spark, sf001)
+    // same knobs (k=5, tables=8, adaptive bits) → same graph
+    assert(canon(g) == canon(catalog))
+  }
+
+  test("delta rejects vec_ids at or below the stored high-water mark") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("knn_hwm").toString
+    KnnGraphBuild.build(spark, e, out, kk, tbls, bitsOverride = bts)
+    val ex = intercept[IllegalArgumentException] {
+      KnnGraphBuild.delta(spark, e.limit(10), out)
+    }
+    assert(ex.getMessage.contains("append-only"))
+    // and an empty delta is a no-op, not an error
+    KnnGraphBuild.delta(spark, e.limit(0), out)
+  }
+}
