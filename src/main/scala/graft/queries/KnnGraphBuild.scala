@@ -10,11 +10,10 @@ import org.apache.spark.sql.functions._
   * to absorb an m-vector delta (m ≪ n) re-scores the n² interior for
   * nothing.
   *
-  * [[build]] writes `outDir/graph` (the q_sim_knn_graph row shape) plus the
-  * working state under `outDir/_graft_state/`: the signature frame (`sigs`:
-  * vec_id, embedding, nrm, sigs), the k-bounded DIRECTED edge list
-  * (`edges`: a_id, b_id, cos_r at merge precision) and `meta` (bits,
-  * tables, k, max vec_id).
+  * [[build]] writes the graph state under `outDir/_graft_state/`; the
+  * ranked graph itself (the q_sim_knn_graph row shape) is DERIVED on read
+  * via [[readGraph]] — one source of truth, so the readable graph can
+  * never drift from the merge state.
   *
   * [[delta]] takes ONLY the new vectors. New-vs-new candidates come from
   * the usual bucket self-join; new-vs-old candidates from probing the new
@@ -28,19 +27,31 @@ import org.apache.spark.sql.functions._
   * hyperplane signatures are deterministic in (bits, tables), which the
   * state pins; KnnGraphBuildSpec asserts delta ≡ full rebuild bit-for-bit.
   *
-  * Append-only contract and delivery are as in [[CorpusBuild]]: delta
-  * vec_ids must exceed the stored high-water mark (validated loudly), and
-  * the mark is written FIRST so a crashed delta fails closed on retry.
-  * The graph/edge rewrite is O(n·k) per delta — at the 100 TB design point
-  * the same merge runs as append-delta-shards + TopKPerKey compaction on
-  * read, trading write amplification for a read-side merge; the scoring
-  * scale shape (no old-old re-score) is identical either way.
+  * == Commit protocol (crash-safe by construction) ==
+  *
+  * State is EPOCHED: every write of every delta goes to a fresh directory
+  * (`sigs/e<N>` — that epoch's signature shard; `edges/e<N>` — the full
+  * merged edge list as of epoch N; `meta/e<N>` — bits/tables/k/high-water),
+  * and the COMMIT POINT is the meta epoch dir's parquet `_SUCCESS` marker:
+  * the current state is the highest epoch whose meta committed. A crash
+  * anywhere mid-delta leaves the previous epoch fully intact (nothing it
+  * owns was touched) and the next attempt of the SAME delta idempotently
+  * rewrites the same epoch-N+1 directories before flipping the marker —
+  * safe-retry rather than CorpusBuild's fail-closed mark-first, because
+  * nothing here is append-in-place. The append-only id contract
+  * (delta vec_ids > stored high-water mark) is still enforced loudly.
+  * Superseded `edges/e<i<N>` dirs are dead after the flip and may be
+  * vacuumed at leisure. The per-delta edge rewrite is O(n·k) — at the
+  * 100 TB design point the same merge runs as append-delta-shards +
+  * TopKPerKey compaction on read, trading write amplification for a
+  * read-side merge; the scoring scale shape (no old-old re-score) is
+  * identical either way.
   */
 object KnnGraphBuild {
 
   private def stateDir(outDir: String) = s"$outDir/_graft_state"
 
-  final case class Meta(bits: Int, tables: Int, k: Int, maxVecId: Long)
+  final case class Meta(bits: Int, tables: Int, k: Int, maxVecId: Long, epoch: Int)
 
   /** Full build over an embedding frame (vec_id, embedding). */
   def build(spark: SparkSession, embeddings: DataFrame, outDir: String,
@@ -49,13 +60,17 @@ object KnnGraphBuild {
     val bits =
       if (bitsOverride > 0) bitsOverride
       else VectorQueries.adaptiveBits(e.count())
+    // the SAME shared pipeline as the q_sim_knn_graph catalog query —
+    // one copy of the candidate/scoring logic (spec-pinned equivalence)
     val sigs = VectorQueries.sigFrame(e, bits, tables).localCheckpoint()
-    val buckets = VectorQueries.bucketsOf(sigs)
-    val cand = VectorQueries.selfCandidates(buckets, bits)
-    val edges = VectorQueries.topKEdges(
-      VectorQueries.scorePairs(cand, sigs, sigs), k).localCheckpoint()
-    writeAll(spark, sigs, edges, Meta(bits, tables, k, maxId(sigs)), outDir,
-      append = false)
+    val edges = VectorQueries.graphEdges(sigs, bits, k).localCheckpoint()
+    // a full build resets the epoch chain: clear any previous state so a
+    // stale high-epoch meta cannot shadow the fresh epoch 0
+    val st = new org.apache.hadoop.fs.Path(stateDir(outDir))
+    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(st)) fs.delete(st, true)
+    commitEpoch(spark, sigs, edges,
+      Meta(bits, tables, k, maxId(sigs), epoch = 0), outDir)
     edges.count()
   }
 
@@ -68,14 +83,16 @@ object KnnGraphBuild {
     val e = newVecs.select("vec_id", "embedding")
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
-      return spark.read.parquet(s"$st/edges").count() // empty delta: no-op
+      return spark.read.parquet(edgesPath(st, meta.epoch)).count() // empty delta
     require(minRow.getLong(0) > meta.maxVecId,
       s"delta vec_ids must sort after every id the build has seen " +
         s"(append-only contract): new min ${minRow.getLong(0)} <= stored " +
         s"max ${meta.maxVecId}")
     // the STORED signature function — adaptive sizing would change the
     // signatures and break both exactness and the stored buckets
-    val oldSigs = spark.read.parquet(s"$st/sigs").localCheckpoint()
+    val oldSigs = spark.read
+      .parquet((0 to meta.epoch).map(i => s"$st/sigs/e$i"): _*)
+      .localCheckpoint()
     val newSigs = VectorQueries.sigFrame(e, meta.bits, meta.tables)
       .localCheckpoint()
     val newBuckets = VectorQueries.bucketsOf(newSigs)
@@ -91,52 +108,66 @@ object KnnGraphBuild {
     val scored = VectorQueries.scorePairs(newNew, newSigs, newSigs)
       .union(VectorQueries.scorePairs(cross, oldSigs, newSigs))
     val newEdges = VectorQueries.topKEdges(scored, meta.k)
-    val prevEdges = spark.read.parquet(s"$st/edges")
+    val prevEdges = spark.read.parquet(edgesPath(st, meta.epoch))
     // stored edges are already directed (a_id = query vertex), so only the
-    // final heap runs here — then materialize BEFORE overwriting the
-    // directory the plan reads from
+    // final heap runs here; materialized because commitEpoch counts on
+    // writing a fully-computed frame
     val merged = graft.plans.TopKPerKey(prevEdges.union(newEdges),
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
       .localCheckpoint()
-    writeAll(spark, newSigs, merged,
-      meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs))), outDir,
-      append = true)
+    commitEpoch(spark, newSigs, merged,
+      meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
+        epoch = meta.epoch + 1), outDir)
     merged.count()
   }
 
-  /** The graph in the q_sim_knn_graph row shape, from the stored edges. */
-  def readGraph(spark: SparkSession, outDir: String): DataFrame =
-    VectorQueries.rankGraph(spark.read.parquet(s"${stateDir(outDir)}/edges"))
+  /** The graph in the q_sim_knn_graph row shape, from the current epoch. */
+  def readGraph(spark: SparkSession, outDir: String): DataFrame = {
+    val st = stateDir(outDir)
+    val meta = readMeta(spark, st)
+    VectorQueries.rankGraph(spark.read.parquet(edgesPath(st, meta.epoch)))
+  }
+
+  private def edgesPath(st: String, epoch: Int) = s"$st/edges/e$epoch"
 
   private def maxId(sigs: DataFrame): Long = {
     val r = sigs.agg(max("vec_id")).head
     if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
   }
 
-  /** Delta writes the high-water mark FIRST (fail closed on retry, as in
-    * CorpusBuild); a full build overwrites the graph dir and writes state
-    * after.
+  /** Write this epoch's shard dirs, then flip the commit point (the meta
+    * epoch dir, whose `_SUCCESS` is what [[currentEpoch]] resolves). Every
+    * path is a FRESH directory — a crashed attempt is retried by rewriting
+    * the same epoch dirs, never by appending in place.
     */
-  private def writeAll(spark: SparkSession, sigs: DataFrame, edges: DataFrame,
-      meta: Meta, outDir: String, append: Boolean): Unit = {
+  private def commitEpoch(spark: SparkSession, sigShard: DataFrame,
+      edges: DataFrame, meta: Meta, outDir: String): Unit = {
     import spark.implicits._
     val st = stateDir(outDir)
-    def writeMeta(): Unit =
-      Seq((meta.bits, meta.tables, meta.k, meta.maxVecId))
-        .toDF("bits", "tables", "k", "max_vec_id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
-    if (append) writeMeta()
-    // edges are the merge state AND the source of the readable graph; the
-    // ranked form is derived on read (rankGraph), so the output can never
-    // drift from the state
-    edges.write.mode("overwrite").parquet(s"$st/edges")
-    sigs.write.mode(if (append) "append" else "overwrite").parquet(s"$st/sigs")
-    if (!append) writeMeta()
+    sigShard.write.mode("overwrite").parquet(s"$st/sigs/e${meta.epoch}")
+    edges.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
+    Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch))
+      .toDF("bits", "tables", "k", "max_vec_id", "epoch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$st/meta/e${meta.epoch}")
+  }
+
+  /** Highest epoch whose meta committed (_SUCCESS present). */
+  private def currentEpoch(spark: SparkSession, st: String): Int = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$st/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaDir), s"no graph state at $st — run build() first")
+    val epochs = fs.listStatus(metaDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("e") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toInt)
+    require(epochs.nonEmpty, s"no committed epoch under $st/meta")
+    epochs.max
   }
 
   private def readMeta(spark: SparkSession, st: String): Meta = {
-    val r = spark.read.parquet(s"$st/meta").head
+    val e = currentEpoch(spark, st)
+    val r = spark.read.parquet(s"$st/meta/e$e").head
     Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
-      r.getAs[Long]("max_vec_id"))
+      r.getAs[Long]("max_vec_id"), e)
   }
 }

@@ -111,6 +111,18 @@ object VectorQueries {
         col("b_id").as("vec_id"), r4(col("cos_r")).as("cos"))
       .orderBy("q_id", "rnk")
 
+  /** The one copy of the self-build pipeline (bucket self-join → scored
+    * pairs → directed top-k), shared by the q_sim_knn_graph catalog query
+    * and KnnGraphBuild — a candidate/scoring fix lands in both or neither
+    * (the spec pins their equivalence).
+    */
+  private[queries] def graphEdges(sigs: org.apache.spark.sql.DataFrame,
+      bits: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val buckets = bucketsOf(sigs)
+    val cand = selfCandidates(buckets, bits)
+    topKEdges(scorePairs(cand, sigs, sigs), k)
+  }
+
   /** The q_sim_knn_graph body (also driven by RecallProbe with explicit
     * knobs): directed top-`k` cosine neighbors for EVERY corpus vector via
     * an LSH bucket self-join. No broadcast hint anywhere — both join sides
@@ -121,10 +133,7 @@ object VectorQueries {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val bits = if (bitsOverride > 0) bitsOverride else adaptiveBits(e.count())
     val sigs = sigFrame(e, bits, tables).localCheckpoint()
-    val buckets = bucketsOf(sigs)
-    val cand = selfCandidates(buckets, bits)
-    val scored = scorePairs(cand, sigs, sigs)
-    rankGraph(topKEdges(scored, k))
+    rankGraph(graphEdges(sigs, bits, k))
   }
 
   /** Exact k-NN graph (every vector × every vector, window top-k) — the

@@ -47,6 +47,31 @@ class KnnGraphBuildSpec extends SparkSpec {
     assert(canon(g) == canon(catalog))
   }
 
+  test("a crashed delta leaves the prior epoch readable and retries cleanly") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
+    val out = java.nio.file.Files.createTempDirectory("knn_crash").toString
+    KnnGraphBuild.build(spark, e.filter(col("vec_id") <= mid), out,
+      kk, tbls, bitsOverride = bts)
+    val base = canon(KnnGraphBuild.readGraph(spark, out))
+
+    // simulate a delta killed mid-write: partial epoch-1 dirs on disk but
+    // no committed epoch-1 meta — the commit point never flipped
+    val junk = java.nio.file.Paths.get(out, "_graft_state", "edges", "e1")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.writeString(junk.resolve("part-junk"), "not parquet")
+
+    // prior epoch is untouched and still what readers see
+    assert(canon(KnnGraphBuild.readGraph(spark, out)) == base)
+
+    // the retry rewrites epoch 1 and lands on the full-rebuild answer
+    KnnGraphBuild.delta(spark, e.filter(col("vec_id") > mid), out)
+    val outFull = java.nio.file.Files.createTempDirectory("knn_crash_full").toString
+    KnnGraphBuild.build(spark, e, outFull, kk, tbls, bitsOverride = bts)
+    assert(canon(KnnGraphBuild.readGraph(spark, out)) ==
+      canon(KnnGraphBuild.readGraph(spark, outFull)))
+  }
+
   test("delta rejects vec_ids at or below the stored high-water mark") {
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val out = java.nio.file.Files.createTempDirectory("knn_hwm").toString
