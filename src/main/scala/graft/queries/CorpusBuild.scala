@@ -54,7 +54,12 @@ import org.apache.spark.sql.functions._
   * totals) are not one atomic transaction; the high-water mark is written
   * FIRST so a crash mid-delta fails CLOSED — re-running the same delta is
   * rejected by the append-only guard (inspect and rebuild) instead of
-  * silently double-appending rows whose first append did land.
+  * silently double-appending rows whose first append did land. And because
+  * a LATER delta with higher ids would sail past that guard against state
+  * missing the crashed batch, meta also records the signature-row count
+  * the state must hold (`n_sigs`); every delta verifies it before trusting
+  * the stored frame, so partial state is loud no matter which delta comes
+  * next.
   */
 object CorpusBuild {
 
@@ -81,7 +86,7 @@ object CorpusBuild {
     */
   def runDelta(spark: SparkSession, newDocs: DataFrame, outDir: String): Map[(String, String), Long] = {
     val st = stateDir(outDir)
-    val (baseTotals, baseMaxId) = readState(spark, st)
+    val (baseTotals, baseMaxId, baseNSigs) = readState(spark, st)
     val minRow = newDocs.agg(min("doc_id")).head
     if (minRow.isNullAt(0)) return readCounts(spark, outDir) // empty delta: no-op
     val minNew = minRow.getLong(0)
@@ -89,6 +94,16 @@ object CorpusBuild {
       s"delta doc_ids must sort after every id the build has seen " +
         s"(append-only contract): new min $minNew <= stored max $baseMaxId")
     val seenSigs = spark.read.parquet(s"$st/sigs")
+    // state-integrity gate: the mark-first delivery rejects a RETRY of a
+    // crashed delta, but a LATER delta with higher ids would sail past the
+    // high-water guard against state silently missing the crashed batch's
+    // rows — so meta records how many signature rows must exist, and every
+    // delta proves the stored frame matches before trusting it
+    val actualSigs = seenSigs.count()
+    require(actualSigs == baseNSigs,
+      s"state integrity: stored signature count $actualSigs != expected " +
+        s"$baseNSigs — a previous delta crashed mid-write; rebuild from " +
+        s"scratch (full build) before applying further deltas")
     val sigs = TextQueries.minhashSigs(newDocs).localCheckpoint()
     // new-vs-new self pairs ∪ new-vs-seen cross pairs: the stored side
     // anchors components at its (smaller) ids, so any new doc joining a
@@ -97,7 +112,8 @@ object CorpusBuild {
     val edges = TextQueries.sigPairs(sigs, sigs, self = true).select("a_id", "b_id")
       .union(TextQueries.sigPairs(sigs, seenSigs, self = false).select("a_id", "b_id"))
     writeKept(spark, newDocs, sigs, edges, outDir,
-      baseTotals = baseTotals, baseMaxId = Some(baseMaxId))
+      baseTotals = baseTotals, baseMaxId = Some(baseMaxId),
+      baseNSigs = baseNSigs)
   }
 
   /** Shared tail of both modes: drop non-keepers, split, chunk (continuing
@@ -107,7 +123,7 @@ object CorpusBuild {
   private def writeKept(
       spark: SparkSession, docs: DataFrame, sigs: DataFrame, edges: DataFrame,
       outDir: String, baseTotals: Map[(String, String), Long],
-      baseMaxId: Option[Long]): Map[(String, String), Long] = {
+      baseMaxId: Option[Long], baseNSigs: Long = 0L): Map[(String, String), Long] = {
     val append = baseMaxId.isDefined
     val mode = if (append) "append" else "overwrite"
     val drops = CorpusQueries.connectedComponents(edges)
@@ -158,7 +174,11 @@ object CorpusBuild {
       if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0),
       baseMaxId.getOrElse(Long.MinValue))
     import spark.implicits._
-    def writeMeta(): Unit = Seq(maxId).toDF("max_doc_id")
+    // n_sigs: the cumulative signature-row count the state MUST hold after
+    // this batch lands — the integrity expectation runDelta verifies (sigs
+    // is checkpointed, so the count is a cache scan)
+    val nSigs = baseNSigs + sigs.count()
+    def writeMeta(): Unit = Seq((maxId, nSigs)).toDF("max_doc_id", "n_sigs")
       .coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
     if (append) writeMeta()
 
@@ -202,12 +222,14 @@ object CorpusBuild {
         Map.empty
     }
 
-  /** (per-(lang, split) totals, max doc_id) from a previous build's state. */
-  private def readState(spark: SparkSession, st: String): (Map[(String, String), Long], Long) = {
+  /** (per-(lang, split) totals, max doc_id, expected signature rows) from a
+    * previous build's state.
+    */
+  private def readState(spark: SparkSession, st: String): (Map[(String, String), Long], Long, Long) = {
     val totals = spark.read.parquet(s"$st/totals").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val maxId = spark.read.parquet(s"$st/meta").head.getLong(0)
-    (totals, maxId)
+    val meta = spark.read.parquet(s"$st/meta").head
+    (totals, meta.getAs[Long]("max_doc_id"), meta.getAs[Long]("n_sigs"))
   }
 
   /** `runMain graft.queries.CorpusBuild [outDir]` over SPARK_GRAFT_SF_DIR;

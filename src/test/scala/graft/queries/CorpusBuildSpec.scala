@@ -88,6 +88,25 @@ class CorpusBuildSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("a crashed delta is detected by the signature-count integrity gate") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
+    val d = java.nio.file.Files.createTempDirectory("corpus_crash").toString
+    CorpusBuild.build(spark, docs.filter(col("doc_id") <= mid), d)
+    // simulate: a delta advanced the mark + expected count, then died
+    // before its signature append — meta promises rows the state lacks
+    val meta = spark.read.parquet(s"$d/_graft_state/meta").head
+    Seq((meta.getAs[Long]("max_doc_id") + 1000, meta.getAs[Long]("n_sigs") + 10))
+      .toDF("max_doc_id", "n_sigs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/_graft_state/meta")
+    val e = intercept[IllegalArgumentException] {
+      CorpusBuild.runDelta(spark, docs.filter(col("doc_id") > mid)
+        .withColumn("doc_id", col("doc_id") + 100000), d)
+    }
+    assert(e.getMessage.contains("state integrity"))
+  }
+
   test("chunk ids are monotone non-decreasing along each partition's doc order") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "split").orderBy("doc_id")
