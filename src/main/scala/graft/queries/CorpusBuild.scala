@@ -50,16 +50,17 @@ import org.apache.spark.sql.functions._
   * retroactively vanish because a later near-duplicate bridged two
   * clusters).
   *
-  * Delivery: the delta's writes (meta → corpus append → sigs append →
-  * totals) are not one atomic transaction; the high-water mark is written
+  * Delivery: the delta's writes (meta → corpus append → totals → sigs
+  * append) are not one atomic transaction; the high-water mark is written
   * FIRST so a crash mid-delta fails CLOSED — re-running the same delta is
   * rejected by the append-only guard (inspect and rebuild) instead of
   * silently double-appending rows whose first append did land. And because
   * a LATER delta with higher ids would sail past that guard against state
   * missing the crashed batch, meta also records the signature-row count
-  * the state must hold (`n_sigs`); every delta verifies it before trusting
-  * the stored frame, so partial state is loud no matter which delta comes
-  * next.
+  * the state must hold (`n_sigs`), verified by every delta before trusting
+  * the stored frames — with the gated sigs append deliberately LAST, so a
+  * complete sigs frame certifies every earlier write (corpus, totals)
+  * completed too: partial state is loud no matter which delta comes next.
   */
 object CorpusBuild {
 
@@ -76,7 +77,7 @@ object CorpusBuild {
     val sigs = TextQueries.minhashSigs(docs).localCheckpoint()
     val edges = TextQueries.sigPairs(sigs, sigs, self = true).select("a_id", "b_id")
     writeKept(spark, docs, sigs, edges, outDir,
-      baseTotals = Map.empty, baseMaxId = None)
+      baseTotals = Map.empty, baseMaxId = None, baseNSigs = 0L)
   }
 
   /** Incremental build: dedup `newDocs` against the stored kept signatures
@@ -123,7 +124,7 @@ object CorpusBuild {
   private def writeKept(
       spark: SparkSession, docs: DataFrame, sigs: DataFrame, edges: DataFrame,
       outDir: String, baseTotals: Map[(String, String), Long],
-      baseMaxId: Option[Long], baseNSigs: Long = 0L): Map[(String, String), Long] = {
+      baseMaxId: Option[Long], baseNSigs: Long): Map[(String, String), Long] = {
     val append = baseMaxId.isDefined
     val mode = if (append) "append" else "overwrite"
     val drops = CorpusQueries.connectedComponents(edges)
@@ -188,10 +189,11 @@ object CorpusBuild {
     if (!append) writeMeta()
 
     // ---- persist the rest of the state the next delta needs --------------
-    // ALL of this batch's signatures, dropped docs included (class scaladoc:
-    // a later near-dup of a dropped doc must still find its component)
-    sigs.write.mode(mode).parquet(s"$st/sigs")
-    // totals merge driver-side: the frame is (langs × 3 splits) rows
+    // totals FIRST, signatures LAST: the n_sigs gate verifies only the sigs
+    // frame, so the gated write must be the final one — sigs complete
+    // implies every earlier write (corpus, totals) completed too, and a
+    // crash anywhere before it leaves a sigs count short of meta's
+    // expectation, which the next delta rejects loudly
     val deltaTotals = chunked.groupBy("lang", "split")
       .agg(sum("n_tokens").as("t")).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -201,6 +203,9 @@ object CorpusBuild {
     totals.map { case ((l, sp), t) => (l, sp, t) }
       .toDF("lang", "split", "total_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$st/totals")
+    // ALL of this batch's signatures, dropped docs included (class scaladoc:
+    // a later near-dup of a dropped doc must still find its component)
+    sigs.write.mode(mode).parquet(s"$st/sigs")
     readCounts(spark, outDir)
   }
 
@@ -228,7 +233,11 @@ object CorpusBuild {
   private def readState(spark: SparkSession, st: String): (Map[(String, String), Long], Long, Long) = {
     val totals = spark.read.parquet(s"$st/totals").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val meta = spark.read.parquet(s"$st/meta").head
+    val metaDf = spark.read.parquet(s"$st/meta")
+    require(metaDf.columns.contains("n_sigs"),
+      s"state at $st was written by an older build (meta lacks n_sigs) — " +
+        "re-run a full build before applying deltas")
+    val meta = metaDf.head
     (totals, meta.getAs[Long]("max_doc_id"), meta.getAs[Long]("n_sigs"))
   }
 

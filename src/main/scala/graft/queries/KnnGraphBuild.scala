@@ -65,10 +65,13 @@ object KnnGraphBuild {
     val sigs = VectorQueries.sigFrame(e, bits, tables).localCheckpoint()
     val edges = VectorQueries.graphEdges(sigs, bits, k).localCheckpoint()
     // a full build resets the epoch chain: clear any previous state so a
-    // stale high-epoch meta cannot shadow the fresh epoch 0
+    // stale high-epoch meta cannot shadow the fresh epoch 0 — and a delete
+    // that returns false (permissions, concurrent handle) must be LOUD,
+    // not a silent path to serving the old graph forever
     val st = new org.apache.hadoop.fs.Path(stateDir(outDir))
     val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(st)) fs.delete(st, true)
+    if (fs.exists(st))
+      require(fs.delete(st, true), s"could not clear previous state at $st")
     commitEpoch(spark, sigs, edges,
       Meta(bits, tables, k, maxId(sigs), epoch = 0), outDir)
     edges.count()
@@ -135,10 +138,17 @@ object KnnGraphBuild {
     if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
   }
 
-  /** Write this epoch's shard dirs, then flip the commit point (the meta
-    * epoch dir, whose `_SUCCESS` is what [[currentEpoch]] resolves). Every
-    * path is a FRESH directory — a crashed attempt is retried by rewriting
-    * the same epoch dirs, never by appending in place.
+  /** The commit-point marker, written by this class itself AFTER the meta
+    * parquet lands — deliberately NOT parquet's `_SUCCESS`, which a common
+    * production setting (mapreduce.fileoutputcommitter.marksuccessfuljobs
+    * = false) disables; the protocol must not depend on a committer knob.
+    */
+  private val CommitMarker = "_graft_committed"
+
+  /** Write this epoch's shard dirs, then flip the commit point (the
+    * [[CommitMarker]] in the meta epoch dir, which is what [[currentEpoch]]
+    * resolves). Every path is a FRESH directory — a crashed attempt is
+    * retried by rewriting the same epoch dirs, never by appending in place.
     */
   private def commitEpoch(spark: SparkSession, sigShard: DataFrame,
       edges: DataFrame, meta: Meta, outDir: String): Unit = {
@@ -146,19 +156,23 @@ object KnnGraphBuild {
     val st = stateDir(outDir)
     sigShard.write.mode("overwrite").parquet(s"$st/sigs/e${meta.epoch}")
     edges.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
+    val metaPath = s"$st/meta/e${meta.epoch}"
     Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch))
       .toDF("bits", "tables", "k", "max_vec_id", "epoch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$st/meta/e${meta.epoch}")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    val marker = new org.apache.hadoop.fs.Path(metaPath, CommitMarker)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
   }
 
-  /** Highest epoch whose meta committed (_SUCCESS present). */
+  /** Highest epoch whose meta committed ([[CommitMarker]] present). */
   private def currentEpoch(spark: SparkSession, st: String): Int = {
     val metaDir = new org.apache.hadoop.fs.Path(s"$st/meta")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaDir), s"no graph state at $st — run build() first")
     val epochs = fs.listStatus(metaDir).map(_.getPath)
       .filter(p => p.getName.startsWith("e") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
       .map(_.getName.drop(1).toInt)
     require(epochs.nonEmpty, s"no committed epoch under $st/meta")
     epochs.max
