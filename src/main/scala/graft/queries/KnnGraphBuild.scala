@@ -184,4 +184,28 @@ object KnnGraphBuild {
     Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
       r.getAs[Long]("max_vec_id"), e)
   }
+
+  /** `runMain graft.queries.KnnGraphBuild [outDir]` over SPARK_GRAFT_SF_DIR;
+    * prints one JSON summary line.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val outDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_knn").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val n = build(spark,
+        graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+        outDir)
+      println(s"""{"graph":"$outDir","directed_edges":$n}""")
+    } finally spark.stop()
+  }
 }
