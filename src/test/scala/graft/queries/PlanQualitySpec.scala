@@ -70,6 +70,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_jaccard computes its prefix with the kernel, not a window") {
+    val p = plan("q_dedup_jaccard")
+    // the TokenPrefix kernel replaced the explode → df-join → double-window
+    // prefix stage: the plan must carry the kernel and ZERO window operators
+    // (the old form shuffled + sorted the whole token stream per doc)
+    assert(p.contains("token_prefix"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("q_win_gaps and q_scd2 reuse one user_id exchange for all their windows") {
     // both windows + the rollup partition on user_id — a second Exchange
     // would mean the shared-partitioning claim silently broke
