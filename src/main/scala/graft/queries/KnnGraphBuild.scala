@@ -124,6 +124,27 @@ object KnnGraphBuild {
     merged.count()
   }
 
+  /** Drop state superseded by the current epoch: every older epoch's edges
+    * and meta are dead after the commit flip. Signature SHARDS are kept —
+    * each epoch's shard is a live slice of the full signature frame that
+    * every future delta reads. Returns the number of directories removed.
+    */
+  def vacuum(spark: SparkSession, outDir: String): Int = {
+    val st = stateDir(outDir)
+    val cur = currentEpoch(spark, st)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until cur).map { e =>
+      Seq(edgesPath(st, e), s"$st/meta/e$e").count { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        fs.exists(p) && {
+          require(fs.delete(p, true), s"could not vacuum $p")
+          true
+        }
+      }
+    }.sum
+  }
+
   /** The graph in the q_sim_knn_graph row shape, from the current epoch. */
   def readGraph(spark: SparkSession, outDir: String): DataFrame = {
     val st = stateDir(outDir)

@@ -72,6 +72,25 @@ class KnnGraphBuildSpec extends SparkSpec {
       canon(KnnGraphBuild.readGraph(spark, outFull)))
   }
 
+  test("vacuum drops superseded epochs but keeps live sig shards") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
+    val out = java.nio.file.Files.createTempDirectory("knn_vacuum").toString
+    KnnGraphBuild.build(spark, e.filter(col("vec_id") <= mid), out,
+      kk, tbls, bitsOverride = bts)
+    KnnGraphBuild.delta(spark, e.filter(col("vec_id") > mid), out)
+    val before = canon(KnnGraphBuild.readGraph(spark, out))
+    assert(KnnGraphBuild.vacuum(spark, out) == 2) // edges/e0 + meta/e0
+    // current epoch unchanged; graph identical; further deltas still see
+    // BOTH sig shards (the empty re-delta proves the state still reads)
+    assert(canon(KnnGraphBuild.readGraph(spark, out)) == before)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_graft_state", "edges", "e0")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_graft_state", "sigs", "e0")))
+    KnnGraphBuild.delta(spark, e.limit(0), out) // no-op still resolves state
+  }
+
   test("delta rejects vec_ids at or below the stored high-water mark") {
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val out = java.nio.file.Files.createTempDirectory("knn_hwm").toString
