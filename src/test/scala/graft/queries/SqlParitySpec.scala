@@ -67,7 +67,8 @@ class SqlParitySpec extends SparkSpec {
     "q_set_union", "q_set_intersect", "q_set_except", "q_set_exceptall",
     "q_dedup_exact",
     "q_fn_math", "q_fn_conditional", "q_fn_map", "q_fn_json",
-    "q_agg_pivot", "q_agg_unpivot")
+    "q_agg_pivot", "q_agg_unpivot",
+    "q_text_stats", "q_kube_annotations")
 
   /** Queries whose oracle text differs from Spark SQL only by these
     * mechanical dialect spellings (regex → replacement, applied in order) —
@@ -88,7 +89,7 @@ class SqlParitySpec extends SparkSpec {
     // exact interpolated quantile under different names
     """\bquantile_cont\(""" -> "percentile(",
     // DuckDB's 'g' flag vs Spark's replace-all default
-    """regexp_replace\(([^,]+), '([^']+)', '([^']*)', 'g'\)""" ->
+    """(?s)regexp_replace\(([^,]+),\s+'([^']+)',\s*'([^']*)',\s*'g'\)""" ->
       "regexp_replace($1, '$2', '$3')",
     """\bstarts_with\(""" -> "startswith(",
     // 1-based [2] vs 0-based [1] on the split-string pick
@@ -104,6 +105,17 @@ class SqlParitySpec extends SparkSpec {
     // DATE + int arithmetic vs date_add
     """CAST\(CAST\(o_orderdate AS DATE\) \+ 30 AS VARCHAR\)""" ->
       "CAST(date_add(CAST(o_orderdate AS DATE), 30) AS STRING)",
+    // DuckDB's 2-arg regexp_extract_all returns whole matches (group 0);
+    // Spark's defaults to group 1
+    """regexp_extract_all\(([^,]+), ('[^']+')\)""" ->
+      "regexp_extract_all($1, $2, 0)",
+    """string_split\(av, '/'\)\[1\]""" -> "split(av, '/')[0]",
+    // [i:i+1] bigram slice (must precede the string_split_regex rewrite
+    // that renames its anchor)
+    """\(string_split_regex\(lower\(trim\(text\)\), '\\s\+'\)\)\[i:i\+1\]""" ->
+      """slice(split(lower(trim(text)), '\\s+'), i, 2)""",
+    // [x] array literal around the whole-doc bigram fallback
+    """\[array_to_string\((.+?), ' '\)\]""" -> "array(array_join($1, ' '))",
     // list_* vocabulary → array vocabulary (lambda syntax is shared)
     """\bstring_split_regex\(""" -> "split(",
     """(?<![A-Za-z_])len\(""" -> "size(",
@@ -127,6 +139,21 @@ class SqlParitySpec extends SparkSpec {
     """, UNNEST\(range\(1, size\(arr\) \+ 1\)\) AS t\(i\)""" ->
       " LATERAL VIEW explode(sequence(1, size(arr))) t AS i",
     """arr\[i\] AS tok""" -> "arr[i - 1] AS tok",
+    """, UNNEST\(range\(n_chunks\)\) AS t\(chunk_idx\)""" ->
+      " LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS chunk_idx",
+    // select-list unnest (lowercase in the oracles) = explode in Spark;
+    // the FROM-clause UNNEST forms (uppercase) are handled above
+    """\bunnest\(""" -> "explode(",
+    """\blist_min\(""" -> "array_min(",
+    """\blist_transform\(""" -> "transform(",
+    // DuckDB's // integer division vs Spark's DIV (both sides integral)
+    """ // """ -> " DIV ",
+    // remaining 1-based inclusive ranges → sequence (after every specific
+    // UNNEST form above has consumed its own range(...))
+    """range\(1, (.+?) \+ 1\)""" -> "sequence(1, $1)",
+    // the exclusive-end form range(1, n) = [1 .. n-1]
+    """range\(1, size\(split\(lower\(trim\(text\)\), '\\s\+'\)\)\)""" ->
+      """sequence(1, size(split(lower(trim(text)), '\\s+')) - 1)""",
     """AS VARCHAR""" -> "AS STRING")
 
   private val translated: Seq[String] = Seq(
@@ -134,7 +161,9 @@ class SqlParitySpec extends SparkSpec {
     "q_dedup_latest", "q_events_funnel", "q_scd2", "q_sync_merge",
     "q_sample_stratified",
     "q_agg_collect", "q_agg_quantile", "q_fn_string", "q_fn_datetime",
-    "q_fn_array", "q_fn_generator")
+    "q_fn_array", "q_fn_generator",
+    "q_token_count", "q_kube_id", "q_pack_overlap", "q_text_entropy",
+    "q_text_quality", "q_text_fingerprint", "q_corpus_datasheet")
 
   test("verbatim oracle SQL ≡ DataFrame form, query by query") {
     registerViews()
