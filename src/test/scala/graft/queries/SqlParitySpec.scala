@@ -68,7 +68,7 @@ class SqlParitySpec extends SparkSpec {
     "q_dedup_exact",
     "q_fn_math", "q_fn_conditional", "q_fn_map", "q_fn_json",
     "q_agg_pivot", "q_agg_unpivot",
-    "q_text_stats", "q_kube_annotations")
+    "q_text_stats", "q_kube_annotations", "q_sync_diff")
 
   /** Queries whose oracle text differs from Spark SQL only by these
     * mechanical dialect spellings (regex → replacement, applied in order) —
@@ -114,6 +114,8 @@ class SqlParitySpec extends SparkSpec {
     // that renames its anchor)
     """\(string_split_regex\(lower\(trim\(text\)\), '\\s\+'\)\)\[i:i\+1\]""" ->
       """slice(split(lower(trim(text)), '\\s+'), i, 2)""",
+    """\(string_split_regex\(lower\(trim\(text\)\), '\\s\+'\)\)\[1:2\]""" ->
+      """slice(split(lower(trim(text)), '\\s+'), 1, 2)""",
     // [x] array literal around the whole-doc bigram fallback
     """\[array_to_string\((.+?), ' '\)\]""" -> "array(array_join($1, ' '))",
     // list_* vocabulary → array vocabulary (lambda syntax is shared)
@@ -163,7 +165,8 @@ class SqlParitySpec extends SparkSpec {
     "q_agg_collect", "q_agg_quantile", "q_fn_string", "q_fn_datetime",
     "q_fn_array", "q_fn_generator",
     "q_token_count", "q_kube_id", "q_pack_overlap", "q_text_entropy",
-    "q_text_quality", "q_text_fingerprint", "q_corpus_datasheet")
+    "q_text_quality", "q_text_fingerprint", "q_corpus_datasheet",
+    "q_pack_chunks", "q_text_langid", "q_text_boilerplate")
 
   test("verbatim oracle SQL ≡ DataFrame form, query by query") {
     registerViews()
