@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * All tables are plain parquet scans — Catalyst handles column pruning and
   * predicate pushdown, so every query in the catalog reads only the columns
-  * and row groups it needs. The one wrinkle is `events.ts`, written as
-  * parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-  * outright; we read it as a long (legacy conf) and truncate to microsecond
-  * precision, which is also what DuckDB does on its side of the oracle.
+  * and row groups it needs. The one wrinkle is `events.ts`, whose physical
+  * encoding has drifted across testdata generations (TIMESTAMP(NANOS), then
+  * TIMESTAMP(MICROS) without UTC adjustment). The loader adapts to whatever
+  * the footer actually declares and always yields a session-TZ (UTC)
+  * `timestamp` column at microsecond precision, matching DuckDB's view of
+  * the same file on the oracle side.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -27,15 +29,64 @@ object Tables {
     }
   }
 
-  /** events.ts is TIMESTAMP(NANOS); Spark has no nanosecond timestamp type,
-    * so read it as nanos-since-epoch long and floor-divide to microseconds
-    * (matching DuckDB's ns→us truncation).
+  /** Schema-adaptive `events` loader. Branches on the type Spark infers for
+    * `ts` from the parquet footer:
+    *
+    *   - `TimestampType` (µs, adjusted-to-UTC): pass through.
+    *   - `TimestampNTZType` (µs, wall-clock): cast to `TimestampType` — the
+    *     session TZ is pinned UTC in every entry point, so the instant is
+    *     preserved bit-for-bit.
+    *   - `LongType` / NANOS footer: Spark has no nanosecond timestamp, so
+    *     re-read under `spark.sql.legacy.parquet.nanosAsLong` and
+    *     floor-divide to microseconds (DuckDB's ns→µs truncation). The
+    *     legacy conf is only touched on this branch, and restored after —
+    *     loading a table must not mutate session state as a side effect.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExpressions.register(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsFrom(spark, path(dir, "events"))
+  }
+
+  private[graft] def eventsFrom(spark: SparkSession, p: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+    def readNanosAsLong(): DataFrame = {
+      val prev = spark.conf.getOption(NanosConf)
+      spark.conf.set(NanosConf, "true")
+      try {
+        val df = spark.read.parquet(p)
+        // Force schema resolution while the conf is set; the scan itself
+        // re-reads the conf at planning time, so pin it via a fresh read.
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(NanosConf, v)
+          case None    => spark.conf.unset(NanosConf)
+        }
+      }
+    }
+
+    val raw =
+      try spark.read.parquet(p)
+      catch {
+        // A TIMESTAMP(NANOS) footer fails schema inference outright unless
+        // the legacy conf is on ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))").
+        case e: Exception
+            if Option(e.getMessage).exists(m =>
+              m.contains("NANOS") || m.contains("Illegal Parquet type")) =>
+          return readNanosAsLong()
+      }
+
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other at $p; " +
+            "expected TIMESTAMP(NANOS) long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")

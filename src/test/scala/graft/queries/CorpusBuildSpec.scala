@@ -36,7 +36,6 @@ class CorpusBuildSpec extends SparkSpec {
 
   test("an empty corpus builds an empty manifest, not an error") {
     val emptyDir = java.nio.file.Files.createTempDirectory("corpus_empty_in").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.Tables.names.foreach { t =>
       spark.read.parquet(graft.Tables.path(sf001, t))
         .limit(0).write.mode("overwrite").parquet(graft.Tables.path(emptyDir, t))

@@ -15,7 +15,6 @@ class EmptyInputSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach { t =>
       // read the RAW parquet (no ts rewrite) so the written schema matches
       // what Tables.* expects to find on disk
