@@ -290,27 +290,51 @@ object TextQueries {
           .select(col("doc_id"), col("lang"),
             array_distinct(tokens(col("text"))).as("toks"))
           .localCheckpoint()
-        // dfs is vocabulary-sized (one row per distinct token — orders of
-        // magnitude below the corpus even at 100 TB); the same bound that
-        // made it broadcastable makes it collectable, and shipping it into
-        // the TokenPrefix kernel as a plan constant (the VectorIndex
-        // centroid pattern) deletes the whole explode → broadcast-join →
-        // double-window stage the prefix used to cost: the token stream no
-        // longer shuffles or sorts per doc AT ALL — the prefix is computed
-        // row-local in one codegen pass over the checkpointed frame
-        // (TokenPrefixSpec pins bit-for-bit parity with the window form).
-        val dfsMap = d.select(explode(col("toks")).as("token"))
+        // The prefix needs global token document-frequencies. Two plans,
+        // gated on VOCABULARY SIZE (spark.graft.jaccard.maxKernelVocab,
+        // default 10^6):
+        //   - small vocab: collect dfs to the driver and ship it into the
+        //     TokenPrefix kernel as a plan constant (the VectorIndex
+        //     centroid pattern) — deletes the whole explode →
+        //     broadcast-join → double-window stage; the token stream never
+        //     shuffles or sorts per doc at all (TokenPrefixSpec pins
+        //     bit-for-bit parity with the window form).
+        //   - large vocab: Heaps-law vocab on web-scale text (typos, ids,
+        //     code tokens) reaches 10^8–10^9 distinct tokens — a driver OOM
+        //     and multi-GB task closure if collected. Fall back to the
+        //     distributed form: explode → df join → row_number/count
+        //     windows → prefix filter. Same rows, no driver bound.
+        // take(cap+1) resolves the gate and fetches the map in ONE job with
+        // bounded driver memory: cap+1 rows back means "too big", never more.
+        val vocabCap = math.min(
+          s.conf.get("spark.graft.jaccard.maxKernelVocab", "1000000").toLong,
+          Int.MaxValue - 1L)
+        val dfs = d.select(explode(col("toks")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("df"))
-          .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df"))
-          .toMap
-        // no checkpoint for pfx anymore: it is a row-local kernel
-        // projection over the already-checkpointed d, so recomputing it on
-        // each self-join side is cheaper than materializing it (the old
-        // window form re-ran a shuffle+sort per consumer — THAT needed it)
-        val pfx = d.select(col("doc_id"), col("lang"),
-            size(col("toks")).cast("long").as("sz"),
-            explode(tokenPrefix(col("toks"), dfsMap, 0.6)).as("token"))
-          .select("doc_id", "lang", "token", "sz")
+        val vocabHead = dfs.take(vocabCap.toInt + 1)
+        val pfx = if (vocabHead.length <= vocabCap) {
+          val dfsMap = vocabHead
+            .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+          // no checkpoint for pfx: it is a row-local kernel projection over
+          // the already-checkpointed d, so recomputing it on each self-join
+          // side is cheaper than materializing it (the old window form
+          // re-ran a shuffle+sort per consumer — THAT needed it)
+          d.select(col("doc_id"), col("lang"),
+              size(col("toks")).cast("long").as("sz"),
+              explode(tokenPrefix(col("toks"), dfsMap, 0.6)).as("token"))
+            .select("doc_id", "lang", "token", "sz")
+        } else {
+          val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          d.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+            .join(dfs, "token")
+            .withColumn("pos", row_number().over(wDoc.orderBy("df", "token")))
+            .withColumn("sz", count(lit(1)).over(wDoc))
+            .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.6) + 1)
+            .select("doc_id", "lang", "token", "sz")
+            // materialize: both self-join sides reuse it, and unlike the
+            // kernel form this subtree carries a shuffle+sort per consumer
+            .localCheckpoint()
+        }
         // LENGTH FILTER (the SSJoin companion lemma): jac(A,B) ≥ t forces
         // t·|A| ≤ |B| ≤ |A|/t, so size-mismatched docs sharing a prefix
         // token never become candidates — carried on the prefix rows, it
