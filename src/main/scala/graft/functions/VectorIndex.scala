@@ -22,13 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** Driver-side collect budget for index training (VERDICT r7 item 7).
+    *
+    * The centroid/codebook tables — k·dim doubles for IVF, m·k·(dim/m) =
+    * k·dim for PQ — are the ONLY corpus-derived state that ever lands on
+    * the driver; everything else stays distributed. That bound is the
+    * 100 TB training contract: the training INPUT must be an explicit
+    * upstream sample (`df.sample(...)` / a sampled scan), never the full
+    * corpus, and an oversized k·dim fails loudly here at train time
+    * instead of as an opaque driver OOM mid-job.
+    *
+    * 2^24 doubles ≈ 128 MiB — generous for any sane codebook (FAISS-scale
+    * IVF uses k ≤ 2^20 cells at dim ≤ 1024 only with sharded training).
+    */
+  val MaxDriverEntries: Long = 1L << 24
+
+  private def requireDriverBudget(what: String, entries: Long, budget: Long): Unit =
+    require(entries <= budget,
+      s"$what would collect $entries entries to the driver (budget $budget): " +
+        "reduce k (or m·k) / dim, or train on an explicit sample")
+
   /** (cell INT, centroid ARRAY<DOUBLE>) after `iters` Lloyd iterations. */
   def kmeansCentroids(
       spark: SparkSession,
       embeddings: DataFrame, // (vec_id LONG, embedding ARRAY<FLOAT>)
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      maxDriverEntries: Long = MaxDriverEntries): DataFrame = {
     import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    requireDriverBudget("IVF centroid table", k.toLong * dim, maxDriverEntries)
     // number the k seeds on the driver: they're already a bounded collect
     // (k·dim doubles, the same budget as the per-iteration centroid
     // refresh below) — an unpartitioned row_number window here would move
@@ -129,8 +153,12 @@ object VectorIndex {
       sv: DataFrame, // (vec_id, sub, subvec) from subvectors()
       m: Int,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      maxDriverEntries: Long = MaxDriverEntries): DataFrame = {
     import spark.implicits._
+    val subDim = sv.select(size(col("subvec"))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    requireDriverBudget("PQ codebook", m.toLong * k * subDim, maxDriverEntries)
     // init: the first k vectors by vec_id = the first m·k (vec_id, sub) rows
     val first = sv.orderBy("vec_id", "sub").limit(m * k)
       .select(col("sub"), col("vec_id"), col("subvec"))
