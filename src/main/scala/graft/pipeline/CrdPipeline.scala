@@ -144,9 +144,10 @@ object CrdPipeline {
           Payloads.deliver(sink, payloads(batch.collect().toSeq, maxBatch))
       }
     val w =
-      if (config.checkpointDir.nonEmpty)
+      if (config.checkpointDir.nonEmpty) {
+        SyncPipeline.stampStateVersion(spark, config.checkpointDir)
         writer.option("checkpointLocation", config.checkpointDir)
-      else writer
+      } else writer
     w.start()
   }
 }

@@ -143,6 +143,42 @@ object SyncPipeline {
       s.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
   }
 
+  /** Frozen shape version of the per-key debounce state (COVERAGE.md pins
+    * [[Debounce.Pending]]'s shape as of round 7). Bump ONLY together with a
+    * migration story: a checkpoint written under a different version must
+    * fail fast below with an actionable message, not surface as Spark's
+    * opaque state-deserialization error mid-batch.
+    */
+  val StateVersion: Int = 1
+
+  private val StateVersionFile = "_graft_state_version"
+
+  /** Stamp-or-check the state shape version in the checkpoint dir. First
+    * start writes the stamp; every later start verifies it. Uses the Hadoop
+    * FS API so any checkpoint scheme (local, HDFS, object store) works.
+    */
+  private[pipeline] def stampStateVersion(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(base, StateVersionFile)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val found =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(found == StateVersion.toString,
+        s"checkpoint $dir was written with state version $found, this build " +
+          s"uses $StateVersion: start from a fresh checkpointLocation (a " +
+          "resync rebuilds downstream state) or run the matching build")
+    } else {
+      fs.mkdirs(base)
+      val out = fs.create(p, true)
+      try out.write(s"$StateVersion\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   private[pipeline] def applyStateStoreConf(spark: SparkSession, config: Config): Unit =
     // config is authoritative either way — a one-way set would leak RocksDB
     // into later pipelines started on the same session with the default.
@@ -210,9 +246,10 @@ object SyncPipeline {
         }
       }
     val w =
-      if (config.checkpointDir.nonEmpty)
+      if (config.checkpointDir.nonEmpty) {
+        stampStateVersion(spark, config.checkpointDir)
         writer.option("checkpointLocation", config.checkpointDir)
-      else writer
+      } else writer
     w.start()
   }
 
