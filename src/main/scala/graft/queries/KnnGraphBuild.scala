@@ -55,7 +55,7 @@ object KnnGraphBuild {
 
   /** Full build over an embedding frame (vec_id, embedding). */
   def build(spark: SparkSession, embeddings: DataFrame, outDir: String,
-      k: Int = 5, tables: Int = 8, bitsOverride: Int = 0): Long = {
+      k: Int = 5, tables: Int = 6, bitsOverride: Int = 0): Long = {
     val e = embeddings.select("vec_id", "embedding")
     val bits =
       if (bitsOverride > 0) bitsOverride

@@ -484,14 +484,18 @@ object VectorQueries {
         // cost Σ|bucket|² grows ~linearly with n instead of quadratically —
         // the knob a fixed-bits table lacks. Collision probability per
         // table falls as bits grow (p1^bits), which is what the Hamming-1
-        // multi-probe inside knnGraph counteracts; L=8 OR-ed tables then
-        // hold recall@5 well above the 0.9 floor (measured via
-        // graft.RecallProbe: 0.996 at sf0.001, 0.976 at sf0.1 — without
-        // the probes 6 fixed bits measured 0.61). KnnGraphSpec asserts the
+        // multi-probe inside knnGraph counteracts; L=6 OR-ed tables then
+        // hold recall@5 above the 0.9 floor with margin (measured via
+        // graft.RecallProbe at sf0.1: 0.942 at L=6 vs 0.976 at L=8 —
+        // L=6 trades 0.034 recall for 25% fewer candidate pairs, the term
+        // that sets the scale exponent; the rejected alternative, one
+        // extra bit at L=8, measured 0.916 — too thin a floor margin for
+        // a comparable candidate cut. Without the probes 6 fixed bits
+        // measured 0.61). KnnGraphSpec asserts the
         // floor vs the in-spec brute-force graph and that the plan carries
         // no broadcast hint. The count() sizing the index is ONE
         // driver-side long per run — at 100 TB it comes from table stats.
-        knnGraph(s, dir, k = 5, tables = 8)
+        knnGraph(s, dir, k = 5, tables = 6)
       },
       None),
 

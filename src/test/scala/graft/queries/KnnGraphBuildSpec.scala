@@ -39,11 +39,11 @@ class KnnGraphBuildSpec extends SparkSpec {
   test("graph output matches the q_sim_knn_graph catalog shape and params") {
     val out = java.nio.file.Files.createTempDirectory("knn_shape").toString
     KnnGraphBuild.build(spark, graft.Tables.embeddings(spark, sf001)
-      .select("vec_id", "embedding"), out, k = 5, tables = 8)
+      .select("vec_id", "embedding"), out, k = 5, tables = 6)
     val g = KnnGraphBuild.readGraph(spark, out)
     assert(g.columns.toSeq == Seq("q_id", "rnk", "vec_id", "cos"))
     val catalog = graft.SparkEntry.queries("q_sim_knn_graph")(spark, sf001)
-    // same knobs (k=5, tables=8, adaptive bits) → same graph
+    // same knobs (k=5, tables=6, adaptive bits) → same graph
     assert(canon(g) == canon(catalog))
   }
 
