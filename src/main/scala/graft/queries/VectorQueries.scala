@@ -44,20 +44,34 @@ object VectorQueries {
   private[queries] def bucketsOf(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     sigs.select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
 
-  /** MULTI-PROBE side: the exact bucket plus every Hamming-1 neighbor,
-    * widening the per-table collision condition from signature equality to
-    * d(sig_a, sig_b) <= 1. The condition is symmetric, so probing ONE join
-    * side covers every such pair; the probe fan-out is (1+bits) rows — the
-    * price of keeping recall at the floor while bits GROWS with n (p^b
-    * alone collapses: measured 0.61 recall at 6 bits without the probes,
-    * 0.9+ with; the alternative — more tables — needs ~1/p^b of them,
-    * exponential in b).
+  /** MULTI-PROBE side: the exact bucket plus every Hamming-1 neighbor —
+    * and, above [[Radius2Bits]] signature bits, every Hamming-2 neighbor
+    * too. The conditions are symmetric, so probing ONE join side covers
+    * every such pair.
+    *
+    * WHY the radius must grow with bits: a near pair's per-table collision
+    * probability at radius r is P(sig distance <= r), and distance is
+    * ~Binomial(bits, p_diff) — as adaptiveBits grows with n, the d=0 and
+    * d<=1 mass collapses (measured recall on the ×5 ScaleProbe corpus at
+    * 8 bits: 0.634 with radius 1, the 0.9 floor needs d<=2). Radius 2 costs
+    * a 1+bits+C(bits,2) fan-out, which is why it switches on only when the
+    * bit count — not the wall-clock — demands it; at sf0.1 (5 bits) and
+    * below the plan is unchanged. The alternative — more OR-ed tables —
+    * needs ~1/p^bits of them, exponential in bits (from 0.634, holding 0.9
+    * at ×5 needs 14+ tables vs 6).
     */
+  private[queries] val Radius2Bits = 7
+
   private[queries] def probesOf(buckets: org.apache.spark.sql.DataFrame,
       bits: Int): org.apache.spark.sql.DataFrame = {
-    val flips = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val flips1 = (0 until bits).map(i => lit(1L << i))
+    val flips2 =
+      if (bits < Radius2Bits) Seq.empty
+      else for (i <- 0 until bits; j <- i + 1 until bits)
+        yield lit((1L << i) | (1L << j))
+    val masks = lit(0L) +: (flips1 ++ flips2)
     buckets.select(col("vec_id"), col("tbl"),
-      explode(array(col("bucket") +: flips: _*)).as("bucket"))
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
   }
 
   /** Undirected self-join candidates: keep a<b and dedup across
