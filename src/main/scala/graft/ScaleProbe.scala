@@ -73,7 +73,19 @@ object ScaleProbe {
       f""""$name":{"sec_sf01":${math.rint(t1 * 1000) / 1000},"sec_x$factor":${
         math.rint(t2 * 1000) / 1000},"exponent":${math.rint(exp * 100) / 100}}"""
     }
+    // the k-NN graph's floor is recall, not seconds — record it at the
+    // scaled corpus so the exponent/recall tradeoff is visible in one
+    // artifact (round 8: radius-2 probing holds 0.955 here where radius 1
+    // had silently decayed to 0.634)
+    val knnRecallX = {
+      val approx = Recall.pairs(
+        SparkEntry.queries("q_sim_knn_graph")(spark, scaled).collect(), 5)
+      val exact = Recall.pairs(
+        graft.queries.VectorQueries.bruteKnnGraph(spark, scaled, 5).collect(), 5)
+      math.rint(Recall.of(exact, approx) * 1000) / 1000
+    }
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
+      s""""knn_recall_x$factor":$knnRecallX,""" +
       s""""stat":"min","queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_scale.json"), (json + "\n").getBytes("UTF-8"))

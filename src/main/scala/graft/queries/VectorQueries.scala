@@ -509,6 +509,16 @@ object VectorQueries {
         // floor vs the in-spec brute-force graph and that the plan carries
         // no broadcast hint. The count() sizing the index is ONE
         // driver-side long per run — at 100 TB it comes from table stats.
+        // SCALE HONESTY (BENCH_scale's knn_recall_x5 + exponent fields):
+        // holding a CONSTANT recall floor while n grows is what LSH
+        // fundamentally charges n^(1+ρ) for — as adaptiveBits rises past
+        // Radius2Bits the probe radius widens to Hamming-2 (probesOf),
+        // which is what keeps recall at 0.955 on the ×5 corpus where
+        // radius 1 had decayed to 0.634; the measured exponent (~1.2 at
+        // ×5 locally) is the price of that floor, not an accident. Past
+        // the 16-bit clamp the right structure is an IVF-partitioned
+        // build on the q_sim_ivf_kmeans quantizer (bounded cells × nprobe
+        // keeps candidates/vector O(1) with recall set by nprobe).
         knnGraph(s, dir, k = 5, tables = 6)
       },
       None),
