@@ -28,10 +28,16 @@ import org.apache.spark.sql.SparkSession
 object SqlCompat {
 
   def register(spark: SparkSession): Unit = {
+    // DuckDB list_sum = SUM over the list's rows: NULL elements are
+    // skipped, and an empty or all-NULL list sums to NULL (not 0)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION list_sum(xs ARRAY<DOUBLE>)
         |RETURNS DOUBLE
-        |RETURN aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        |RETURN CASE
+        |  WHEN size(filter(xs, x -> x IS NOT NULL)) = 0 THEN CAST(NULL AS DOUBLE)
+        |  ELSE aggregate(filter(xs, x -> x IS NOT NULL),
+        |                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        |END
         |""".stripMargin)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION duck_range(a BIGINT, b BIGINT)
