@@ -150,6 +150,44 @@ object VectorQueries {
     rankGraph(graphEdges(sigs, bits, k))
   }
 
+  /** IVF-partitioned k-NN graph — the structure the LSH build's scaladoc
+    * names for the far side of the bit clamp, made concrete: train a
+    * k-means coarse quantizer ([[graft.functions.VectorIndex]]), assign
+    * every vector to its top-`nprobe` cells by cosine, and generate
+    * candidate pairs only WITHIN shared cells. Candidates/vector is
+    * bounded by nprobe · cell-size regardless of n (cells grow with the
+    * corpus), and recall is a direct function of nprobe — the knob LSH
+    * lacks once p^bits collapses. The only broadcast is the centroid
+    * table (k·dim doubles — index metadata, not a corpus side), so the
+    * self-join remains shuffle-partitioned by cell: at 100 TB each cell's
+    * pairs are generated where the cell's vectors live, which is exactly
+    * how the corpus would be bucketed on disk. Deterministic end to end
+    * (seeded k-means init, ties → lowest cell/id).
+    */
+  def knnGraphIvf(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorIndex
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val n = e.count()
+    val cells = math.min(1024, math.max(4, (n / 64).toInt))
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm")).localCheckpoint()
+    val centroids = VectorIndex.kmeansCentroids(s, sigs, cells, iters = 2)
+      .withColumn("cn", l2Norm(col("centroid")))
+    val assign = graft.plans.TopKPerKey(
+      sigs.crossJoin(broadcast(centroids))
+        .withColumn("sim", cosineWithNorms(
+          col("embedding"), col("centroid"), col("nrm"), col("cn")))
+        .select(col("vec_id"), col("cell"), col("sim")),
+      Seq(col("vec_id")), Seq(col("sim").desc, col("cell").asc), nprobe)
+    val cand = assign.select(col("vec_id").as("a_id"), col("cell"))
+      .join(assign.select(col("vec_id").as("b_id"), col("cell").as("b_cell")),
+        col("cell") === col("b_cell") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    rankGraph(topKEdges(scorePairs(cand, sigs, sigs), k))
+  }
+
   /** Exact k-NN graph (every vector × every vector, window top-k) — the
     * recall oracle for q_sim_knn_graph in KnnGraphSpec and RecallProbe.
     * Quadratic by definition; only ever run at probe/spec scale.
@@ -520,6 +558,17 @@ object VectorQueries {
         // build on the q_sim_ivf_kmeans quantizer (bounded cells × nprobe
         // keeps candidates/vector O(1) with recall set by nprobe).
         knnGraph(s, dir, k = 5, tables = 6)
+      },
+      None),
+
+    GQuery(
+      "q_sim_knn_graph_ivf",
+      (s, dir) => {
+        // The IVF-partitioned graph build (see knnGraphIvf's scaladoc) —
+        // the constant-candidates-per-vector structure that takes over
+        // from LSH once adaptive bits hit the clamp. Rows-only; recall
+        // floor vs the brute-force graph asserted in KnnGraphIvfSpec.
+        knnGraphIvf(s, dir, k = 5, nprobe = 3)
       },
       None),
 
