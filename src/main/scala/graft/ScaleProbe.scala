@@ -30,7 +30,8 @@ object ScaleProbe {
   private val Probed = Seq(
     "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
     "q_dedup_clusters", "q_corpus_final", "q_pack_chunks", "q_text_tfidf",
-    "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq", "q_sim_knn_graph")
+    "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq", "q_sim_knn_graph",
+    "q_sim_knn_graph_ivf")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(5)
