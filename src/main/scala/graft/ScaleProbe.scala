@@ -79,10 +79,19 @@ object ScaleProbe {
     // artifact (round 8: radius-2 probing holds 0.955 here where radius 1
     // had silently decayed to 0.634)
     val knnRecallX = {
+      // the exact oracle is O(n·q) cross-scoring collected to the driver —
+      // above OracleFullCeiling rows, sample ~1000 query vertices
+      // deterministically (q_id % mod == 0) so the probe completes at high
+      // factors instead of the oracle dwarfing the probed queries
+      val OracleFullCeiling = 20000L
+      val n = Tables.embeddings(spark, scaled).count()
+      val mod = if (n <= OracleFullCeiling) 1L else math.max(1L, n / 1000L)
       val approx = Recall.pairs(
-        SparkEntry.queries("q_sim_knn_graph")(spark, scaled).collect(), 5)
+        SparkEntry.queries("q_sim_knn_graph")(spark, scaled).collect()
+          .filter(_.getLong(0) % mod == 0), 5)
       val exact = Recall.pairs(
-        graft.queries.VectorQueries.bruteKnnGraph(spark, scaled, 5).collect(), 5)
+        graft.queries.VectorQueries.bruteKnnGraph(spark, scaled, 5, mod)
+          .collect(), 5)
       math.rint(Recall.of(exact, approx) * 1000) / 1000
     }
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +

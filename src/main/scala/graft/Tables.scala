@@ -51,7 +51,45 @@ object Tables {
     import org.apache.spark.sql.types._
     val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-    def readNanosAsLong(): DataFrame = {
+    // A TIMESTAMP(NANOS) footer fails Spark's schema inference outright
+    // unless the legacy conf is on, so the branch must be decided BEFORE the
+    // first read. Probe the footer directly (one file's metadata, not a
+    // scan) rather than string-matching the inference exception — exception
+    // text varies across Spark versions and locales; the footer is the
+    // ground truth the exception was a proxy for.
+    def tsIsNanos: Boolean = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(conf)
+      val dataFile =
+        if (fs.getFileStatus(root).isFile) Some(root)
+        else fs.listStatus(root).map(_.getPath).find { q =>
+          val n = q.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+      dataFile.exists { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          schema.containsField("ts") && {
+            val t = schema.getType(schema.getFieldIndex("ts"))
+            t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
+              case ann: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ann.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            })
+          }
+        } finally r.close()
+      }
+    }
+
+    def readNanosAsLong(): DataFrame = Tables.synchronized {
+      // the set/restore window mutates SESSION-global conf — serialize it so
+      // a concurrent events load on another thread of the same session can't
+      // observe (or clobber) the transient value
       val prev = spark.conf.getOption(NanosConf)
       spark.conf.set(NanosConf, "true")
       try {
@@ -67,16 +105,8 @@ object Tables {
       }
     }
 
-    val raw =
-      try spark.read.parquet(p)
-      catch {
-        // A TIMESTAMP(NANOS) footer fails schema inference outright unless
-        // the legacy conf is on ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))").
-        case e: Exception
-            if Option(e.getMessage).exists(m =>
-              m.contains("NANOS") || m.contains("Illegal Parquet type")) =>
-          return readNanosAsLong()
-      }
+    if (tsIsNanos) return readNanosAsLong()
+    val raw = spark.read.parquet(p)
 
     raw.schema("ts").dataType match {
       case TimestampType    => raw

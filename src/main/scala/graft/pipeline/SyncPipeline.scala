@@ -173,9 +173,17 @@ object SyncPipeline {
           "resync rebuilds downstream state) or run the matching build")
     } else {
       fs.mkdirs(base)
-      val out = fs.create(p, true)
-      try out.write(s"$StateVersion\n".getBytes("UTF-8"))
-      finally out.close()
+      // atomic create (overwrite = false): two drivers racing the first
+      // start must not both think they stamped — the loser of the create
+      // race re-enters the check path and verifies the winner's stamp
+      try {
+        val out = fs.create(p, false)
+        try out.write(s"$StateVersion\n".getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          stampStateVersion(spark, dir)
+      }
     }
   }
 

@@ -4,12 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch diagnostics for the k-NN graph's scale behavior: candidate-pair
-  * counts and stage timings at sf0.1 and the ScaleProbe ×5 corpus, per
-  * (tables, bits) config. `runMain graft.KnnProbe [scaledDir]`.
+  * counts and stage timings at the base corpus and the ScaleProbe scaled
+  * corpus, per (tables, bits) config.
+  * `runMain graft.queries.KnnProbe [scaledDir] [baseDir]`.
   */
 object KnnProbe {
   def main(args: Array[String]): Unit = {
     val scaled = args.headOption.getOrElse("/tmp/graft_scale_x5")
+    val base = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +22,7 @@ object KnnProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    Seq("/root/testdata/sf0.1" -> "base", scaled -> "x5").foreach { case (dir, tag) =>
+    Seq(base -> "base", scaled -> "scaled").foreach { case (dir, tag) =>
       val e = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
       val n = e.count()
       Seq(6, 8).foreach { tables =>
@@ -55,7 +57,7 @@ object KnnProbe {
       VectorQueries.knnGraph(spark, scaled, k = 5, tables = 6).collect(), 5)
     val exact = graft.Recall.pairs(
       VectorQueries.bruteKnnGraph(spark, scaled, 5).collect(), 5)
-    println(f"KNNPROBE x5 recall@5=${graft.Recall.of(exact, approx)}%.3f")
+    println(f"KNNPROBE scaled recall@5=${graft.Recall.of(exact, approx)}%.3f")
     spark.stop()
   }
 }

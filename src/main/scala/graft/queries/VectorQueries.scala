@@ -169,7 +169,10 @@ object VectorQueries {
     import graft.functions.VectorIndex
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = e.count()
-    val cells = math.min(1024, math.max(4, (n / 64).toInt))
+    // clamp in Long space BEFORE the Int conversion: (n / 64).toInt wraps
+    // negative past n ≈ 1.4e11 and would silently fall to 4 giant cells —
+    // the opposite of the bounded-candidates contract
+    val cells = math.min(1024L, math.max(4L, n / 64)).toInt
     val sigs = e.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm")).localCheckpoint()
     val centroids = VectorIndex.kmeansCentroids(s, sigs, cells, iters = 2)
@@ -191,13 +194,18 @@ object VectorQueries {
   /** Exact k-NN graph (every vector × every vector, window top-k) — the
     * recall oracle for q_sim_knn_graph in KnnGraphSpec and RecallProbe.
     * Quadratic by definition; only ever run at probe/spec scale.
+    * `sampleEveryQ > 1` keeps every `sampleEveryQ`-th query vertex
+    * (deterministic `q_id % mod == 0`) so the oracle cost is O(n·q) on big
+    * probe corpora — the recall estimate is over the sampled vertices only.
     */
   def bruteKnnGraph(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, sampleEveryQ: Long = 1L): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", l2Norm(col("embedding")))
-    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+    val qAll = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_n"))
+    val q = if (sampleEveryQ > 1) qAll.filter(col("q_id") % sampleEveryQ === 0)
+            else qAll
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     q.join(e, col("q_id") =!= col("vec_id"))
