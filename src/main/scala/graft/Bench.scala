@@ -49,15 +49,36 @@ object Bench {
     // back-to-back timings). Interleaving puts a whole catalog pass
     // (~30-60 s) between a query's two timings, so a single window cannot
     // claim both.
-    val iterations = 3
+    val iterations = 5
     val named = qs.toSeq.sortBy(_._1)
+    // NOISE SENTINEL (VERDICT r8 item 1): a fixed in-memory computation —
+    // no I/O, no shuffle variance, identical work every time — timed once
+    // per pass. Its spread across passes is a direct read of host noise
+    // during THIS bench window: a quiet box repeats it within ~10%, and a
+    // sentinel_spread of 2-3× says the per-query numbers carry the same
+    // inflation and must be judged against BENCH_scale / a re-run, not
+    // read as regressions. Recorded in every BENCH JSON from now on.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("sum(cast(hash(id) as bigint))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm the sentinel's own codegen/JIT to steady state before the
+    // recorded passes — a decaying first reading would mimic host noise
+    (1 to 3).foreach(_ => sentinel())
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val passes: Seq[Map[String, Double]] = (1 to iterations).map { _ =>
+      sentinels += math.round(sentinel() * 1000.0) / 1000.0
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         name -> (try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
                  catch { case _: Throwable => -1.0 })
       }.toMap
     }
+    val sentinelJson = sentinels.mkString("[", ",", "]")
+    val sentinelSpread =
+      math.round(sentinels.max / math.max(sentinels.min, 1e-9) * 100.0) / 100.0
     val results = named.map { case (name, _) =>
       val times = passes.map(_(name))
       name -> (if (times.exists(_ < 0)) -1.0
@@ -87,6 +108,7 @@ object Bench {
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
+      s""""sentinel_sec":$sentinelJson,"sentinel_spread":$sentinelSpread,""" +
       s""""stat":"min","sf":"$sfDir"}"""
     println(line)
     // Tail-capture defense: BENCH_r04/r05 both recorded `parsed: null`
@@ -108,6 +130,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
+      s""""sentinel_spread":$sentinelSpread,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
