@@ -188,6 +188,68 @@ object VectorIndex {
     toDf(books)
   }
 
+  /** Driver-side PQ training over a budget-bounded sample — the FAISS-shaped
+    * alternative to [[pqCodebooks]]: codebook training touches k·dim-scale
+    * state no matter where it runs, so at 100 TB the input is an explicit
+    * SAMPLE anyway (the [[MaxDriverEntries]] contract) and running Lloyd on
+    * the collected sample replaces a per-iteration distributed job chain
+    * (broadcast + 3 shuffles + collect, ~2 s of fixed overhead per pass at
+    * local[32]) with in-memory arithmetic. Semantics mirror [[pqCodebooks]]
+    * exactly: init = first k vectors by vec_id per subspace, L2 assignment
+    * with ties → lowest cell, per-dim mean update (summed in vec_id order —
+    * deterministic), empty cells keep their previous centroid. The collect
+    * is LOUDLY bounded: more sample rows than the entry budget admits is a
+    * require failure, never a silent truncation or a driver OOM.
+    */
+  def pqCodebooksDriver(
+      spark: SparkSession,
+      sv: DataFrame, // (vec_id, sub, subvec) from subvectors() — the sample
+      m: Int,
+      k: Int,
+      iters: Int,
+      subDim: Int,
+      maxDriverEntries: Long = MaxDriverEntries): DataFrame = {
+    import spark.implicits._
+    require(subDim > 0, s"subDim must be positive, got $subDim")
+    val maxRows = (maxDriverEntries / subDim).toInt
+    val rows = sv.select(col("vec_id"), col("sub"), col("subvec"))
+      .as[(Long, Int, Seq[Double])].limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"PQ training sample exceeds the driver budget " +
+        s"($maxRows rows at subDim $subDim): train on an explicit sample")
+    val books = rows.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (sub, rs) =>
+      val vecs = rs.sortBy(_._1).map(_._3.toArray)
+      var cents: Array[Array[Double]] = vecs.take(k).map(_.clone())
+      (0 until iters).foreach { _ =>
+        val assign = vecs.map { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < v.length) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict < keeps lowest cell on ties
+            c += 1
+          }
+          best
+        }
+        cents = cents.indices.map { c =>
+          val members = assign.iterator.zipWithIndex
+            .collect { case (`c`, i) => vecs(i) }.toArray
+          if (members.isEmpty) cents(c)
+          else {
+            val s = new Array[Double](members.head.length)
+            members.foreach { v =>
+              var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+            }
+            s.map(_ / members.length)
+          }
+        }.toArray
+      }
+      cents.zipWithIndex.map { case (cv, cell) => (sub, cell, cv.toSeq) }
+    }
+    books.toDF("sub", "cell", "centroid")
+  }
+
   /** Nearest codebook entry per (vec_id, sub) under L2; ties → lowest cell.
     * Same partial+final max_by shape as [[assignCells]]. */
   def assignPq(sv: DataFrame, books: DataFrame): DataFrame =
