@@ -94,8 +94,21 @@ object ScaleProbe {
           .collect(), 5)
       math.rint(Recall.of(exact, approx) * 1000) / 1000
     }
+    // which branch knnGraphAuto takes at each probed corpus: the crossover
+    // is corpus-size-driven (GraphAutoIvfThreshold = bit-clamp saturation),
+    // and the switched path's ×factor exponent is q_sim_knn_graph_ivf's
+    // entry above — recorded together so the handoff story is one artifact
+    val autoJson = {
+      def path(n: Long) =
+        if (n > graft.queries.VectorQueries.GraphAutoIvfThreshold) "ivf" else "lsh"
+      val nBase = Tables.embeddings(spark, base).count()
+      val nScaled = Tables.embeddings(spark, scaled).count()
+      s""""knn_auto":{"threshold_n":${graft.queries.VectorQueries.GraphAutoIvfThreshold},""" +
+        s""""path_base":"${path(nBase)}","path_scaled":"${path(nScaled)}",""" +
+        s""""switched_exponent_source":"q_sim_knn_graph_ivf"}"""
+    }
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
-      s""""knn_recall_x$factor":$knnRecallX,""" +
+      s""""knn_recall_x$factor":$knnRecallX,$autoJson,""" +
       s""""stat":"min","queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_scale.json"), (json + "\n").getBytes("UTF-8"))

