@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The IVF confidence-fallback cap (VERDICT r8 item 6): a noise-heavy query
+  * batch — where per-query fallback would silently degrade the whole run to
+  * an exact scan — must FAIL LOUDLY above the fallback-fraction cap, and a
+  * clustered batch must pass untouched. Mirrors the Jaccard vocab gate's
+  * contract: scale cliffs are a loud choice, never a silent degradation.
+  */
+class IvfFallbackCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus: 32 clustered vectors living in dims 0..7 (4 tight clusters on
+    * distinct axes). Noise queries: ids >= 1000, living in dims 8..15 —
+    * orthogonal to every corpus vector, so their best centroid cosine is 0
+    * no matter how the quantizer trains.
+    */
+  private def fixture = {
+    val clustered = (0 until 32).map { i =>
+      val axis = i % 4
+      val v = Array.fill(16)(0.001 * ((i * 7 + 3) % 5))
+      v(axis) = 1.0
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val noise = (0 until 10).map { j =>
+      val v = Array.fill(16)(0.0f)
+      v(8 + (j % 8)) = 1.0f
+      ((1000 + j).toLong, v.toSeq)
+    }
+    (clustered ++ noise).toDF("vec_id", "embedding")
+  }
+
+  test("a noise-heavy batch breaks the cap loudly, naming the fractions") {
+    val e = intercept[IllegalArgumentException] {
+      VectorQueries.ivfTopK(spark, fixture, col("vec_id") >= 1000L,
+        k = 3, nprobe = 2, kCells = 4).collect()
+    }
+    assert(e.getMessage.contains("exact-scan 10 of 10 queries"), e.getMessage)
+    assert(e.getMessage.contains("maxFallbackFrac"), e.getMessage)
+  }
+
+  test("a clustered batch passes under the cap and returns neighbors") {
+    val rows = VectorQueries.ivfTopK(spark, fixture, col("vec_id") < 8L,
+      k = 3, nprobe = 2, kCells = 4).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) < 8L))
+  }
+
+  test("raising the cap knowingly lets the degraded batch run exact") {
+    val rows = VectorQueries.ivfTopK(spark, fixture, col("vec_id") >= 1000L,
+      k = 3, nprobe = 2, kCells = 4, maxFallbackFrac = 1.0).collect()
+    // every noise query fell back to the full scan, so each sees the whole
+    // corpus and returns its k best (all cosines 0 to the clustered dims —
+    // ranked by id tiebreak, still well-formed)
+    assert(rows.groupBy(_.getLong(0)).size == 10)
+  }
+
+  test("the catalog query's real batch stays under the default cap") {
+    // vec_id < 10 at sf0.001 must not trip the gate — the cap exists for
+    // adversarial batches, not the everyday path
+    val rows = graft.SparkEntry.queries("q_sim_ivf_kmeans")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+  }
+}
