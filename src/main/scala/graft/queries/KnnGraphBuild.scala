@@ -51,7 +51,14 @@ object KnnGraphBuild {
 
   private def stateDir(outDir: String) = s"$outDir/_graft_state"
 
-  final case class Meta(bits: Int, tables: Int, k: Int, maxVecId: Long, epoch: Int)
+  /** `method` selects the candidate structure the state was built with —
+    * "lsh" (bits/tables meaningful) or "ivf" (nprobe meaningful, pinned
+    * centroid table under `centroids/`). A delta must use its state's
+    * method: the stored shards' schema and the stored quantizer both
+    * belong to it.
+    */
+  final case class Meta(bits: Int, tables: Int, k: Int, maxVecId: Long,
+      epoch: Int, method: String = "lsh", nprobe: Int = 0)
 
   /** Full build over an embedding frame (vec_id, embedding). */
   def build(spark: SparkSession, embeddings: DataFrame, outDir: String,
@@ -77,12 +84,115 @@ object KnnGraphBuild {
     edges.count()
   }
 
+  /** IVF full build — the same epoch/commit machinery as [[build]] with
+    * the IVF candidate structure ([[VectorQueries.knnGraphIvf]]'s pieces):
+    * train the coarse quantizer, assign every vector to its top-`nprobe`
+    * cells, pair within shared cells. The CENTROID TABLE IS PINNED INDEX
+    * STATE (written once under `centroids/`, immutable across deltas) —
+    * exactly the FAISS IVF contract, where add() never retrains the
+    * quantizer. That pinning is what makes [[deltaIvf]] exact: assignment
+    * is deterministic in the centroids, so the candidate set of a delta'd
+    * state equals the candidate set of a full build under the same
+    * centroids, and the stored-top-k dominance argument (class scaladoc)
+    * applies unchanged. `centroidsOverride` lets a caller (and the
+    * equivalence spec) supply an external quantizer — e.g. one trained on
+    * an explicit upstream sample, the 100 TB training contract.
+    */
+  def buildIvf(spark: SparkSession, embeddings: DataFrame, outDir: String,
+      k: Int = 5, nprobe: Int = 3, cellsOverride: Int = 0,
+      centroidsOverride: DataFrame = null): Long = {
+    val e = embeddings.select("vec_id", "embedding")
+    val sigs = VectorQueries.nrmFrame(e).localCheckpoint()
+    val centroids =
+      if (centroidsOverride != null) centroidsOverride
+      else {
+        val cells =
+          if (cellsOverride > 0) cellsOverride
+          else VectorQueries.ivfCellCount(e.count())
+        graft.functions.VectorIndex.kmeansCentroids(spark, sigs, cells, iters = 2)
+      }
+    val assign = VectorQueries.ivfAssign(sigs, centroids, nprobe).localCheckpoint()
+    val edges = VectorQueries.topKEdges(
+      VectorQueries.scorePairs(
+        VectorQueries.ivfCellCandidates(assign), sigs, sigs), k)
+      .localCheckpoint()
+    val st = new org.apache.hadoop.fs.Path(stateDir(outDir))
+    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(st))
+      require(fs.delete(st, true), s"could not clear previous state at $st")
+    centroids.write.mode("overwrite").parquet(centroidsPath(stateDir(outDir)))
+    commitEpoch(spark, sigs, edges,
+      Meta(bits = 0, tables = 0, k, maxId(sigs), epoch = 0,
+        method = "ivf", nprobe = nprobe),
+      outDir, assignShard = Some(assign))
+    edges.count()
+  }
+
+  /** The pinned coarse quantizer of an IVF-method state. */
+  def readCentroids(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(centroidsPath(stateDir(outDir)))
+
+  /** IVF incremental build: absorb `newVecs` under the STORED quantizer —
+    * no old-old re-scoring, no retraining. New-vs-new candidates pair
+    * within shared cells among the delta's assignments; new-vs-old from
+    * joining the delta's assignments against the STORED assignment shards
+    * (cell co-residence is symmetric, so the delta side of the join covers
+    * every cross pair). Merge = stored directed top-k ∪ new edges through
+    * the same TopKPerKey — row-identical to a full [[buildIvf]] under the
+    * same centroids (KnnGraphBuildIvfSpec), by the same dominance argument
+    * as the LSH delta. O(old) work in this delta is ONE join of stored
+    * (vec_id, cell) rows against the delta's cells — never a re-assign
+    * pass, never an old-old score.
+    */
+  def deltaIvf(spark: SparkSession, newVecs: DataFrame, outDir: String): Long = {
+    val st = stateDir(outDir)
+    val meta = readMeta(spark, st)
+    require(meta.method == "ivf",
+      s"state at $outDir was built with method=${meta.method}; use delta()")
+    val e = newVecs.select("vec_id", "embedding")
+    val minRow = e.agg(min("vec_id")).head
+    if (minRow.isNullAt(0))
+      return spark.read.parquet(edgesPath(st, meta.epoch)).count() // empty delta
+    require(minRow.getLong(0) > meta.maxVecId,
+      s"delta vec_ids must sort after every id the build has seen " +
+        s"(append-only contract): new min ${minRow.getLong(0)} <= stored " +
+        s"max ${meta.maxVecId}")
+    val centroids = readCentroids(spark, outDir)
+    val oldSigs = spark.read
+      .parquet((0 to meta.epoch).map(i => s"$st/sigs/e$i"): _*)
+    val oldAssign = spark.read
+      .parquet((0 to meta.epoch).map(i => assignPath(st, i)): _*)
+    val newSigs = VectorQueries.nrmFrame(e).localCheckpoint()
+    val newAssign = VectorQueries.ivfAssign(newSigs, centroids, meta.nprobe)
+      .localCheckpoint()
+    val newNew = VectorQueries.ivfCellCandidates(newAssign)
+    // cross pairs oriented (a = old, b = new) — a<b holds by the id contract
+    val cross = oldAssign.select(col("vec_id").as("a_id"), col("cell"))
+      .join(newAssign.select(col("vec_id").as("b_id"), col("cell").as("b_cell")),
+        col("cell") === col("b_cell"))
+      .select("a_id", "b_id")
+      .distinct()
+    val scored = VectorQueries.scorePairs(newNew, newSigs, newSigs)
+      .union(VectorQueries.scorePairs(cross, oldSigs, newSigs))
+    val newEdges = VectorQueries.topKEdges(scored, meta.k)
+    val prevEdges = spark.read.parquet(edgesPath(st, meta.epoch))
+    val merged = graft.plans.TopKPerKey(prevEdges.union(newEdges),
+      Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
+      .localCheckpoint()
+    commitEpoch(spark, newSigs, merged,
+      meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
+        epoch = meta.epoch + 1), outDir, assignShard = Some(newAssign))
+    merged.count()
+  }
+
   /** Incremental build: absorb `newVecs` without re-scoring old-old pairs.
     * No-op on an empty delta. Returns the merged directed edge count.
     */
   def delta(spark: SparkSession, newVecs: DataFrame, outDir: String): Long = {
     val st = stateDir(outDir)
     val meta = readMeta(spark, st)
+    require(meta.method == "lsh",
+      s"state at $outDir was built with method=${meta.method}; use deltaIvf()")
     val e = newVecs.select("vec_id", "embedding")
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
@@ -154,6 +264,10 @@ object KnnGraphBuild {
 
   private def edgesPath(st: String, epoch: Int) = s"$st/edges/e$epoch"
 
+  private def assignPath(st: String, epoch: Int) = s"$st/assign/e$epoch"
+
+  private def centroidsPath(st: String) = s"$st/centroids"
+
   private def maxId(sigs: DataFrame): Long = {
     val r = sigs.agg(max("vec_id")).head
     if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
@@ -172,14 +286,21 @@ object KnnGraphBuild {
     * retried by rewriting the same epoch dirs, never by appending in place.
     */
   private def commitEpoch(spark: SparkSession, sigShard: DataFrame,
-      edges: DataFrame, meta: Meta, outDir: String): Unit = {
+      edges: DataFrame, meta: Meta, outDir: String,
+      assignShard: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     val st = stateDir(outDir)
     sigShard.write.mode("overwrite").parquet(s"$st/sigs/e${meta.epoch}")
+    // IVF states also shard the (vec_id, cell) assignments per epoch: a
+    // live slice every future delta's cross-join reads — like sigs, never
+    // vacuumed
+    assignShard.foreach(_.write.mode("overwrite")
+      .parquet(assignPath(st, meta.epoch)))
     edges.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
     val metaPath = s"$st/meta/e${meta.epoch}"
-    Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch))
-      .toDF("bits", "tables", "k", "max_vec_id", "epoch")
+    Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch,
+        meta.method, meta.nprobe))
+      .toDF("bits", "tables", "k", "max_vec_id", "epoch", "method", "nprobe")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val marker = new org.apache.hadoop.fs.Path(metaPath, CommitMarker)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -203,7 +324,8 @@ object KnnGraphBuild {
     val e = currentEpoch(spark, st)
     val r = spark.read.parquet(s"$st/meta/e$e").head
     Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
-      r.getAs[Long]("max_vec_id"), e)
+      r.getAs[Long]("max_vec_id"), e,
+      r.getAs[String]("method"), r.getAs[Int]("nprobe"))
   }
 
   /** `runMain graft.queries.KnnGraphBuild [outDir]` over SPARK_GRAFT_SF_DIR;

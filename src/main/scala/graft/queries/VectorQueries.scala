@@ -197,27 +197,56 @@ object VectorQueries {
     import graft.functions.VectorIndex
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = if (nHint >= 0) nHint else e.count()
-    // clamp in Long space BEFORE the Int conversion: (n / 64).toInt wraps
-    // negative past n ≈ 1.4e11 and would silently fall to 4 giant cells —
-    // the opposite of the bounded-candidates contract
-    val cells = math.min(1024L, math.max(4L, n / 64)).toInt
-    val sigs = e.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm")).localCheckpoint()
-    val centroids = VectorIndex.kmeansCentroids(s, sigs, cells, iters = 2)
-      .withColumn("cn", l2Norm(col("centroid")))
-    val assign = graft.plans.TopKPerKey(
-      sigs.crossJoin(broadcast(centroids))
+    val sigs = nrmFrame(e).localCheckpoint()
+    val centroids = VectorIndex.kmeansCentroids(s, sigs, ivfCellCount(n), iters = 2)
+    val assign = ivfAssign(sigs, centroids, nprobe)
+    rankGraph(topKEdges(scorePairs(ivfCellCandidates(assign), sigs, sigs), k))
+  }
+
+  /** IVF cell count for an n-vector corpus: ~64 vectors per cell, clamped
+    * in Long space BEFORE the Int conversion — (n / 64).toInt wraps
+    * negative past n ≈ 1.4e11 and would silently fall to 4 giant cells,
+    * the opposite of the bounded-candidates contract.
+    */
+  private[graft] def ivfCellCount(n: Long): Int =
+    math.min(1024L, math.max(4L, n / 64)).toInt
+
+  /** (vec_id, embedding, nrm) — the norm-carrying frame every IVF step
+    * (train, assign, score) consumes; the IVF analog of [[sigFrame]].
+    */
+  private[graft] def nrmFrame(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+
+  /** Top-`nprobe` cells per vector by centroid cosine (ties → lowest cell),
+    * via the bounded-heap TopKPerKey — one (vec_id, cell) row per
+    * assignment. DETERMINISTIC in the centroid table, which is what makes
+    * the incremental IVF build exact (KnnGraphBuild.deltaIvf): the
+    * quantizer is pinned index state, so re-assigning any vector at any
+    * epoch lands in the same cells. Only the centroid table broadcasts.
+    */
+  private[graft] def ivfAssign(sigs: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val c = centroids.withColumn("cn", l2Norm(col("centroid")))
+    graft.plans.TopKPerKey(
+      sigs.crossJoin(broadcast(c))
         .withColumn("sim", cosineWithNorms(
           col("embedding"), col("centroid"), col("nrm"), col("cn")))
         .select(col("vec_id"), col("cell"), col("sim")),
       Seq(col("vec_id")), Seq(col("sim").desc, col("cell").asc), nprobe)
-    val cand = assign.select(col("vec_id").as("a_id"), col("cell"))
+  }
+
+  /** Undirected candidates from shared-cell co-residence: a<b, deduped so
+    * a pair sharing several probed cells scores ONCE — the IVF analog of
+    * [[selfCandidates]]. The join shuffles on the cell key; candidates per
+    * vector are bounded by nprobe · cell-size independent of n.
+    */
+  private[graft] def ivfCellCandidates(assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assign.select(col("vec_id").as("a_id"), col("cell"))
       .join(assign.select(col("vec_id").as("b_id"), col("cell").as("b_cell")),
         col("cell") === col("b_cell") && col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    rankGraph(topKEdges(scorePairs(cand, sigs, sigs), k))
-  }
 
   /** Exact k-NN graph (every vector × every vector, window top-k) — the
     * recall oracle for q_sim_knn_graph in KnnGraphSpec and RecallProbe.
