@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The IVF corpus layout made PHYSICAL: the claim `knnGraphIvf` and
+  * `VectorIndex` state in prose — "at 100 TB the corpus is
+  * partitioned/bucketed by cell, so a query touches 1/N of the data" —
+  * as an on-disk contract a plan can prove.
+  *
+  * [[write]] trains the coarse quantizer, tags every vector with its ONE
+  * nearest cell (the IVF posting-list membership — vectors live in one
+  * cell; QUERIES probe several), and writes Hive-partitioned parquet
+  * (`cell=<id>/...`) plus the pinned centroid table under `_index/`. The
+  * write repartitions by cell first, so each posting list is one file —
+  * at 100 TB the same layout comes from the table's partition spec and
+  * the file count per cell follows data volume, but the pruning contract
+  * is identical.
+  *
+  * [[prunedTopK]] is the search path the layout exists for: the query
+  * batch (broadcast-contract small) resolves its top-`nprobe` cells
+  * driver-side against the centroid table — a bounded k·dim-scale
+  * collect, the same budget class as the quantizer itself — and the cell
+  * set becomes a STATIC `isin` partition filter, so pruning happens in
+  * the file index at planning time (PartitionFilters, numFiles), never
+  * as a post-scan filter over the corpus. IndexedLayoutSpec asserts the
+  * executed scan read exactly the probed cells' files and that the
+  * result is row-identical to the same search over the unpartitioned
+  * frame.
+  */
+object IndexedLayout {
+
+  private def indexDir(outDir: String) = s"$outDir/_index/centroids"
+
+  /** Train (or accept) the quantizer, assign one cell per vector, write
+    * the cell-partitioned corpus + the pinned centroid table. Returns the
+    * number of cells written.
+    */
+  def write(spark: SparkSession, embeddings: DataFrame, outDir: String,
+      kCells: Int = 0, iters: Int = 2,
+      centroidsOverride: DataFrame = null): Int = {
+    import graft.functions.VectorIndex
+    val e = embeddings.select("vec_id", "embedding")
+    val sigs = VectorQueries.nrmFrame(e).localCheckpoint()
+    val centroids =
+      if (centroidsOverride != null) centroidsOverride
+      else {
+        val k = if (kCells > 0) kCells
+                else VectorQueries.ivfCellCount(e.count())
+        VectorIndex.kmeansCentroids(spark, sigs, k, iters)
+      }
+    // nprobe=1: posting-list membership is the single nearest cell
+    val assigned = VectorQueries.ivfAssign(sigs, centroids, nprobe = 1)
+    sigs.join(assigned.select("vec_id", "cell"), "vec_id")
+      .repartition(col("cell")) // one shuffle → one file per posting list here
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    centroids.write.mode("overwrite").parquet(indexDir(outDir))
+    centroids.count().toInt
+  }
+
+  /** The pinned quantizer of a written layout. */
+  def readCentroids(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(indexDir(outDir))
+
+  /** The (q_id, cell) probe set for a query frame (q_id, q_emb): each
+    * query's top-`nprobe` cells by centroid cosine. Deterministic in the
+    * centroid table (ties → lowest cell).
+    */
+  def probeCells(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val c = broadcast(centroids.withColumn("cn", l2Norm(col("centroid"))))
+    graft.plans.TopKPerKey(
+      queries.select(col("q_id"), col("q_emb"),
+          l2Norm(col("q_emb")).as("q_n"))
+        .crossJoin(c)
+        .withColumn("sim", cosineWithNorms(
+          col("q_emb").cast("array<double>"), col("centroid"),
+          col("q_n"), col("cn")))
+        .select(col("q_id"), col("cell"), col("sim")),
+      Seq(col("q_id")), Seq(col("sim").desc, col("cell").asc), nprobe)
+  }
+
+  /** Top-`k` cosine neighbors per query over the cell-partitioned layout,
+    * reading ONLY the probed cells' files. The scan is handed a STATIC
+    * cell list (collected from the bounded probe frame), so Spark prunes
+    * partition directories at planning time — the physical payoff of the
+    * layout. Per-query restriction then rides the (q_id, cell) join: a
+    * query only scores vectors in its own probed cells, exactly the
+    * logical IVF search.
+    */
+  def prunedTopK(spark: SparkSession, outDir: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = readCentroids(spark, outDir)
+    val probes = probeCells(queries, centroids, nprobe).localCheckpoint()
+    // bounded driver collect: |queries| · nprobe cells, the query side is
+    // broadcast-contract small (same class as the centroid table itself)
+    val cellSet = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.read.parquet(outDir)
+      .filter(col("cell").isin(cellSet.map(c => c: Any): _*))
+    val q = broadcast(queries
+      .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n"))
+      .join(probes, "q_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    q.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(cosineWithNorms(
+        col("q_emb").cast("array<double>"), col("embedding").cast("array<double>"),
+        col("q_n"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        graft.Canon.r4(col("cos_r")).as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The physical IVF layout's contract, end to end: writing the corpus
+  * cell-partitioned buys an ANN search that PRUNES DIRECTORIES at
+  * planning time — the executed scan reads exactly the probed cells'
+  * files — while returning the row-identical answer of the same IVF
+  * search over the unpartitioned frame. This is PartitionPruningSpec's
+  * proof shape applied to the vector index layout the VectorIndex /
+  * knnGraphIvf scaladocs assert for 100 TB.
+  */
+class IndexedLayoutSpec extends SparkSpec {
+
+  // 16 cells against 5 two-probe queries: the probe set cannot cover the
+  // layout, so the prune assertion has directories left to NOT read
+  private val (nc, np, kk) = (16, 2, 5)
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    IndexedLayout.write(spark,
+      graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding"),
+      d, kCells = nc)
+    d
+  }
+
+  private def queries = graft.Tables.embeddings(spark, sf001)
+    .filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  private def filesUnder(sub: String): Long = {
+    val f = new java.io.File(dir, sub)
+    if (!f.isDirectory) 0L
+    else f.listFiles().count(x => x.isFile && x.getName.endsWith(".parquet")).toLong
+  }
+
+  test("write lays the corpus out as one cell=... directory per posting list") {
+    val cellDirs = new java.io.File(dir).list().filter(_.startsWith("cell="))
+    assert(cellDirs.length > 1 && cellDirs.length <= nc)
+    // complete: every vector is in exactly one posting list
+    val n = graft.Tables.embeddings(spark, sf001).count()
+    assert(spark.read.parquet(dir).count() == n)
+    assert(spark.read.parquet(dir).select("vec_id").distinct().count() == n)
+  }
+
+  test("the pruned search reads exactly the probed cells' files") {
+    val centroids = IndexedLayout.readCentroids(spark, dir)
+    val probed = IndexedLayout.probeCells(queries, centroids, np)
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val allCells = new java.io.File(dir).list().filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toInt)
+    assert(probed.length < allCells.length,
+      s"fixture: probes ${probed.toSeq} must not cover all ${allCells.toSeq}")
+
+    val q = IndexedLayout.prunedTopK(spark, dir, queries, kk, np)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+
+    // the plan has two parquet scans (query side reads the unpartitioned
+    // table) and AQE wraps executed stages — descend through adaptive /
+    // query-stage shells to the LAYOUT's scan specifically
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      .getOrElse(fail("no FileSourceScanExec over the layout dir"))
+    // the partition filter is in the executed plan…
+    val pf = scan.partitionFilters.mkString(",")
+    assert(pf.contains("cell"), s"cell filter not in PartitionFilters: $pf")
+    // …and the runtime metric proves the prune: the scan read the probed
+    // cells' files and none of the other posting lists'
+    val probedFiles = probed.map(c => filesUnder(s"cell=$c")).sum
+    val allFiles = allCells.map(c => filesUnder(s"cell=$c")).sum
+    assert(probedFiles >= 1 && probedFiles < allFiles,
+      s"fixture: $probedFiles of $allFiles")
+    assert(scan.metrics("numFiles").value == probedFiles,
+      s"numFiles = ${scan.metrics("numFiles").value}, probed cells have $probedFiles")
+  }
+
+  test("pruned layout search ≡ the same IVF search over the unpartitioned frame") {
+    val centroids = IndexedLayout.readCentroids(spark, dir)
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val sigs = VectorQueries.nrmFrame(e)
+    val membership = VectorQueries.ivfAssign(sigs, centroids, nprobe = 1)
+    val probes = IndexedLayout.probeCells(queries, centroids, np)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val oracle = broadcast(queries
+        .select(col("q_id"), col("q_emb"),
+          graft.functions.VectorFunctions.l2Norm(col("q_emb")).as("q_n"))
+        .join(probes, "q_id"))
+      .join(sigs.join(membership, "vec_id"), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(graft.functions.VectorFunctions.cosineWithNorms(
+        col("q_emb").cast("array<double>"), col("embedding").cast("array<double>"),
+        col("q_n"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kk)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        graft.Canon.r4(col("cos_r")).as("cos"))
+    val got = IndexedLayout.prunedTopK(spark, dir, queries, kk, np)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val want = oracle.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+  }
+}
