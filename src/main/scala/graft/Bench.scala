@@ -24,6 +24,18 @@ object Bench {
     // spot); the driver never sets it, so recorded rounds are always full.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_PIPELINE_ONLY=1: skip the catalog, measure just the two
+    // sink modes (local iteration on the sink path); driver never sets it
+    if (sys.env.get("SPARK_GRAFT_PIPELINE_ONLY").contains("1")) {
+      val line = (1 to 3).map { i =>
+        val d = pipelineThroughput(spark, executorSide = false)
+        val x = pipelineThroughput(spark, executorSide = true)
+        s"""{"pass":$i,"driver_upserts_per_s":$d,"executor_upserts_per_s":$x}"""
+      }.mkString("\n")
+      println(line)
+      spark.stop(); println(line); System.out.flush()
+      return
+    }
     val qs = SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
     // Warmup: run the whole catalog once at the smallest sf before timing.
@@ -99,11 +111,12 @@ object Bench {
     val ups = if (only.isDefined) -1.0
       else (1 to pipelineIterations)
         .map(_ => pipelineThroughput(spark, executorSide = false)).max
-    // the 100 TB sink path (foreachPartition, per-partition sender) gets its
-    // own recorded number — one run; it exists to show the executor path
-    // clears the same gate, not to win a tie against the driver loop
+    // the 100 TB sink path (per-partition sender) gets the SAME best-of
+    // treatment as the driver loop — one sample per mode made the r8
+    // driver-vs-executor comparison a coin flip in a noisy window
     val upsExec = if (only.isDefined) -1.0
-      else pipelineThroughput(spark, executorSide = true)
+      else (1 to pipelineIterations)
+        .map(_ => pipelineThroughput(spark, executorSide = true)).max
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +

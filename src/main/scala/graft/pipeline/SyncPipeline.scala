@@ -232,18 +232,24 @@ object SyncPipeline {
           // cross-partition payload order is not defined — per-KEY order
           // still holds (a key lives in one state partition), which is the
           // invariant the idempotent downstream needs.
-          batch.persist()
-          try {
-            batch.foreachPartition { (it: Iterator[SyncAction]) =>
-              Payloads.deliver(sink, Payloads.fromActions(it.toSeq, maxBatch))
-            }
-            val byAction = batch.groupBy("action").count().collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
-            Metrics.global.inc("graft_upserts_total",
-              byAction.getOrElse(SyncAction.Upsert, 0L))
-            Metrics.global.inc("graft_deletes_total",
-              byAction.getOrElse(SyncAction.Delete, 0L))
-          } finally batch.unpersist()
+          // ONE job per epoch: each partition delivers its own payloads,
+          // then emits its (upserts, deletes) tally — collect() returns
+          // exactly one tally per SUCCESSFUL task, so a task retry (which
+          // redelivers to the idempotent downstream) still counts once.
+          // The previous shape (persist → foreachPartition → a second
+          // groupBy-count job → unpersist) paid a whole extra job + cache
+          // round-trip per 100 ms trigger just to tally what the delivery
+          // pass had already iterated.
+          import org.apache.spark.sql.Encoders
+          val tallies = batch.mapPartitions { it =>
+            val acts = it.toSeq
+            Payloads.deliver(sink, Payloads.fromActions(acts, maxBatch))
+            Iterator.single((
+              acts.count(_.action == SyncAction.Upsert).toLong,
+              acts.count(_.action == SyncAction.Delete).toLong))
+          }(Encoders.product[(Long, Long)]).collect()
+          Metrics.global.inc("graft_upserts_total", tallies.map(_._1).sum)
+          Metrics.global.inc("graft_deletes_total", tallies.map(_._2).sum)
         } else {
           val acts = batch.collect().toSeq // bounded: ≤ keys quiesced this tick
           Payloads.deliver(sink, Payloads.fromActions(acts, maxBatch))
