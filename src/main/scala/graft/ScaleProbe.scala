@@ -78,7 +78,7 @@ object ScaleProbe {
     // scaled corpus so the exponent/recall tradeoff is visible in one
     // artifact (round 8: radius-2 probing holds 0.955 here where radius 1
     // had silently decayed to 0.634)
-    val knnRecallX = {
+    val (knnRecallX, knnIvfRecallX) = {
       // the exact oracle is O(n·q) cross-scoring collected to the driver —
       // above OracleFullCeiling rows, sample ~1000 query vertices
       // deterministically (q_id % mod == 0) so the probe completes at high
@@ -86,18 +86,26 @@ object ScaleProbe {
       val OracleFullCeiling = 20000L
       val n = Tables.embeddings(spark, scaled).count()
       val mod = if (n <= OracleFullCeiling) 1L else math.max(1L, n / 1000L)
-      val approx = Recall.pairs(
-        SparkEntry.queries("q_sim_knn_graph")(spark, scaled).collect()
-          .filter(_.getLong(0) % mod == 0), 5)
       val exact = Recall.pairs(
         graft.queries.VectorQueries.bruteKnnGraph(spark, scaled, 5, mod)
           .collect(), 5)
-      math.rint(Recall.of(exact, approx) * 1000) / 1000
+      def recallOf(name: String): Double = {
+        val approx = Recall.pairs(
+          SparkEntry.queries(name)(spark, scaled).collect()
+            .filter(_.getLong(0) % mod == 0), 5)
+        math.rint(Recall.of(exact, approx) * 1000) / 1000
+      }
+      // BOTH graph builds' recall at scale, against one shared oracle:
+      // this pair is the evidence behind GraphAutoIvfThreshold staying at
+      // the bit clamp (r9: LSH 0.955 vs IVF 0.394 at ×5 — the 3×-cheaper
+      // IVF build does not hold the floor on this corpus's diffuse cells)
+      (recallOf("q_sim_knn_graph"), recallOf("q_sim_knn_graph_ivf"))
     }
     // which branch knnGraphAuto takes at each probed corpus: the crossover
-    // is corpus-size-driven (GraphAutoIvfThreshold = bit-clamp saturation),
-    // and the switched path's ×factor exponent is q_sim_knn_graph_ivf's
-    // entry above — recorded together so the handoff story is one artifact
+    // is corpus-size-driven (GraphAutoIvfThreshold = bit-clamp saturation,
+    // recall-first — see its scaladoc), and both branches' ×factor
+    // exponents and recalls are recorded above so the handoff story is
+    // one artifact
     val autoJson = {
       def path(n: Long) =
         if (n > graft.queries.VectorQueries.GraphAutoIvfThreshold) "ivf" else "lsh"
@@ -108,7 +116,8 @@ object ScaleProbe {
         s""""switched_exponent_source":"q_sim_knn_graph_ivf"}"""
     }
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
-      s""""knn_recall_x$factor":$knnRecallX,$autoJson,""" +
+      s""""knn_recall_x$factor":$knnRecallX,""" +
+      s""""knn_ivf_recall_x$factor":$knnIvfRecallX,$autoJson,""" +
       s""""stat":"min","queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_scale.json"), (json + "\n").getBytes("UTF-8"))

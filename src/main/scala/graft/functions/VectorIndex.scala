@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * corpus is partitioned/bucketed by cell.
   *
   * Lloyd's algorithm, Spark-shaped and deterministic:
-  *   - init: the first k vectors by vec_id (no RNG)
+  *   - init: the k smallest vectors by (xxhash64(vec_id), vec_id) — a
+  *     deterministic pseudo-random spread across the corpus (no RNG)
   *   - assign: broadcast the k centroids, one pass over the corpus taking
   *     the max-cosine cell (ties → lowest cell id)
   *   - update: per-cell mean via posexplode + groupBy(cell, dim) — a partial
@@ -53,17 +54,65 @@ object VectorIndex {
     val dim = embeddings.select(size(col("embedding"))).take(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
     requireDriverBudget("IVF centroid table", k.toLong * dim, maxDriverEntries)
-    // number the k seeds on the driver: they're already a bounded collect
-    // (k·dim doubles, the same budget as the per-iteration centroid
-    // refresh below) — an unpartitioned row_number window here would move
-    // the k rows to one task AND spam "No Partition Defined for Window"
-    // over every bench/test run
-    val seeds = embeddings
-      .orderBy("vec_id").limit(k)
+    // SEEDING (deterministic, two defenses — both failure modes measured):
+    //   1. SPREAD: the candidate pool is the 4k smallest vectors by
+    //      (xxhash64(vec_id), vec_id) — a deterministic pseudo-random
+    //      sample of the WHOLE corpus, still a TakeOrdered (per-partition
+    //      top-k, no full sort). First-k-by-id seeding degrades whenever
+    //      id order correlates with content locality (at 100 TB the
+    //      lowest ids are one ingest shard): on the ×5 ScaleProbe corpus —
+    //      five id-contiguous replica populations — first-k seeds all
+    //      landed in replica 0 and the Lloyd passes could not recover,
+    //      collapsing IVF graph recall to 0.392.
+    //   2. SEPARATION: greedy farthest-point (k-center) selection over the
+    //      pool by cosine distance — plain hash-order seeding puts two
+    //      seeds in one cluster at small k (the classic k-means bad-init),
+    //      which Lloyd's empty-cell-keeps-centroid rule then can't split.
+    //      O(pool·k·dim) driver arithmetic on the budget-bounded pool.
+    // The pool collect is the same k·dim budget class as the per-iteration
+    // centroid refresh below (≤4× it, capped against the entry budget);
+    // an unpartitioned row_number window instead would move the rows to
+    // one task AND spam "No Partition Defined for Window" everywhere.
+    val poolN = math.min(math.max(k * 4, 64),
+      math.max(k, (maxDriverEntries / math.max(dim, 1)).toInt))
+    val pool = embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(poolN)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      1.0 - (if (d == 0) 0.0 else dot / d)
+    }
+    val seeds = if (pool.isEmpty) Array.empty[(Long, Array[Double])] else {
+      val nSeeds = math.min(k, pool.length)
+      val taken = new Array[Boolean](pool.length)
+      val minD = Array.fill(pool.length)(Double.MaxValue)
+      val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+      taken(0) = true
+      while (chosen.length < nSeeds) {
+        val last = chosen.last._2
+        var bestI = -1; var bestD = -1.0
+        var i = 0
+        while (i < pool.length) {
+          if (!taken(i)) {
+            val d = math.min(minD(i), cosDist(pool(i)._2, last))
+            minD(i) = d
+            if (d > bestD) { bestD = d; bestI = i } // first max wins: pool is
+            i += 1                                  // vec_id-sorted, so ties
+          } else i += 1                             // break deterministically
+        }
+        taken(bestI) = true
+        chosen += pool(bestI)
+      }
+      chosen.toArray
+    }
     var centroids = seeds.sortBy(_._1).zipWithIndex
-      .map { case ((_, v), cell) => (cell, v) }.toSeq
+      .map { case ((_, v), cell) => (cell, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
     (0 until iters).foreach { _ =>
       val assigned = assignCells(embeddings, centroids)

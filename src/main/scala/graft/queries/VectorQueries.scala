@@ -155,9 +155,25 @@ object VectorQueries {
 
   /** Corpus size at which [[adaptiveBits]] saturates its 16-bit clamp
     * (ceil(log2(n/64)) >= 16 ⟺ n > 64·2^15): beyond it the LSH build has
-    * no bit-width knob left — buckets grow with n and the self-join cost
-    * turns superlinear (the measured ×5 exponent 0.9 is the ONSET of that
-    * price), so the bounded-candidates IVF build takes over.
+    * no knob left, so the IVF build takes over. The constant is a
+    * RECALL-FIRST decision, measured both ways on the ×5 ScaleProbe
+    * corpus (n=10,000, diffuse clusters — best centroid cosine ~0.2):
+    *   - COST says switch early: past the Hamming-radius-2 probe onset
+    *     (n > 4,096) the LSH build turns superlinear (×5 exponent 1.42,
+    *     23.2 s) while IVF stays bounded (0.45, 8.0 s — 3× cheaper);
+    *   - RECALL says don't: at that scale the IVF graph held only 0.394
+    *     recall@5 (nprobe·cellSize candidates are near-arbitrary when the
+    *     quantizer carries this little signal — and the touched fraction
+    *     nprobe/kCells shrinks as cells track n/64), where the LSH build's
+    *     radius-widening held 0.955 — hyperplane collisions correlate with
+    *     cosine directly, which is the guarantee mean-centroid cells lack
+    *     on diffuse data. Both numbers are recorded per run in
+    *     BENCH_scale (knn_recall_x5 / knn_ivf_recall_x5).
+    * A 3×-cheaper build at 0.394 recall is not a crossover, it's a
+    * different (wrong) answer — so the auto build keeps paying the LSH
+    * price while any bit-width headroom remains, and hands off only at
+    * the clamp, where the choice is IVF-with-a-recall-knob (crank nprobe)
+    * versus LSH-with-no-knob-at-all.
     */
   private[graft] val GraphAutoIvfThreshold: Long = 64L << 15
 
@@ -288,20 +304,24 @@ object VectorQueries {
     * quantizer (deterministic k-means, VectorIndex), assign cells, then
     * top-`k` neighbors within each query's `nprobe` NEAREST cells. Queries
     * are corpus members selected by `qPred` (small by contract — they ride
-    * a broadcast). Two probe refinements over the plain nprobe=1 form
-    * (measured recall@3 0.80 at sf0.1, vs the ≥0.9 QualityChecksSpec
-    * floor):
-    *   - MULTI-PROBE: the 2nd-nearest cell catches boundary-straddling
-    *     neighbors for 2/k more corpus touched (the fraction shrinks as
-    *     k grows with corpus size);
+    * a broadcast). Three refinements over the plain nprobe=1 form, all
+    * measured in the IvfConfProbe sweep against the ≥0.9 QualityChecksSpec
+    * floor:
+    *   - MULTI-PROBE: each further-ranked cell catches boundary-straddling
+    *     neighbors for 1/kCells more corpus touched (the fraction shrinks
+    *     as kCells grows with corpus size);
     *   - CONFIDENCE FALLBACK: a query whose BEST centroid cosine is under
-    *     0.5 has no cluster affinity (measured: clustered queries score
-    *     ~0.85 to their cell and ~0.05 to the rest; noise queries top out
-    *     ~0.15 with a flat tail — their true neighbors scatter across
-    *     cells ranked 3rd..7th, where no affordable fixed nprobe reaches).
-    *     For those the quantizer carries no signal, so the query degrades
-    *     to an exact scan — the classic ANN escape hatch, and the
-    *     alternative is silently wrong neighbors.
+    *     0.1 is essentially ORTHOGONAL to every centroid — the quantizer
+    *     carries no signal for it, so it degrades to an exact scan (the
+    *     classic ANN escape hatch; the alternative is silently wrong
+    *     neighbors). The floor is a measured constant (IvfConfProbe):
+    *     real corpus members score best 0.07–0.35 against the
+    *     k-center-seeded MEAN centroids while genuinely orthogonal noise
+    *     scores ~0.0, so 0.1 splits the populations. (The floor was 0.5
+    *     when seeds were the first k vectors by id: the catalog queries
+    *     WERE the seeds, so "affinity" measured seed identity — ~0.85 —
+    *     not cluster structure; k-center seeding removed that artifact,
+    *     and the floor now means orthogonality, not cluster tightness.)
     * FALLBACK CAP (VERDICT r8 item 6): the escape hatch is per-query, so
     * an adversarially noise-heavy batch would silently degrade the whole
     * run to brute force — at 100 TB that's the difference between reading
@@ -311,27 +331,38 @@ object VectorQueries {
     * `spark.graft.ivf.maxFallbackFrac` (default 0.25) — the caller chooses
     * between raising the cap knowingly or routing the batch to the exact
     * path deliberately; nothing degrades silently.
-    * Corpus vectors keep exactly ONE cell, so (q_id, vec_id) candidates
-    * stay unique without a dedup. One Lloyd pass: the deterministic by-id
-    * seeds land near the true label clusters, so the second pass bought no
-    * recall (RecallProbe: identical at sf0.1, higher at sf0.001) while
-    * costing an assign+update job chain — multi-probe + the fallback do
+    * SPILLED POSTINGS (`assign` > 1): each corpus vector is posted to its
+    * top-`assign` cells, so a boundary-straddling pair is reachable from
+    * EITHER side's home cell — the complement of query-side multi-probe,
+    * at `assign`× posting storage. On this corpus — genuinely diffuse
+    * clusters, best centroid cosine 0.07–0.35 — query-side probing alone
+    * needs to touch 63–75 % of the corpus for 0.9 recall@3 (IvfConfProbe
+    * sweep: 0.767 at nprobe/kCells = 4/8, 0.867 at 5/8), while
+    * (kCells=16, nprobe=4, assign=3) reaches 0.933 with a candidate
+    * volume bounded by nprobe·assign/kCells ≤ 0.75 BEFORE dedup — and the
+    * fraction shrinks as kCells grows with the corpus. Candidates dedup
+    * on (q_id, vec_id) before scoring, so a pair sharing several cells
+    * scores once. One Lloyd pass from the k-center seeds (IvfConfProbe: a
+    * second pass moves the affinity distribution by ≲0.03 and bought no
+    * recall in the sweep) — probes + spilled postings + the fallback do
     * the recall work, not quantizer polish.
     */
   private[queries] def ivfTopK(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame,
       qPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
       kCells: Int = 8,
-      maxFallbackFrac: Double = -1.0): org.apache.spark.sql.DataFrame = {
+      maxFallbackFrac: Double = -1.0,
+      iters: Int = 1,
+      assign: Int = 1): org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorIndex
-    val ConfFloor = 0.5
+    val ConfFloor = 0.1
     val cap =
       if (maxFallbackFrac >= 0) maxFallbackFrac
       else s.conf.get("spark.graft.ivf.maxFallbackFrac", "0.25").toDouble
-    val centroids = VectorIndex.kmeansCentroids(s, e, k = kCells, iters = 1)
-    val cells = VectorIndex.assignCells(e, centroids)
-      .withColumn("nrm", l2Norm(col("embedding")))
-    val qScored = cells.filter(qPred)
+    val sigs = nrmFrame(e)
+    val centroids = VectorIndex.kmeansCentroids(s, sigs, k = kCells, iters = iters)
+    val cells = ivfAssign(sigs, centroids, assign).select("vec_id", "cell")
+    val qScored = sigs.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_n"))
       .crossJoin(broadcast(centroids))
@@ -353,9 +384,19 @@ object VectorQueries {
       .withColumn("crnk", row_number().over(wProbe))
       .filter(col("crnk") <= nprobe || col("best") < ConfFloor)
       .select("q_id", "q_emb", "q_n", "cell")
+    // candidate ids first, deduped (spilled postings make (q, vec) pairs
+    // reachable through several shared cells); embeddings fetched after,
+    // so each pair is scored exactly once
+    val cand = broadcast(q.select("q_id", "cell"))
+      .join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+      .distinct()
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
-    broadcast(q).join(cells, Seq("cell")).filter(col("q_id") =!= col("vec_id"))
+    cand
+      .join(sigs, "vec_id")
+      .join(broadcast(q.select("q_id", "q_emb", "q_n").distinct()), "q_id")
       .withColumn("cos_r", round(
         cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
       .withColumn("rnk", row_number().over(w))
@@ -526,8 +567,15 @@ object VectorQueries {
         // fallback, and the loud fallback-fraction cap). Rows-only check:
         // parallel float averaging in the centroid update is not
         // bit-reproducible in SQL; recall floor in QualityChecksSpec.
+        // (kCells=16, nprobe=4, assign=3): this corpus's clusters are
+        // DIFFUSE relative to any coarse quantizer (IvfConfProbe: best
+        // centroid cosine 0.07-0.35), so the floor needs BOTH query-side
+        // probes and spilled postings — the sweep measured 0.60 at the old
+        // (8, 2, 1), 0.767 at (8, 4, 1), 0.933 here. The touched fraction
+        // nprobe·assign/kCells is the tuning dial at 100 TB, where kCells
+        // grows with the corpus and tighter clusters push it back down.
         ivfTopK(s, Tables.embeddings(s, dir).select("vec_id", "embedding"),
-          col("vec_id") < 10, k = 3, nprobe = 2),
+          col("vec_id") < 10, k = 3, nprobe = 4, kCells = 16, assign = 3),
       None),
 
     GQuery(
@@ -656,16 +704,17 @@ object VectorQueries {
         // fundamentally charges n^(1+ρ) for — as adaptiveBits rises past
         // Radius2Bits the probe radius widens to Hamming-2 (probesOf),
         // which is what keeps recall at 0.955 on the ×5 corpus where
-        // radius 1 had decayed to 0.634; the measured exponent (~1.2 at
-        // ×5 locally) is the price of that floor, not an accident. Past
-        // the 16-bit clamp the right structure is the IVF-partitioned
-        // build (bounded cells × nprobe keeps candidates/vector O(1) with
-        // recall set by nprobe) — and that crossover is CODE, not prose:
-        // knnGraphAuto switches builds at GraphAutoIvfThreshold, the n
-        // where the bit clamp saturates (KnnGraphAutoSpec pins both
-        // branches to row-identity with the chosen side's build). At every
-        // testable sf this resolves to the LSH branch, so the catalog row
-        // is unchanged below the threshold by construction.
+        // radius 1 had decayed to 0.634; the measured exponent (1.42 at
+        // ×5) is the price of that floor, not an accident — and a price
+        // worth paying: the IVF build is 3× cheaper there but held only
+        // 0.394 recall on the same corpus (GraphAutoIvfThreshold's
+        // scaladoc has the full two-sided measurement). The crossover is
+        // CODE, not prose: knnGraphAuto hands off to IVF at the threshold
+        // (bit-clamp saturation — where LSH has no knob left), with both
+        // branches pinned row-identical to the chosen side's build in
+        // KnnGraphAutoSpec. At every testable sf this resolves to the LSH
+        // branch, so the catalog row is unchanged below the threshold by
+        // construction.
         knnGraphAuto(s, dir, k = 5, tables = 6, nprobe = 3)
       },
       None),

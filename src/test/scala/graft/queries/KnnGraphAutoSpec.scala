@@ -3,10 +3,15 @@ package graft.queries
 import graft.SparkSpec
 
 /** The LSH→IVF graph-build crossover (VERDICT r8 item 3): knnGraphAuto must
-  * (a) switch exactly where the adaptive bit width saturates its clamp, and
-  * (b) be row-identical to the side it picks — each side's recall ≥ 0.9
-  * floor is already pinned by KnnGraphSpec / KnnGraphIvfSpec, so identity
-  * here inherits those floors on both branches.
+  * (a) switch exactly where the adaptive bit width saturates its clamp —
+  * NOT earlier at the radius-2 cost crossover, because the crossover
+  * constant is recall-first: at ×5 the IVF build is 3× cheaper (8.0 s vs
+  * 23.2 s) but held only 0.394 recall@5 where LSH's radius widening held
+  * 0.955 (BENCH_scale knn_ivf_recall_x5 / knn_recall_x5; the threshold's
+  * scaladoc carries the full two-sided measurement) — and (b) be
+  * row-identical to the side it picks; each side's recall ≥ 0.9 floor at
+  * spec scale is already pinned by KnnGraphSpec / KnnGraphIvfSpec, so
+  * identity here inherits those floors on both branches.
   */
 class KnnGraphAutoSpec extends SparkSpec {
 
