@@ -132,6 +132,25 @@ object KnnGraphBuild {
   def readCentroids(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(centroidsPath(stateDir(outDir)))
 
+  /** The persisted-build face of [[VectorQueries.knnGraphAuto]]'s
+    * crossover: LSH while the adaptive bit width has headroom, IVF past
+    * the clamp (recall-first constant — GraphAutoIvfThreshold's scaladoc
+    * has the two-sided measurement). The chosen method is pinned in the
+    * state's meta, so subsequent deltas route through the matching
+    * delta()/deltaIvf() — the method guards make a mismatch loud.
+    * Returns the directed edge count, like both underlying builds.
+    */
+  def buildAuto(spark: SparkSession, embeddings: DataFrame, outDir: String,
+      k: Int = 5, tables: Int = 6, nprobe: Int = 3,
+      thresholdOverride: Long = 0L): Long = {
+    val threshold =
+      if (thresholdOverride > 0) thresholdOverride
+      else VectorQueries.GraphAutoIvfThreshold
+    val e = embeddings.select("vec_id", "embedding")
+    if (e.count() > threshold) buildIvf(spark, e, outDir, k, nprobe)
+    else build(spark, e, outDir, k, tables)
+  }
+
   /** IVF incremental build: absorb `newVecs` under the STORED quantizer —
     * no old-old re-scoring, no retraining. New-vs-new candidates pair
     * within shared cells among the delta's assignments; new-vs-old from

@@ -85,6 +85,30 @@ class KnnGraphBuildIvfSpec extends SparkSpec {
     KnnGraphBuild.deltaIvf(spark, e.limit(0), out) // no-op, not an error
   }
 
+  test("buildAuto picks the side of the threshold and pins its method") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
+    val low = e.filter(col("vec_id") <= mid)
+    val high = e.filter(col("vec_id") > mid)
+
+    // below the threshold: LSH state — deltaIvf must refuse it
+    val lshOut = java.nio.file.Files.createTempDirectory("knnauto_lsh").toString
+    KnnGraphBuild.buildAuto(spark, low, lshOut, kk)
+    KnnGraphBuild.delta(spark, high, lshOut)
+    assert(intercept[IllegalArgumentException] {
+      KnnGraphBuild.deltaIvf(spark, e.limit(0), lshOut)
+    }.getMessage.contains("method=lsh"))
+
+    // a forced threshold below the corpus: IVF state — delta must refuse
+    val ivfOut = java.nio.file.Files.createTempDirectory("knnauto_ivf").toString
+    KnnGraphBuild.buildAuto(spark, low, ivfOut, kk, nprobe = np,
+      thresholdOverride = 1L)
+    KnnGraphBuild.deltaIvf(spark, high, ivfOut)
+    assert(intercept[IllegalArgumentException] {
+      KnnGraphBuild.delta(spark, e.limit(0), ivfOut)
+    }.getMessage.contains("method=ivf"))
+  }
+
   test("vacuum works on an IVF state and keeps live assignment shards") {
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val mid = e.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
