@@ -46,9 +46,10 @@ object IndexedLayout {
     val centroids =
       if (centroidsOverride != null) centroidsOverride
       else {
-        val k = if (kCells > 0) kCells
-                else VectorQueries.ivfCellCount(e.count())
-        VectorIndex.kmeansCentroids(spark, sigs, k, iters)
+        val n = e.count()
+        val k = if (kCells > 0) kCells else VectorQueries.ivfCellCount(n)
+        VectorIndex.kmeansCentroids(spark,
+          VectorQueries.trainFrame(sigs, n, k), k, iters)
       }
     // nprobe=1: posting-list membership is the single nearest cell
     val assigned = VectorQueries.ivfAssign(sigs, centroids, nprobe = 1)

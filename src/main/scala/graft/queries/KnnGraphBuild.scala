@@ -100,16 +100,20 @@ object KnnGraphBuild {
     */
   def buildIvf(spark: SparkSession, embeddings: DataFrame, outDir: String,
       k: Int = 5, nprobe: Int = 3, cellsOverride: Int = 0,
-      centroidsOverride: DataFrame = null): Long = {
+      centroidsOverride: DataFrame = null,
+      trainCapPerCell: Long = 256L): Long = {
     val e = embeddings.select("vec_id", "embedding")
     val sigs = VectorQueries.nrmFrame(e).localCheckpoint()
     val centroids =
       if (centroidsOverride != null) centroidsOverride
       else {
+        val n = e.count()
         val cells =
           if (cellsOverride > 0) cellsOverride
-          else VectorQueries.ivfCellCount(e.count())
-        graft.functions.VectorIndex.kmeansCentroids(spark, sigs, cells, iters = 2)
+          else VectorQueries.ivfCellCount(n)
+        graft.functions.VectorIndex.kmeansCentroids(spark,
+          VectorQueries.trainFrame(sigs, n, cells, trainCapPerCell),
+          cells, iters = 2)
       }
     val assign = VectorQueries.ivfAssign(sigs, centroids, nprobe).localCheckpoint()
     val edges = VectorQueries.topKEdges(

@@ -209,12 +209,15 @@ object VectorQueries {
     * (seeded k-means init, ties → lowest cell/id).
     */
   def knnGraphIvf(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int, nprobe: Int, nHint: Long = -1L): org.apache.spark.sql.DataFrame = {
+      k: Int, nprobe: Int, nHint: Long = -1L,
+      trainCapPerCell: Long = 256L): org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorIndex
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = if (nHint >= 0) nHint else e.count()
+    val cells = ivfCellCount(n)
     val sigs = nrmFrame(e).localCheckpoint()
-    val centroids = VectorIndex.kmeansCentroids(s, sigs, ivfCellCount(n), iters = 2)
+    val centroids = VectorIndex.kmeansCentroids(s,
+      trainFrame(sigs, n, cells, trainCapPerCell), cells, iters = 2)
     val assign = ivfAssign(sigs, centroids, nprobe)
     rankGraph(topKEdges(scorePairs(ivfCellCandidates(assign), sigs, sigs), k))
   }
@@ -232,6 +235,25 @@ object VectorQueries {
     */
   private[graft] def nrmFrame(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     e.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+
+  /** Quantizer TRAINING input: the whole frame while it is small, a
+    * hash-spread sample of `256·cells` vectors beyond that — the
+    * VectorIndex training contract ("the training input must be an
+    * explicit sample") made real at the call sites instead of left to
+    * prose. Lloyd's cost is then O(sample·iters) independent of n; only
+    * the single ASSIGN pass still touches the full corpus. The sample is
+    * the same deterministic TakeOrdered-by-xxhash64 spread the seeding
+    * uses (per-partition top-k, no full sort), so it cannot collapse onto
+    * one id-contiguous shard. 256·cells keeps ≥256 training vectors per
+    * centroid (4× the ~64 target cell size); at every driver-tested sf
+    * the corpus is under the cap, so this is the identity there.
+    */
+  private[graft] def trainFrame(sigs: org.apache.spark.sql.DataFrame,
+      n: Long, cells: Int, capPerCell: Long = 256L): org.apache.spark.sql.DataFrame = {
+    val cap = capPerCell * cells
+    if (n <= cap) sigs
+    else sigs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap.toInt)
+  }
 
   /** Top-`nprobe` cells per vector by centroid cosine (ties → lowest cell),
     * via the bounded-heap TopKPerKey — one (vec_id, cell) row per
@@ -360,7 +382,8 @@ object VectorQueries {
       if (maxFallbackFrac >= 0) maxFallbackFrac
       else s.conf.get("spark.graft.ivf.maxFallbackFrac", "0.25").toDouble
     val sigs = nrmFrame(e)
-    val centroids = VectorIndex.kmeansCentroids(s, sigs, k = kCells, iters = iters)
+    val centroids = VectorIndex.kmeansCentroids(s,
+      trainFrame(sigs, sigs.count(), kCells), k = kCells, iters = iters)
     val cells = ivfAssign(sigs, centroids, assign).select("vec_id", "cell")
     val qScored = sigs.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

@@ -22,6 +22,21 @@ class KnnGraphIvfSpec extends SparkSpec {
     assert(recall >= 0.9, f"ivf knn-graph recall $recall%.3f below 0.9")
   }
 
+  test("sample-trained quantizer (forced cap) still clears the recall floor") {
+    // at 100 TB the quantizer trains on a hash-spread sample, never the
+    // corpus (trainFrame) — every driver-tested sf sits under the default
+    // cap, so force it here: 16 vectors/cell over sf0.001's 7 cells = a
+    // 112-vector training sample for a 500-vector corpus
+    val g = VectorQueries.knnGraphIvf(spark, sf001, k = 5, nprobe = 3,
+      trainCapPerCell = 16L)
+    val approx = graft.Recall.pairs(g.collect(), 5)
+    val exact = graft.Recall.pairs(
+      VectorQueries.bruteKnnGraph(spark, sf001, 5).collect(), 5)
+    val recall = graft.Recall.of(exact, approx)
+    info(f"sample-trained ivf graph recall@5 = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
   test("well-formed directed graph: ranked neighbors per vector, no self edges") {
     val byQ = got.groupBy(_.getLong(0))
     assert(byQ.nonEmpty)
