@@ -113,7 +113,7 @@ object KnnGraphBuild {
           else VectorQueries.ivfCellCount(n)
         graft.functions.VectorIndex.kmeansCentroids(spark,
           VectorQueries.trainFrame(sigs, n, cells, trainCapPerCell),
-          cells, iters = 2)
+          cells, iters = 1) // matches knnGraphIvf (spec-pinned identity)
       }
     val assign = VectorQueries.ivfAssign(sigs, centroids, nprobe).localCheckpoint()
     val edges = VectorQueries.topKEdges(
