@@ -64,6 +64,34 @@ object IndexedLayout {
   def readCentroids(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(indexDir(outDir))
 
+  /** Append a delta under the PINNED quantizer — the layout's steady-state
+    * write path at 100 TB (VectorSync upserts landing as new posting-list
+    * files): each new vector is assigned its single nearest cell against
+    * the STORED centroids (never retrained — the same FAISS add()
+    * contract as KnnGraphBuild.deltaIvf) and written with dynamic
+    * partition append, so only the touched cells gain a file and every
+    * existing file is untouched. Enforces the append-only id contract
+    * loudly; a no-op on an empty delta. Returns rows appended.
+    */
+  def append(spark: SparkSession, newVecs: DataFrame, outDir: String): Long = {
+    val sigs = VectorQueries.nrmFrame(newVecs.select("vec_id", "embedding"))
+      .localCheckpoint()
+    val minRow = sigs.agg(org.apache.spark.sql.functions.min("vec_id")).head
+    if (minRow.isNullAt(0)) return 0L
+    val maxStored = spark.read.parquet(outDir)
+      .agg(org.apache.spark.sql.functions.max("vec_id")).head.getLong(0)
+    require(minRow.getLong(0) > maxStored,
+      s"append vec_ids must sort after every id in the layout " +
+        s"(append-only contract): new min ${minRow.getLong(0)} <= stored " +
+        s"max $maxStored")
+    val assigned = VectorQueries.ivfAssign(
+      sigs, readCentroids(spark, outDir), nprobe = 1)
+    sigs.join(assigned.select("vec_id", "cell"), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(outDir)
+    sigs.count()
+  }
+
   /** The (q_id, cell) probe set for a query frame (q_id, q_emb): each
     * query's top-`nprobe` cells by centroid cosine. Deterministic in the
     * centroid table (ties → lowest cell).

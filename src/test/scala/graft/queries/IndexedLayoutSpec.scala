@@ -88,6 +88,37 @@ class IndexedLayoutSpec extends SparkSpec {
       s"numFiles = ${scan.metrics("numFiles").value}, probed cells have $probedFiles")
   }
 
+  test("append lands a delta in its cells; search over the grown layout is exact") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
+    val d = java.nio.file.Files.createTempDirectory("ivf_layout_app").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    IndexedLayout.write(spark, e.filter(col("vec_id") <= mid), d, kCells = nc)
+    val appended = IndexedLayout.append(spark, e.filter(col("vec_id") > mid), d)
+    assert(appended > 0)
+    // complete and duplicate-free after the append
+    assert(spark.read.parquet(d).count() == e.count())
+    assert(spark.read.parquet(d).select("vec_id").distinct().count() == e.count())
+    // the grown layout answers exactly like a from-scratch layout under
+    // the SAME pinned quantizer (append never retrains)
+    val d2 = java.nio.file.Files.createTempDirectory("ivf_layout_full").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d2)))
+    IndexedLayout.write(spark, e, d2,
+      centroidsOverride = IndexedLayout.readCentroids(spark, d))
+    val got = IndexedLayout.prunedTopK(spark, d, queries, kk, np)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val want = IndexedLayout.prunedTopK(spark, d2, queries, kk, np)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+    // contract guards: out-of-order ids are loud, empty deltas are no-ops
+    assert(intercept[IllegalArgumentException] {
+      IndexedLayout.append(spark, e.limit(10), d)
+    }.getMessage.contains("append-only"))
+    assert(IndexedLayout.append(spark, e.limit(0), d) == 0L)
+  }
+
   test("pruned layout search ≡ the same IVF search over the unpartitioned frame") {
     val centroids = IndexedLayout.readCentroids(spark, dir)
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
