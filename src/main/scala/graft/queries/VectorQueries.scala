@@ -540,6 +540,38 @@ object VectorQueries {
               FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
     GQuery(
+      "q_sim_range",
+      (s, dir) => {
+        // RANGE search (FAISS range_search): every neighbor within a
+        // similarity radius, not a fixed k — the vector-DB query shape for
+        // "all near-duplicates of X" where the neighbor count is unknown
+        // a priori. Same scale shape as the brute top-k (broadcast query
+        // side, ONE streaming corpus pass) but with no per-query ranking
+        // state at all: the radius predicate filters inside the scan
+        // pass, output size is bounded by selectivity, and no window/sort
+        // touches corpus-sized data — at 100 TB this is a map-only job
+        // plus the output sort. Raw-cosine threshold (not the rounded
+        // value), matching q_dedup_embcos's boundary discipline.
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
+        val q = broadcast(
+          e.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_n")))
+        q.join(e, col("q_id") =!= col("vec_id"))
+          .withColumn("c", cosineWithNorms(
+            col("q_emb"), col("embedding"), col("q_n"), col("nrm")))
+          .filter(col("c") >= 0.3)
+          .select(col("q_id"), col("vec_id"), r4(col("c")).as("cos"))
+          .orderBy("q_id", "vec_id")
+      },
+      Some(s"""SELECT q.vec_id AS q_id, c.vec_id,
+              round(${duckCos("q.embedding", "c.embedding")}, 4) AS cos
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10
+                AND ${duckCos("q.embedding", "c.embedding")} >= 0.3
+              ORDER BY q_id, c.vec_id""")),
+
+    GQuery(
       "q_sim_topk_lsh",
       (s, dir) => {
         // Multi-table hyperplane LSH (rows-only check: the md5-derived
