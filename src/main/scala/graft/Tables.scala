@@ -64,12 +64,25 @@ object Tables {
       val conf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(p)
       val fs = root.getFileSystem(conf)
+      // RECURSIVE file walk: a Hive-partitioned or otherwise nested events
+      // layout keeps its data files a directory level (or more) down — a
+      // top-level-only listing would find nothing, silently answer "not
+      // nanos", and hand a nanos footer to the plain read, which then
+      // fails inference with no recovery path
+      def firstDataFile(dir: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+        val it = fs.listFiles(dir, true)
+        var found: Option[org.apache.hadoop.fs.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val q = it.next().getPath
+          val n = q.getName
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            found = Some(q)
+        }
+        found
+      }
       val dataFile =
         if (fs.getFileStatus(root).isFile) Some(root)
-        else fs.listStatus(root).map(_.getPath).find { q =>
-          val n = q.getName
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }
+        else firstDataFile(root)
       dataFile.exists { f =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try {

@@ -173,16 +173,26 @@ object SyncPipeline {
           "resync rebuilds downstream state) or run the matching build")
     } else {
       fs.mkdirs(base)
-      // atomic create (overwrite = false): two drivers racing the first
-      // start must not both think they stamped — the loser of the create
-      // race re-enters the check path and verifies the winner's stamp
-      try {
-        val out = fs.create(p, false)
-        try out.write(s"$StateVersion\n".getBytes("UTF-8"))
-        finally out.close()
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          stampStateVersion(spark, dir)
+      // WRITE-TEMP-THEN-RENAME, not create-in-place: a bare create(p,
+      // false) makes the path visible BEFORE the bytes land, so a racing
+      // loser could read the winner's still-empty stamp and fail a
+      // spurious version check. The rename makes the complete file appear
+      // atomically; losing the rename race (dest exists / rename refused)
+      // routes through the check path against a file that is guaranteed
+      // whole. This also covers filesystems that signal an existing file
+      // with a plain IOException instead of FileAlreadyExistsException —
+      // there is no create(p, false) on the final path at all.
+      val tmp = new Path(base,
+        s".${StateVersionFile}.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(s"$StateVersion\n".getBytes("UTF-8"))
+      finally out.close()
+      val won =
+        try !fs.exists(p) && fs.rename(tmp, p)
+        catch { case _: java.io.IOException => false }
+      if (!won) {
+        fs.delete(tmp, false)
+        stampStateVersion(spark, dir) // verify whoever won
       }
     }
   }

@@ -33,6 +33,41 @@ object IndexedLayout {
 
   private def indexDir(outDir: String) = s"$outDir/_index/centroids"
 
+  private def metaDir(outDir: String) = s"$outDir/_index/meta"
+
+  /** Same commit-point discipline as KnnGraphBuild: the marker file, not
+    * parquet's committer-dependent `_SUCCESS`, flips an epoch live.
+    */
+  private val CommitMarker = "_graft_committed"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeMeta(spark: SparkSession, outDir: String,
+      epoch: Int, maxVecId: Long): Unit = {
+    import spark.implicits._
+    val p = s"${metaDir(outDir)}/e$epoch"
+    Seq((epoch, maxVecId)).toDF("epoch", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val marker = new org.apache.hadoop.fs.Path(p, CommitMarker)
+    fsOf(spark, p).create(marker, true).close()
+  }
+
+  /** (epoch, high-water vec_id) of the newest COMMITTED epoch. */
+  private def readMeta(spark: SparkSession, outDir: String): (Int, Long) = {
+    val md = new org.apache.hadoop.fs.Path(metaDir(outDir))
+    val fs = fsOf(spark, metaDir(outDir))
+    require(fs.exists(md), s"no layout meta under $md — run write() first")
+    val epochs = fs.listStatus(md).map(_.getPath)
+      .filter(p => p.getName.startsWith("e") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+      .map(_.getName.drop(1).toInt)
+    require(epochs.nonEmpty, s"no committed epoch under $md")
+    val e = epochs.max
+    (e, spark.read.parquet(s"${metaDir(outDir)}/e$e").head.getAs[Long]("max_vec_id"))
+  }
+
   /** Train (or accept) the quantizer, assign one cell per vector, write
     * the cell-partitioned corpus + the pinned centroid table. Returns the
     * number of cells written.
@@ -57,6 +92,9 @@ object IndexedLayout {
       .repartition(col("cell")) // one shuffle → one file per posting list here
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
     centroids.write.mode("overwrite").parquet(indexDir(outDir))
+    val maxRow = sigs.agg(max("vec_id")).head
+    writeMeta(spark, outDir, epoch = 0,
+      maxVecId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0))
     centroids.count().toInt
   }
 
@@ -68,27 +106,63 @@ object IndexedLayout {
     * write path at 100 TB (VectorSync upserts landing as new posting-list
     * files): each new vector is assigned its single nearest cell against
     * the STORED centroids (never retrained — the same FAISS add()
-    * contract as KnnGraphBuild.deltaIvf) and written with dynamic
-    * partition append, so only the touched cells gain a file and every
-    * existing file is untouched. Enforces the append-only id contract
-    * loudly; a no-op on an empty delta. Returns rows appended.
+    * contract as KnnGraphBuild.deltaIvf); only the touched cells gain
+    * files, nothing existing is rewritten.
+    *
+    * CRASH SAFETY (the KnnGraphBuild discipline adapted to a layout plain
+    * parquet readers scan): the append-only contract checks against the
+    * META high-water mark — an O(1) read, never a scan of the layout, and
+    * a value that only advances at commit, so a crashed attempt can always
+    * be RETRIED (the stored hwm still precedes the delta). The delta
+    * writes to a staging dir under `_index/` (invisible to readers), its
+    * files then move into the live cell dirs under DETERMINISTIC
+    * epoch-prefixed names — a retry of the same epoch overwrites the same
+    * names instead of duplicating rows (the EventLogSource idempotent-
+    * naming standard) — and the meta epoch commits last. A reader racing
+    * a crashed, not-yet-retried attempt can observe a torn delta (plain
+    * parquet has no manifest to hide multi-file appends behind); the
+    * retry converges the layout exactly.
+    * Enforces the append-only id contract loudly; a no-op on an empty
+    * delta. Returns rows appended.
     */
   def append(spark: SparkSession, newVecs: DataFrame, outDir: String): Long = {
     val sigs = VectorQueries.nrmFrame(newVecs.select("vec_id", "embedding"))
       .localCheckpoint()
-    val minRow = sigs.agg(org.apache.spark.sql.functions.min("vec_id")).head
+    val minRow = sigs.agg(min("vec_id")).head
     if (minRow.isNullAt(0)) return 0L
-    val maxStored = spark.read.parquet(outDir)
-      .agg(org.apache.spark.sql.functions.max("vec_id")).head.getLong(0)
-    require(minRow.getLong(0) > maxStored,
+    val (epoch, hwm) = readMeta(spark, outDir)
+    require(minRow.getLong(0) > hwm,
       s"append vec_ids must sort after every id in the layout " +
         s"(append-only contract): new min ${minRow.getLong(0)} <= stored " +
-        s"max $maxStored")
+        s"high-water mark $hwm")
+    val next = epoch + 1
+    val staging = s"$outDir/_index/staging/e$next"
     val assigned = VectorQueries.ivfAssign(
       sigs, readCentroids(spark, outDir), nprobe = 1)
     sigs.join(assigned.select("vec_id", "cell"), "vec_id")
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(outDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // promote: per cell, staging files (name-sorted — Spark's part numbers,
+    // deterministic for a deterministic shuffle) land as e<N>-<i>.parquet
+    val fs = fsOf(spark, outDir)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(stagingPath).map(_.getPath)
+      .filter(_.getName.startsWith("cell="))
+      .foreach { cellDir =>
+        val target = new org.apache.hadoop.fs.Path(outDir, cellDir.getName)
+        fs.mkdirs(target)
+        fs.listStatus(cellDir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            val dest = new org.apache.hadoop.fs.Path(target, s"e$next-$i.parquet")
+            if (fs.exists(dest))
+              require(fs.delete(dest, false), s"could not replace $dest")
+            require(fs.rename(f, dest), s"could not promote $f to $dest")
+          }
+      }
+    val maxNew = sigs.agg(max("vec_id")).head.getLong(0)
+    writeMeta(spark, outDir, next, math.max(hwm, maxNew)) // the commit point
+    fs.delete(stagingPath, true)
     sigs.count()
   }
 
@@ -97,18 +171,15 @@ object IndexedLayout {
     * centroid table (ties → lowest cell).
     */
   def probeCells(queries: DataFrame, centroids: DataFrame,
-      nprobe: Int): DataFrame = {
-    val c = broadcast(centroids.withColumn("cn", l2Norm(col("centroid"))))
-    graft.plans.TopKPerKey(
-      queries.select(col("q_id"), col("q_emb"),
-          l2Norm(col("q_emb")).as("q_n"))
-        .crossJoin(c)
-        .withColumn("sim", cosineWithNorms(
-          col("q_emb").cast("array<double>"), col("centroid"),
-          col("q_n"), col("cn")))
-        .select(col("q_id"), col("cell"), col("sim")),
-      Seq(col("q_id")), Seq(col("sim").desc, col("cell").asc), nprobe)
-  }
+      nprobe: Int): DataFrame =
+    // one copy of the assignment semantics: rename into ivfAssign's
+    // (vec_id, embedding) contract and back — the incremental-exactness
+    // story depends on every path assigning identically
+    VectorQueries.ivfAssign(
+      VectorQueries.nrmFrame(queries
+        .select(col("q_id").as("vec_id"), col("q_emb").as("embedding"))),
+      centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"), col("sim"))
 
   /** Top-`k` cosine neighbors per query over the cell-partitioned layout,
     * reading ONLY the probed cells' files. The scan is handed a STATIC

@@ -345,10 +345,16 @@ object KnnGraphBuild {
 
   private def readMeta(spark: SparkSession, st: String): Meta = {
     val e = currentEpoch(spark, st)
-    val r = spark.read.parquet(s"$st/meta/e$e").head
+    val df = spark.read.parquet(s"$st/meta/e$e")
+    val r = df.head
+    // states persisted before the IVF build existed carry no method/nprobe
+    // columns — they are LSH by construction (the only build there was);
+    // reading them must keep working, not demand a rebuild
+    val hasMethod = df.schema.fieldNames.contains("method")
     Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
       r.getAs[Long]("max_vec_id"), e,
-      r.getAs[String]("method"), r.getAs[Int]("nprobe"))
+      if (hasMethod) r.getAs[String]("method") else "lsh",
+      if (hasMethod) r.getAs[Int]("nprobe") else 0)
   }
 
   /** `runMain graft.queries.KnnGraphBuild [outDir]` over SPARK_GRAFT_SF_DIR;

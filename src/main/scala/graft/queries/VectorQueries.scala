@@ -389,9 +389,14 @@ object VectorQueries {
     val centroids = VectorIndex.kmeansCentroids(s,
       trainFrame(sigs, sigs.count(), kCells), k = kCells, iters = iters)
     val cells = ivfAssign(sigs, centroids, assign).select("vec_id", "cell")
-    val qScored = sigs.filter(qPred)
+    // materialize the query side once: it is broadcast-contract small, and
+    // both the driver-side cap check below AND the final scoring join
+    // consume it — unmaterialized, each would re-run the corpus filter scan
+    val qSide = sigs.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_n"))
+      .localCheckpoint()
+    val qScored = qSide
       .crossJoin(broadcast(centroids))
       .withColumn("csim", cosineSimilarity(
         col("q_emb").cast("array<double>"), col("centroid")))
@@ -683,8 +688,21 @@ object VectorQueries {
               .otherwise(transform(col("embedding"),
                 x => x.cast("double") / col("n"))).as("embedding"))
         val sv = VectorIndex.subvectors(unit, m, dim)
+        // TRAINING SAMPLE CAP: pqCodebooksDriver REJECTS inputs over the
+        // driver budget (maxRows = 2^24/subDim rows ⟺ ~262k vectors at
+        // m=8), so feeding it the raw corpus would turn the budget guard
+        // into a hard crash past that size. Cap the training input to
+        // 2^17 complete vectors via the same deterministic hash spread
+        // trainFrame uses — a vector's m subrows share its hash, so the
+        // m-aligned limit takes whole vectors; every driver-tested sf is
+        // far below the cap (identity there), and 128k vectors is 512×
+        // the 256-per-centroid FAISS guideline at kcb=16.
+        val trainVecs = 1 << 17
+        val svTrain = sv
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"), col("sub"))
+          .limit(trainVecs * m)
         val books = VectorIndex.pqCodebooksDriver(
-          s, sv, m, kcb, iters = 1, subDim = dim / m)
+          s, svTrain, m, kcb, iters = 1, subDim = dim / m)
         val codes = VectorIndex.pqEncode(sv, books)
         val lut = sv.filter(col("vec_id") < 10)
           .withColumnRenamed("vec_id", "q_id")

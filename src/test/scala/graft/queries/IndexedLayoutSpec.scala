@@ -119,6 +119,30 @@ class IndexedLayoutSpec extends SparkSpec {
     assert(IndexedLayout.append(spark, e.limit(0), d) == 0L)
   }
 
+  test("a crashed append retries to the exact same layout (idempotent names)") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
+    val delta = e.filter(col("vec_id") > mid)
+    val d = java.nio.file.Files.createTempDirectory("ivf_layout_crash").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    IndexedLayout.write(spark, e.filter(col("vec_id") <= mid), d, kCells = nc)
+
+    // simulate an append that died AFTER promoting its files but BEFORE
+    // the meta commit flipped: run the real append, then delete the epoch-1
+    // commit marker — the layout now holds a visible-but-uncommitted delta
+    IndexedLayout.append(spark, delta, d)
+    val marker = java.nio.file.Paths.get(d, "_index", "meta", "e1", "_graft_committed")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+
+    // the retry is NOT blocked (the hwm only advances at commit), overwrites
+    // the same epoch-1 file names, and lands the committed, exact layout
+    assert(IndexedLayout.append(spark, delta, d) > 0)
+    assert(java.nio.file.Files.exists(marker))
+    assert(spark.read.parquet(d).count() == e.count())
+    assert(spark.read.parquet(d).select("vec_id").distinct().count() == e.count())
+  }
+
   test("pruned layout search ≡ the same IVF search over the unpartitioned frame") {
     val centroids = IndexedLayout.readCentroids(spark, dir)
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
