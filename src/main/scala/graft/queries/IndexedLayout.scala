@@ -68,9 +68,15 @@ object IndexedLayout {
     (e, spark.read.parquet(s"${metaDir(outDir)}/e$e").head.getAs[Long]("max_vec_id"))
   }
 
+  private def tombDir(outDir: String) = s"$outDir/_index/tombstones"
+
   /** Train (or accept) the quantizer, assign one cell per vector, write
     * the cell-partitioned corpus + the pinned centroid table. Returns the
-    * number of cells written.
+    * number of cells written. Every data row carries its WRITE EPOCH —
+    * the column tombstone semantics hang on ([[readCorpus]]): a tombstone
+    * (vec_id, as_of) kills exactly the rows of that id written BEFORE
+    * `as_of`, so an upsert's fresh row (epoch = as_of) survives its own
+    * tombstone.
     */
   def write(spark: SparkSession, embeddings: DataFrame, outDir: String,
       kCells: Int = 0, iters: Int = 2,
@@ -89,6 +95,7 @@ object IndexedLayout {
     // nprobe=1: posting-list membership is the single nearest cell
     val assigned = VectorQueries.ivfAssign(sigs, centroids, nprobe = 1)
     sigs.join(assigned.select("vec_id", "cell"), "vec_id")
+      .withColumn("epoch", lit(0))
       .repartition(col("cell")) // one shuffle → one file per posting list here
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
     centroids.write.mode("overwrite").parquet(indexDir(outDir))
@@ -126,44 +133,146 @@ object IndexedLayout {
     * delta. Returns rows appended.
     */
   def append(spark: SparkSession, newVecs: DataFrame, outDir: String): Long = {
-    val sigs = VectorQueries.nrmFrame(newVecs.select("vec_id", "embedding"))
-      .localCheckpoint()
-    val minRow = sigs.agg(min("vec_id")).head
+    val ids = newVecs.select("vec_id")
+    val minRow = ids.agg(min("vec_id")).head
     if (minRow.isNullAt(0)) return 0L
-    val (epoch, hwm) = readMeta(spark, outDir)
+    val (_, hwm) = readMeta(spark, outDir)
     require(minRow.getLong(0) > hwm,
       s"append vec_ids must sort after every id in the layout " +
         s"(append-only contract): new min ${minRow.getLong(0)} <= stored " +
         s"high-water mark $hwm")
+    applyDelta(spark, newVecs, newVecs.limit(0).select("vec_id"), outDir)._1
+  }
+
+  /** Upsert: replace (or add) each incoming vector under the pinned
+    * quantizer. Ids at or below the high-water mark are tombstoned in the
+    * same epoch their fresh row lands, so the old copy dies exactly when
+    * the new one becomes visible; brand-new ids skip the tombstone
+    * (nothing to kill — keeps tombstone growth proportional to CHURN, not
+    * ingest). Returns rows upserted.
+    */
+  def upsert(spark: SparkSession, vecs: DataFrame, outDir: String): Long =
+    applyDelta(spark, vecs, vecs.limit(0).select("vec_id"), outDir)._1
+
+  /** Delete vectors from the layout by tombstone — no data file is touched;
+    * [[readCorpus]]/[[prunedTopK]] anti-join the dead set. Deleting an id
+    * that is not live is a harmless no-op record (the downstream-store
+    * convention — the reference's delete path is fire-and-forget,
+    * debounce.go:104-121), so CDC replays never fail here. Returns ids
+    * tombstoned.
+    */
+  def delete(spark: SparkSession, ids: DataFrame, outDir: String): Long =
+    applyDelta(spark, ids.limit(0).selectExpr("vec_id",
+      "cast(array() as array<float>) as embedding"), ids, outDir)._2
+
+  /** One epoch of CDC against the layout: tombstone `deleteIds` plus the
+    * superseded copies of `upserts`, land the fresh upsert rows in their
+    * cells under the PINNED quantizer. The upsert/delete split is the
+    * pipeline's A16 contract (payload partition) applied to the index
+    * itself. Returns (rows upserted, ids tombstoned).
+    *
+    * CRASH SAFETY extends the append discipline: tombstones write to their
+    * epoch dir BEFORE the commit (readers resolve tombstones only up to
+    * the committed meta epoch, so a crashed attempt's tombstones are
+    * invisible); data files stage under `_index/` and promote under
+    * deterministic `e<N>-<i>` names, with every pre-existing `e<N>-*` file
+    * in a target cell cleared first — a retry converges even if it stages
+    * a DIFFERENT file count than the crashed attempt (committer/config
+    * drift), instead of index-for-index overwrite leaving stale tails.
+    * The meta epoch commits last. Re-applying an ALREADY-COMMITTED epoch
+    * (a CDC replay that lost its marker) is semantically idempotent too:
+    * the replay's tombstones carry a newer as_of and kill the previous
+    * application's rows, so exactly one live copy survives.
+    */
+  def applyDelta(spark: SparkSession, upserts: DataFrame,
+      deleteIds: DataFrame, outDir: String): (Long, Long) = {
+    import spark.implicits._
+    val sigs = VectorQueries.nrmFrame(upserts.select("vec_id", "embedding"))
+      .localCheckpoint()
+    val nUp = sigs.count()
+    val (epoch, hwm) = readMeta(spark, outDir)
     val next = epoch + 1
-    val staging = s"$outDir/_index/staging/e$next"
-    val assigned = VectorQueries.ivfAssign(
-      sigs, readCentroids(spark, outDir), nprobe = 1)
-    sigs.join(assigned.select("vec_id", "cell"), "vec_id")
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staging)
-    // promote: per cell, staging files (name-sorted — Spark's part numbers,
-    // deterministic for a deterministic shuffle) land as e<N>-<i>.parquet
+    // tombstone = explicit deletes ∪ upserts that supersede a stored copy
+    val tombs = deleteIds.select("vec_id")
+      .union(sigs.select("vec_id").filter(col("vec_id") <= hwm))
+      .distinct().localCheckpoint()
+    val nTomb = tombs.count()
+    if (nUp == 0 && nTomb == 0) return (0L, 0L)
+    if (nTomb > 0)
+      tombs.withColumn("as_of", lit(next))
+        .coalesce(1).write.mode("overwrite").parquet(s"${tombDir(outDir)}/e$next")
     val fs = fsOf(spark, outDir)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    fs.listStatus(stagingPath).map(_.getPath)
-      .filter(_.getName.startsWith("cell="))
-      .foreach { cellDir =>
-        val target = new org.apache.hadoop.fs.Path(outDir, cellDir.getName)
-        fs.mkdirs(target)
-        fs.listStatus(cellDir).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, i) =>
-            val dest = new org.apache.hadoop.fs.Path(target, s"e$next-$i.parquet")
-            if (fs.exists(dest))
-              require(fs.delete(dest, false), s"could not replace $dest")
-            require(fs.rename(f, dest), s"could not promote $f to $dest")
-          }
-      }
-    val maxNew = sigs.agg(max("vec_id")).head.getLong(0)
-    writeMeta(spark, outDir, next, math.max(hwm, maxNew)) // the commit point
-    fs.delete(stagingPath, true)
-    sigs.count()
+    if (nUp > 0) {
+      val staging = s"$outDir/_index/staging/e$next"
+      val assigned = VectorQueries.ivfAssign(
+        sigs, readCentroids(spark, outDir), nprobe = 1)
+      sigs.join(assigned.select("vec_id", "cell"), "vec_id")
+        .withColumn("epoch", lit(next))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+      // promote: per cell, staging files (name-sorted — Spark's part
+      // numbers, deterministic for a deterministic shuffle) land as
+      // e<N>-<i>.parquet after clearing any e<N>-* survivors of a crashed
+      // attempt
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      fs.listStatus(stagingPath).map(_.getPath)
+        .filter(_.getName.startsWith("cell="))
+        .foreach { cellDir =>
+          val target = new org.apache.hadoop.fs.Path(outDir, cellDir.getName)
+          fs.mkdirs(target)
+          fs.listStatus(target).map(_.getPath)
+            .filter(_.getName.startsWith(s"e$next-"))
+            .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
+          fs.listStatus(cellDir).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              val dest = new org.apache.hadoop.fs.Path(target, s"e$next-$i.parquet")
+              require(fs.rename(f, dest), s"could not promote $f to $dest")
+            }
+        }
+      val maxNew = sigs.agg(max("vec_id")).head.getLong(0)
+      writeMeta(spark, outDir, next, math.max(hwm, maxNew)) // the commit point
+      fs.delete(stagingPath, true)
+    } else {
+      writeMeta(spark, outDir, next, hwm) // delete-only epoch: hwm unchanged
+    }
+    (nUp, nTomb)
+  }
+
+  /** (vec_id → latest as_of) of every tombstone visible at the committed
+    * epoch, or None when the layout has never seen a delete/upsert — the
+    * fast path keeps tombstone-free plans (and their partition-pruning
+    * proof) byte-identical to the pre-tombstone layout.
+    */
+  private def readTombstones(spark: SparkSession, outDir: String,
+      epoch: Int): Option[DataFrame] = {
+    val fs = fsOf(spark, outDir)
+    val dirs = (1 to epoch).map(i => s"${tombDir(outDir)}/e$i")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*)
+      .groupBy("vec_id").agg(max("as_of").as("as_of")))
+  }
+
+  /** The LIVE corpus: the raw cell-partitioned scan with tombstones
+    * resolved — a row survives unless a tombstone for its id carries a
+    * LATER epoch than the row's write epoch. The tombstone side is
+    * churn-sized (never corpus-sized) and joins on vec_id; at 100 TB the
+    * steady-state answer to unbounded churn is compaction — rewrite the
+    * cells whose dead fraction crosses a threshold and drop their
+    * satisfied tombstones — which this layout's per-cell file structure
+    * localizes to the churned posting lists.
+    */
+  def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
+    val (epoch, _) = readMeta(spark, outDir)
+    val base = spark.read.parquet(outDir)
+    readTombstones(spark, outDir, epoch) match {
+      case None => base
+      case Some(t) =>
+        base.join(t, Seq("vec_id"), "left")
+          .filter(col("as_of").isNull || col("epoch") >= col("as_of"))
+          .drop("as_of")
+    }
   }
 
   /** The (q_id, cell) probe set for a query frame (q_id, q_emb): each
@@ -197,7 +306,9 @@ object IndexedLayout {
     // broadcast-contract small (same class as the centroid table itself)
     val cellSet = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = spark.read.parquet(outDir)
+    // tombstones resolve on the LIVE read; the static cell filter still
+    // reaches the scan through the tombstone join (left-side predicate)
+    val corpus = readCorpus(spark, outDir)
       .filter(col("cell").isin(cellSet.map(c => c: Any): _*))
     val q = broadcast(queries
       .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n"))

@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   * owns was touched) and the next attempt of the SAME delta idempotently
   * rewrites the same epoch-N+1 directories before flipping the marker —
   * safe-retry rather than CorpusBuild's fail-closed mark-first, because
-  * nothing here is append-in-place. The append-only id contract
-  * (delta vec_ids > stored high-water mark) is still enforced loudly.
+  * nothing here is append-in-place. The delta id contract is NOT-LIVE
+  * (enforced loudly by [[requireNotLive]]): brand-new ids past the
+  * high-water mark, or previously-[[deleteVecs]]-tombstoned ids being
+  * re-inserted — upsert = delete + re-insert, the full CDC verb set.
   * Superseded `edges/e<i<N>` dirs are dead after the flip and may be
   * vacuumed at leisure. The per-delta edge rewrite is O(n·k) — at the
   * 100 TB design point the same merge runs as append-delta-shards +
@@ -132,6 +134,13 @@ object KnnGraphBuild {
     edges.count()
   }
 
+  /** The candidate-structure method ("lsh" | "ivf") the persisted state
+    * was built with — lets a maintainer (IndexSync) route deltas without
+    * knowing how the state was bootstrapped.
+    */
+  def methodOf(spark: SparkSession, outDir: String): String =
+    readMeta(spark, stateDir(outDir)).method
+
   /** The pinned coarse quantizer of an IVF-method state. */
   def readCentroids(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(centroidsPath(stateDir(outDir)))
@@ -176,15 +185,10 @@ object KnnGraphBuild {
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
       return spark.read.parquet(edgesPath(st, meta.epoch)).count() // empty delta
-    require(minRow.getLong(0) > meta.maxVecId,
-      s"delta vec_ids must sort after every id the build has seen " +
-        s"(append-only contract): new min ${minRow.getLong(0)} <= stored " +
-        s"max ${meta.maxVecId}")
     val centroids = readCentroids(spark, outDir)
-    val oldSigs = spark.read
-      .parquet((0 to meta.epoch).map(i => s"$st/sigs/e$i"): _*)
-    val oldAssign = spark.read
-      .parquet((0 to meta.epoch).map(i => assignPath(st, i)): _*)
+    val oldSigs = liveShards(spark, st, "sigs", meta.epoch)
+    val oldAssign = liveShards(spark, st, "assign", meta.epoch)
+    requireNotLive(e, oldSigs, meta)
     val newSigs = VectorQueries.nrmFrame(e).localCheckpoint()
     val newAssign = VectorQueries.ivfAssign(newSigs, centroids, meta.nprobe)
       .localCheckpoint()
@@ -220,15 +224,11 @@ object KnnGraphBuild {
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
       return spark.read.parquet(edgesPath(st, meta.epoch)).count() // empty delta
-    require(minRow.getLong(0) > meta.maxVecId,
-      s"delta vec_ids must sort after every id the build has seen " +
-        s"(append-only contract): new min ${minRow.getLong(0)} <= stored " +
-        s"max ${meta.maxVecId}")
     // the STORED signature function — adaptive sizing would change the
     // signatures and break both exactness and the stored buckets
-    val oldSigs = spark.read
-      .parquet((0 to meta.epoch).map(i => s"$st/sigs/e$i"): _*)
+    val oldSigs = liveShards(spark, st, "sigs", meta.epoch)
       .localCheckpoint()
+    requireNotLive(e, oldSigs, meta)
     val newSigs = VectorQueries.sigFrame(e, meta.bits, meta.tables)
       .localCheckpoint()
     val newBuckets = VectorQueries.bucketsOf(newSigs)
@@ -258,9 +258,11 @@ object KnnGraphBuild {
   }
 
   /** Drop state superseded by the current epoch: every older epoch's edges
-    * and meta are dead after the commit flip. Signature SHARDS are kept —
-    * each epoch's shard is a live slice of the full signature frame that
-    * every future delta reads. Returns the number of directories removed.
+    * and meta are dead after the commit flip. Signature/assignment SHARDS
+    * and TOMBSTONES are kept — each epoch's shard is a live slice of the
+    * full signature frame that every future delta reads, and tombstones
+    * are the liveness filter over those immutable shards. Returns the
+    * number of directories removed.
     */
   def vacuum(spark: SparkSession, outDir: String): Int = {
     val st = stateDir(outDir)
@@ -283,6 +285,148 @@ object KnnGraphBuild {
     val st = stateDir(outDir)
     val meta = readMeta(spark, st)
     VectorQueries.rankGraph(spark.read.parquet(edgesPath(st, meta.epoch)))
+  }
+
+  /** Tombstone DELETE for the persisted graph — the missing half of the
+    * pipeline's upsert+delete contract (A14 delete-bypass,
+    * debounce.go:104-121): drop the dead vectors and leave the graph
+    * row-identical to a rebuild over the SURVIVORS, without an old-old
+    * re-score.
+    *
+    * Exactness argument, the dual of the delta's dominance argument:
+    *   - a survivor whose stored top-k referenced no dead vector keeps a
+    *     list that is still its true top-k — deleting vectors only REMOVES
+    *     candidates, and every removed candidate was already dominated;
+    *   - a survivor that LOST an edge (a "victim") gets its list rebuilt
+    *     from scratch by re-probing its stored signature/assignment into
+    *     the live structure — the same symmetric co-residence conditions
+    *     the build used, so the regenerated candidate set IS the rebuild's
+    *     candidate set over survivors (KnnGraphDeleteSpec pins both
+    *     methods bit-for-bit).
+    * Victim count is bounded by k·|dead| — delete cost scales with the
+    * delta, never the corpus. Dead ids land as per-epoch tombstones
+    * (`tombs/e<N>`, as_of = N); signature/assignment shards are immutable,
+    * so liveness is resolved at read: a shard row survives unless a LATER
+    * tombstone names its id — which is also what lets a tombstoned id be
+    * RE-INSERTED by a later delta (upsert = delete + insert) without its
+    * stale shard rows resurrecting. Deleting an id that is not live is a
+    * harmless no-op (CDC replays never fail here). Returns the merged
+    * directed edge count.
+    */
+  def deleteVecs(spark: SparkSession, ids: DataFrame, outDir: String): Long = {
+    val st = stateDir(outDir)
+    val meta = readMeta(spark, st)
+    val dead = ids.select("vec_id").distinct().localCheckpoint()
+    if (dead.isEmpty)
+      return spark.read.parquet(edgesPath(st, meta.epoch)).count()
+    val prevEdges = spark.read.parquet(edgesPath(st, meta.epoch))
+    val keptEdges = prevEdges
+      .join(dead.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(dead.select(col("vec_id").as("b_id")), Seq("b_id"), "left_anti")
+      .select("a_id", "b_id", "cos_r")
+    // victims: survivors whose stored top-k lost an edge to a dead vector —
+    // bounded by k·|dead| rows by construction
+    val victims = prevEdges
+      .join(dead.select(col("vec_id").as("b_id")), Seq("b_id"), "left_semi")
+      .join(dead.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
+      .select("a_id").distinct().localCheckpoint()
+    val liveS = liveShards(spark, st, "sigs", meta.epoch)
+      .join(dead, Seq("vec_id"), "left_anti").localCheckpoint()
+    val victimSigs = liveS
+      .join(victims.select(col("a_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val cand = meta.method match {
+      case "ivf" =>
+        val liveA = liveShards(spark, st, "assign", meta.epoch)
+          .join(dead, Seq("vec_id"), "left_anti")
+        val vA = liveA.join(victims.select(col("a_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        vA.select(col("vec_id").as("a_id"), col("cell"))
+          .join(liveA.select(col("vec_id").as("b_id"), col("cell").as("b_cell")),
+            col("cell") === col("b_cell") && col("a_id") =!= col("b_id"))
+          .select("a_id", "b_id").distinct()
+      case _ =>
+        val lb = VectorQueries.bucketsOf(liveS)
+        VectorQueries.probesOf(VectorQueries.bucketsOf(victimSigs), meta.bits)
+          .as("bv")
+          .join(lb.as("bl"),
+            col("bv.tbl") === col("bl.tbl") &&
+              col("bv.bucket") === col("bl.bucket") &&
+              col("bv.vec_id") =!= col("bl.vec_id"))
+          .select(col("bv.vec_id").as("a_id"), col("bl.vec_id").as("b_id"))
+          .distinct()
+    }
+    // directed edges for the victims only — no mirror: the other endpoint's
+    // list did not lose anything
+    val victimEdges = graft.plans.TopKPerKey(
+      VectorQueries.scorePairs(cand, liveS, liveS),
+      Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
+      .select("a_id", "b_id", "cos_r")
+    val merged = keptEdges.join(victims, Seq("a_id"), "left_anti")
+      .union(victimEdges).localCheckpoint()
+    commitEpoch(spark, liveS.limit(0), merged,
+      meta.copy(epoch = meta.epoch + 1), outDir,
+      assignShard =
+        if (meta.method == "ivf")
+          Some(liveShards(spark, st, "assign", meta.epoch).limit(0))
+        else None,
+      tombShard = Some(dead))
+    merged.count()
+  }
+
+  /** The delta id contract, relaxed from append-only to NOT-LIVE: ids past
+    * the high-water mark are trivially new (the O(1) fast path — no join
+    * runs); ids at or below it are legal only if tombstoned (the upsert
+    * path: deleteVecs first, then re-insert). A LIVE id in a delta would
+    * double its vertex and break the dominance argument, so it fails
+    * loudly — the semi-join only runs on the reuse path and rides the same
+    * stored-sigs read the delta performs anyway.
+    */
+  private def requireNotLive(e: DataFrame, oldSigs: DataFrame,
+      meta: Meta): Unit = {
+    val reused = e.select("vec_id").filter(col("vec_id") <= meta.maxVecId)
+    if (!reused.isEmpty) {
+      val clash = reused.join(oldSigs.select("vec_id"), Seq("vec_id"),
+        "left_semi").limit(1).count()
+      require(clash == 0,
+        s"delta vec_ids must not be LIVE in the graph: ids at or below the " +
+          s"stored max ${meta.maxVecId} are only legal after deleteVecs " +
+          "tombstoned them (upsert = delete + re-insert)")
+    }
+  }
+
+  /** Shard union with tombstones resolved: a row of shard e<i> is live
+    * unless a tombstone for its id carries as_of > i. The no-tombstone
+    * fast path is the original multi-path read, plan-identical.
+    */
+  private def liveShards(spark: SparkSession, st: String, sub: String,
+      epoch: Int): DataFrame = {
+    val paths = (0 to epoch).map(i => s"$st/$sub/e$i")
+    tombsOf(spark, st, epoch) match {
+      case None => spark.read.parquet(paths: _*)
+      case Some(t) =>
+        paths.zipWithIndex
+          .map { case (p, i) =>
+            spark.read.parquet(p).withColumn("__shard", lit(i)) }
+          .reduce(_ unionByName _)
+          .join(t, Seq("vec_id"), "left")
+          .filter(col("as_of").isNull || col("__shard") >= col("as_of"))
+          .drop("as_of", "__shard")
+    }
+  }
+
+  /** (vec_id → latest as_of) over every committed tombstone epoch, or None
+    * when the state has never seen a delete.
+    */
+  private def tombsOf(spark: SparkSession, st: String,
+      epoch: Int): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = (1 to epoch).map(i => s"$st/tombs/e$i").filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*)
+      .groupBy("vec_id").agg(max("as_of").as("as_of")))
   }
 
   private def edgesPath(st: String, epoch: Int) = s"$st/edges/e$epoch"
@@ -310,7 +454,8 @@ object KnnGraphBuild {
     */
   private def commitEpoch(spark: SparkSession, sigShard: DataFrame,
       edges: DataFrame, meta: Meta, outDir: String,
-      assignShard: Option[DataFrame] = None): Unit = {
+      assignShard: Option[DataFrame] = None,
+      tombShard: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     val st = stateDir(outDir)
     sigShard.write.mode("overwrite").parquet(s"$st/sigs/e${meta.epoch}")
@@ -319,6 +464,11 @@ object KnnGraphBuild {
     // vacuumed
     assignShard.foreach(_.write.mode("overwrite")
       .parquet(assignPath(st, meta.epoch)))
+    // delete epochs shard their dead ids (as_of = this epoch) — liveness
+    // filter state for every future shard read; like sigs, never vacuumed
+    tombShard.foreach(_.select("vec_id")
+      .withColumn("as_of", lit(meta.epoch))
+      .coalesce(1).write.mode("overwrite").parquet(s"$st/tombs/e${meta.epoch}"))
     edges.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
     val metaPath = s"$st/meta/e${meta.epoch}"
     Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch,

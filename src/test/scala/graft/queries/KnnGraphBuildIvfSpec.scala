@@ -74,14 +74,14 @@ class KnnGraphBuildIvfSpec extends SparkSpec {
     assert(ex2.getMessage.contains("method=lsh"))
   }
 
-  test("IVF delta keeps the append-only contract and no-ops on empty") {
+  test("IVF delta rejects LIVE ids and no-ops on empty") {
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val out = java.nio.file.Files.createTempDirectory("knnivf_hwm").toString
     KnnGraphBuild.buildIvf(spark, e, out, kk, np, cellsOverride = nc)
     val ex = intercept[IllegalArgumentException] {
       KnnGraphBuild.deltaIvf(spark, e.limit(10), out)
     }
-    assert(ex.getMessage.contains("append-only"))
+    assert(ex.getMessage.contains("must not be LIVE"))
     KnnGraphBuild.deltaIvf(spark, e.limit(0), out) // no-op, not an error
   }
 

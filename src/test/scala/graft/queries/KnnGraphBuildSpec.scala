@@ -91,14 +91,17 @@ class KnnGraphBuildSpec extends SparkSpec {
     KnnGraphBuild.delta(spark, e.limit(0), out) // no-op still resolves state
   }
 
-  test("delta rejects vec_ids at or below the stored high-water mark") {
+  test("delta rejects vec_ids that are LIVE in the graph") {
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val out = java.nio.file.Files.createTempDirectory("knn_hwm").toString
     KnnGraphBuild.build(spark, e, out, kk, tbls, bitsOverride = bts)
+    // re-inserting ids without tombstoning them first is the one illegal
+    // delta (it would double the vertex) — tombstoned ids are legal
+    // (KnnGraphDeleteSpec covers the upsert round-trip)
     val ex = intercept[IllegalArgumentException] {
       KnnGraphBuild.delta(spark, e.limit(10), out)
     }
-    assert(ex.getMessage.contains("append-only"))
+    assert(ex.getMessage.contains("must not be LIVE"))
     // and an empty delta is a no-op, not an error
     KnnGraphBuild.delta(spark, e.limit(0), out)
   }
