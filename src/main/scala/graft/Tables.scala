@@ -70,12 +70,21 @@ object Tables {
       // nanos", and hand a nanos footer to the plain read, which then
       // fails inference with no recovery path
       def firstDataFile(dir: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+        // visibility matches Spark's partition discovery: every RELATIVE
+        // path segment (not just the leaf) must be free of the _/. hidden
+        // prefixes — otherwise the probe can pick a file under
+        // _spark_metadata or a .staging dir that spark.read itself ignores
+        // and branch the nanos decision on the wrong schema
+        val rootUri = dir.toUri.getPath.stripSuffix("/")
+        def visible(p: org.apache.hadoop.fs.Path): Boolean =
+          p.toUri.getPath.stripPrefix(rootUri).split('/')
+            .filter(_.nonEmpty)
+            .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
         val it = fs.listFiles(dir, true)
         var found: Option[org.apache.hadoop.fs.Path] = None
         while (found.isEmpty && it.hasNext) {
           val q = it.next().getPath
-          val n = q.getName
-          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          if (q.getName.endsWith(".parquet") && visible(q))
             found = Some(q)
         }
         found

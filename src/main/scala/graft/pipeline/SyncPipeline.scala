@@ -192,7 +192,15 @@ object SyncPipeline {
         catch { case _: java.io.IOException => false }
       if (!won) {
         fs.delete(tmp, false)
-        stampStateVersion(spark, dir) // verify whoever won
+        // verify whoever won — BOUNDED: exactly one re-entry. If the stamp
+        // still doesn't exist after a lost race, the rename is failing for
+        // a reason racing can't explain (permissions, a broken FS) — fail
+        // loudly instead of recursing toward a StackOverflowError
+        require(fs.exists(p),
+          s"could not stamp state version in $dir: rename to $p failed and " +
+            "no concurrent starter produced the stamp — check filesystem " +
+            "permissions on the checkpoint location")
+        stampStateVersion(spark, dir) // exists now ⇒ takes the check branch
       }
     }
   }
@@ -297,19 +305,46 @@ object SyncPipeline {
   /** Resync (reference: watcher.go:349-383 / A19): a full batch snapshot
     * replayed through the same payload/sink path; returns the count synced.
     * Batch/stream unification — same Payloads + RestSink code.
+    *
+    * Two delivery shapes, mirroring [[Config.executorSideSink]]:
+    *   - driver (default, reference parity — the watcher's resync is one
+    *     ordered sender loop): stream the snapshot through toLocalIterator
+    *     in maxBatch chunks, never materializing it;
+    *   - executor (`executorSide = true`, the 100 TB path): each partition
+    *     builds and POSTs its own payloads where the snapshot rows live —
+    *     a full resync no longer serializes the corpus through one driver.
+    *     Cross-partition payload order is undefined (same tradeoff as the
+    *     streaming executor sink); a resync is one idempotent upsert per
+    *     key, so ordering carries no information here. The driver only
+    *     sums per-task counts — one Long per partition.
     */
   def resync(
       instances: Dataset[ResourceEventRow],
       sink: RestSink,
-      maxBatch: Int = 50): Long = {
-    var n = 0L
-    // stream driver-side in maxBatch chunks — never materializes the snapshot
-    import scala.jdk.CollectionConverters._
-    instances.toLocalIterator().asScala.grouped(math.max(1, maxBatch)).foreach { chunk =>
-      n += chunk.size
-      Payloads.deliver(sink, Payloads.fromActions(chunk.map(SyncAction.upsert), maxBatch))
+      maxBatch: Int = 50,
+      executorSide: Boolean = false): Long = {
+    val mb = math.max(1, maxBatch)
+    if (executorSide) {
+      import org.apache.spark.sql.Encoders
+      instances.mapPartitions { it =>
+        var n = 0L
+        it.grouped(mb).foreach { chunk =>
+          n += chunk.size
+          Payloads.deliver(sink,
+            Payloads.fromActions(chunk.map(SyncAction.upsert), mb))
+        }
+        Iterator.single(n)
+      }(Encoders.scalaLong).collect().sum
+    } else {
+      var n = 0L
+      // stream driver-side in maxBatch chunks — never materializes the snapshot
+      import scala.jdk.CollectionConverters._
+      instances.toLocalIterator().asScala.grouped(mb).foreach { chunk =>
+        n += chunk.size
+        Payloads.deliver(sink, Payloads.fromActions(chunk.map(SyncAction.upsert), mb))
+      }
+      n
     }
-    n
   }
 
   /** Convenience: file-based streaming source of event JSON lines (the

@@ -299,9 +299,25 @@ object IndexedLayout {
     * logical IVF search.
     */
   def prunedTopK(spark: SparkSession, outDir: String, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, maxFallbackFrac: Double = -1.0): DataFrame = {
     val centroids = readCentroids(spark, outDir)
-    val probes = probeCells(queries, centroids, nprobe).localCheckpoint()
+    val probes0 = probeCells(queries, centroids, nprobe).localCheckpoint()
+    // the SAME confidence fallback + cap as ivfTopK (one implementation —
+    // VectorQueries.ivfFallbackGuard): a query orthogonal to every
+    // centroid widens its probe set to ALL cells (exact scan of the
+    // layout), and a batch over the cap fails loudly instead of silently
+    // degrading the prune
+    val fbIds = VectorQueries.ivfFallbackGuard(spark,
+      probes0.groupBy("q_id").agg(max("sim").as("best")), maxFallbackFrac)
+    val probes =
+      if (fbIds.isEmpty) probes0
+      else probes0.filter(!col("q_id").isin(fbIds.toSeq: _*))
+        .unionByName(
+          probes0.select("q_id").distinct()
+            .filter(col("q_id").isin(fbIds.toSeq: _*))
+            .crossJoin(centroids.select("cell"))
+            .withColumn("sim", lit(0.0)))
+        .localCheckpoint()
     // bounded driver collect: |queries| · nprobe cells, the query side is
     // broadcast-contract small (same class as the centroid table itself)
     val cellSet = probes.select("cell").distinct()

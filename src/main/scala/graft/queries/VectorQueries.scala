@@ -373,6 +373,40 @@ object VectorQueries {
     * recall in the sweep) — probes + spilled postings + the fallback do
     * the recall work, not quantizer polish.
     */
+  /** Confidence floor every IVF search path shares (measured constant —
+    * see the ivfTopK scaladoc's fallback discussion): below it a query is
+    * essentially orthogonal to every centroid and must degrade to an
+    * exact scan rather than return silently-wrong neighbors.
+    */
+  private[graft] val IvfConfFloor = 0.1
+
+  /** THE one copy of the fallback cap (VERDICT r9 item 7): given per-query
+    * best-centroid cosine rows (q_id, best), fail loudly when more than
+    * `spark.graft.ivf.maxFallbackFrac` (default 0.25, or `capOverride`) of
+    * the batch sits under [[IvfConfFloor]] — at 100 TB an uncapped
+    * fallback is the difference between reading nprobe/kCells of the
+    * corpus and all of it. Returns the fallback q_ids. Driver-side and
+    * bounded: the query side is broadcast-contract small on every caller
+    * (ivfTopK and the physical layout's prunedTopK).
+    */
+  private[graft] def ivfFallbackGuard(s: org.apache.spark.sql.SparkSession,
+      qBest: org.apache.spark.sql.DataFrame,
+      capOverride: Double = -1.0): Set[Long] = {
+    val cap =
+      if (capOverride >= 0) capOverride
+      else s.conf.get("spark.graft.ivf.maxFallbackFrac", "0.25").toDouble
+    val flags = qBest
+      .select(col("q_id"), (col("best") < IvfConfFloor).as("fb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val fallbacks = flags.count(_._2)
+    require(flags.isEmpty || fallbacks.toDouble / flags.length <= cap,
+      s"IVF confidence fallback would exact-scan $fallbacks of " +
+        s"${flags.length} queries (cap $cap): these queries have no cluster " +
+        "affinity — raise spark.graft.ivf.maxFallbackFrac knowingly or " +
+        "route the batch to the exact top-k path instead")
+    flags.filter(_._2).map(_._1).toSet
+  }
+
   private[queries] def ivfTopK(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame,
       qPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
@@ -381,10 +415,7 @@ object VectorQueries {
       iters: Int = 1,
       assign: Int = 1): org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorIndex
-    val ConfFloor = 0.1
-    val cap =
-      if (maxFallbackFrac >= 0) maxFallbackFrac
-      else s.conf.get("spark.graft.ivf.maxFallbackFrac", "0.25").toDouble
+    val ConfFloor = IvfConfFloor
     val sigs = nrmFrame(e)
     val centroids = VectorIndex.kmeansCentroids(s,
       trainFrame(sigs, sigs.count(), kCells), k = kCells, iters = iters)
@@ -401,15 +432,7 @@ object VectorQueries {
       .withColumn("csim", cosineSimilarity(
         col("q_emb").cast("array<double>"), col("centroid")))
       .withColumn("best", max(col("csim")).over(Window.partitionBy("q_id")))
-    val flags = qScored
-      .select(col("q_id"), (col("best") < ConfFloor).as("fb")).distinct()
-      .collect()
-    val fallbacks = flags.count(_.getBoolean(1))
-    require(flags.isEmpty || fallbacks.toDouble / flags.length <= cap,
-      s"IVF confidence fallback would exact-scan $fallbacks of " +
-        s"${flags.length} queries (cap $cap): these queries have no cluster " +
-        "affinity — raise spark.graft.ivf.maxFallbackFrac knowingly or " +
-        "route the batch to the exact top-k path instead")
+    ivfFallbackGuard(s, qScored.select("q_id", "best"), maxFallbackFrac)
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("cell").asc)
     val q = qScored

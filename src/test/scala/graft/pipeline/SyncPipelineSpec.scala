@@ -256,6 +256,36 @@ class SyncPipelineSpec extends SparkSpec {
     assert(received.forall(_.startsWith("""{"upserts":[""")))
   }
 
+  test("executor-side resync delivers the same snapshot with per-partition senders") {
+    import spark.implicits._
+    def idsIn(payloads: Seq[String]): Set[String] =
+      payloads.flatMap("\"id\":\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1))).toSet
+    val snapshot = (1 to 120).map(i => ev(s"app-$i", "ADD", i.toLong, "v1")).toDS()
+
+    val driverSeen = ArrayBuffer.empty[String]
+    val driverSink = new RestSink(post = p => { driverSeen += p; 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val nDriver = SyncPipeline.resync(snapshot, driverSink, maxBatch = 50)
+
+    // the sink closure is SERIALIZED into each task even in local mode, so
+    // a captured buffer would record into per-task copies — route through a
+    // static recorder instead (same JVM in local mode; on a real cluster
+    // the sink POSTs remotely and only the per-task counts come back)
+    ExecResyncRecorder.seen.clear()
+    val execSink = new RestSink(post = p => { ExecResyncRecorder.seen.add(p); 200 },
+      sleep = _ => (), jitter = () => 1.0)
+    val nExec = SyncPipeline.resync(snapshot, execSink, maxBatch = 50,
+      executorSide = true)
+
+    assert(nExec == nDriver && nExec == 120)
+    import scala.jdk.CollectionConverters._
+    val execPayloads = ExecResyncRecorder.seen.asScala.toSeq
+    assert(execPayloads.forall(_.startsWith("""{"upserts":[""")))
+    // same keys delivered, just partition-parallel instead of one sender
+    assert(idsIn(execPayloads) == idsIn(driverSeen.toSeq))
+    assert(idsIn(execPayloads).size == 120)
+  }
+
   test("A21 predicate form: the CRD bypass beats both filter lists") {
     import spark.implicits._
     // resource-type strings as the reference's watcher filters them
@@ -429,4 +459,13 @@ object ExecutorFlakySink {
     import scala.jdk.CollectionConverters._
     delivered.asScala.toSeq.map(p => "\"id\":".r.findAllIn(p).size).sum
   }
+}
+
+/** Static payload recorder for the executor-side RESYNC test — sink
+  * closures are serialized per task even in local mode, so the recording
+  * must go through a statically-resolved object, not a captured buffer.
+  */
+object ExecResyncRecorder {
+  val seen: java.util.List[String] =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
 }

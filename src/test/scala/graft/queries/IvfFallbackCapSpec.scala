@@ -67,6 +67,31 @@ class IvfFallbackCapSpec extends SparkSpec {
     assert(rows.groupBy(_.getLong(0)).size == 10)
   }
 
+  test("the physical layout's pruned search shares the cap — loud breach, exact when raised") {
+    val d = java.nio.file.Files.createTempDirectory("ivf_cap_layout").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    IndexedLayout.write(spark, fixture, d, kCells = 4)
+    val noiseQ = fixture.filter(col("vec_id") >= 1000L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // same guard, same message, through the layout path
+    val e = intercept[IllegalArgumentException] {
+      IndexedLayout.prunedTopK(spark, d, noiseQ, k = 3, nprobe = 2).collect()
+    }
+    assert(e.getMessage.contains("maxFallbackFrac"), e.getMessage)
+    // raised knowingly: every noise query widens to ALL cells (the exact
+    // scan of the layout) and returns a well-formed top-k
+    val rows = IndexedLayout.prunedTopK(spark, d, noiseQ, k = 3, nprobe = 2,
+      maxFallbackFrac = 1.0).collect()
+    assert(rows.groupBy(_.getLong(0)).size == 10)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    // a clustered batch stays pruned and passes untouched
+    val okQ = fixture.filter(col("vec_id") < 8L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assert(IndexedLayout.prunedTopK(spark, d, okQ, k = 3, nprobe = 2)
+      .collect().nonEmpty)
+  }
+
   test("the catalog query's real batch stays under the default cap") {
     // vec_id < 10 at sf0.001 must not trip the gate — the cap exists for
     // adversarial batches, not the everyday path

@@ -42,7 +42,7 @@ class KnnGraphBuildIvfSpec extends SparkSpec {
   }
 
   test("IVF build matches the q_sim_knn_graph_ivf catalog query") {
-    // same knobs (k=5, nprobe=3, adaptive cell count, 2 Lloyd passes) →
+    // same knobs (k=5, nprobe=3, adaptive cell count, one Lloyd pass) →
     // same graph: the build and the catalog query share one pipeline copy
     val out = java.nio.file.Files.createTempDirectory("knnivf_shape").toString
     KnnGraphBuild.buildIvf(spark, graft.Tables.embeddings(spark, sf001)
