@@ -78,42 +78,56 @@ object ScaleProbe {
     // scaled corpus so the exponent/recall tradeoff is visible in one
     // artifact (round 8: radius-2 probing holds 0.955 here where radius 1
     // had silently decayed to 0.634)
-    val (knnRecallX, knnIvfRecallX) = {
-      // the exact oracle is O(n·q) cross-scoring collected to the driver —
-      // above OracleFullCeiling rows, sample ~1000 query vertices
-      // deterministically (q_id % mod == 0) so the probe completes at high
-      // factors instead of the oracle dwarfing the probed queries
-      val OracleFullCeiling = 20000L
-      val n = Tables.embeddings(spark, scaled).count()
-      val mod = if (n <= OracleFullCeiling) 1L else math.max(1L, n / 1000L)
-      val exact = Recall.pairs(
-        graft.queries.VectorQueries.bruteKnnGraph(spark, scaled, 5, mod)
-          .collect(), 5)
-      def recallOf(name: String): Double = {
-        val approx = Recall.pairs(
-          SparkEntry.queries(name)(spark, scaled).collect()
-            .filter(_.getLong(0) % mod == 0), 5)
-        math.rint(Recall.of(exact, approx) * 1000) / 1000
-      }
-      // BOTH graph builds' recall at scale, against one shared oracle:
-      // this pair is the evidence behind GraphAutoIvfThreshold staying at
-      // the bit clamp (r9: LSH 0.955 vs IVF 0.394 at ×5 — the 3×-cheaper
-      // IVF build does not hold the floor on this corpus's diffuse cells)
-      (recallOf("q_sim_knn_graph"), recallOf("q_sim_knn_graph_ivf"))
+    // the exact oracle is O(n·q) cross-scoring collected to the driver —
+    // above OracleFullCeiling rows, sample ~1000 query vertices
+    // deterministically (q_id % mod == 0) so the probe completes at high
+    // factors instead of the oracle dwarfing the probed queries
+    val OracleFullCeiling = 20000L
+    val nScaled = Tables.embeddings(spark, scaled).count()
+    val mod =
+      if (nScaled <= OracleFullCeiling) 1L else math.max(1L, nScaled / 1000L)
+    val exact = Recall.pairs(
+      graft.queries.VectorQueries.bruteKnnGraph(spark, scaled, 5, mod)
+        .collect(), 5)
+    def recallOfRows(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val approx = Recall.pairs(rows.filter(_.getLong(0) % mod == 0), 5)
+      math.rint(Recall.of(exact, approx) * 1000) / 1000
     }
-    // which branch knnGraphAuto takes at each probed corpus: the crossover
-    // is corpus-size-driven (GraphAutoIvfThreshold = bit-clamp saturation,
-    // recall-first — see its scaladoc), and both branches' ×factor
-    // exponents and recalls are recorded above so the handoff story is
-    // one artifact
+    // BOTH graph builds' recall at scale, against one shared oracle: this
+    // pair is the evidence behind GraphAutoIvfThreshold staying at the bit
+    // clamp (LSH holds ~0.95 where the default-knob IVF build sits far
+    // below its 0.9 floor on this corpus's diffuse cells — the full
+    // measured frontier is in IVF_FRONTIER.json / COVERAGE.md)
+    val knnRecallX =
+      recallOfRows(SparkEntry.queries("q_sim_knn_graph")(spark, scaled).collect())
+    val knnIvfRecallX =
+      recallOfRows(SparkEntry.queries("q_sim_knn_graph_ivf")(spark, scaled).collect())
+    // the crossover measured IN SITU (VERDICT r9 item 4): force the
+    // threshold between the two probed corpora so buildAuto's own routing
+    // takes LSH at sf0.1 and IVF at ×factor, and record the switched
+    // path's seconds, cross-threshold exponent, and recall THROUGH the
+    // auto entry — plus the default-threshold paths for the static story
     val autoJson = {
       def path(n: Long) =
         if (n > graft.queries.VectorQueries.GraphAutoIvfThreshold) "ivf" else "lsh"
       val nBase = Tables.embeddings(spark, base).count()
-      val nScaled = Tables.embeddings(spark, scaled).count()
+      def run(dir: String) = {
+        val t0 = System.nanoTime()
+        val rows = graft.queries.VectorQueries.knnGraphAuto(spark, dir,
+          k = 5, thresholdOverride = nBase).collect() // nBase: not > ⇒ lsh
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tBase, _) = run(base)
+      val (tScaled, rowsScaled) = run(scaled)
+      val switchedExp = math.rint(
+        math.log(tScaled / tBase) / math.log(factor.toDouble) * 100) / 100
       s""""knn_auto":{"threshold_n":${graft.queries.VectorQueries.GraphAutoIvfThreshold},""" +
         s""""path_base":"${path(nBase)}","path_scaled":"${path(nScaled)}",""" +
-        s""""switched_exponent_source":"q_sim_knn_graph_ivf"}"""
+        s""""insitu":{"threshold_override":$nBase,"path_base":"lsh",""" +
+        s""""path_scaled":"ivf","sec_base":${math.rint(tBase * 1000) / 1000},""" +
+        s""""sec_x$factor":${math.rint(tScaled * 1000) / 1000},""" +
+        s""""switched_exponent":$switchedExp,""" +
+        s""""switched_recall_x$factor":${recallOfRows(rowsScaled)}}}"""
     }
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
       s""""knn_recall_x$factor":$knnRecallX,""" +
@@ -125,8 +139,10 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Synthesize the ×factor corpus next to symlinks of the other tables. */
-  private def buildScaled(
+  /** Synthesize the ×factor corpus next to symlinks of the other tables.
+    * Shared with IvfGraphProbe (the recall/cost frontier sweep).
+    */
+  private[graft] def buildScaled(
       spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val dir = java.nio.file.Paths.get(out)
     // guard on the LAST artifact written (embeddings) — a build that died

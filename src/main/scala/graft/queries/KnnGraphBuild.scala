@@ -154,7 +154,8 @@ object KnnGraphBuild {
     * Returns the directed edge count, like both underlying builds.
     */
   def buildAuto(spark: SparkSession, embeddings: DataFrame, outDir: String,
-      k: Int = 5, tables: Int = 6, nprobe: Int = 3,
+      k: Int = 5, tables: Int = 6,
+      nprobe: Int = VectorQueries.GraphAutoIvfNprobe,
       thresholdOverride: Long = 0L): Long = {
     val threshold =
       if (thresholdOverride > 0) thresholdOverride

@@ -199,5 +199,50 @@ object StreamBatchQueries {
                 p.purchase_s IS NOT NULL AS converted,
                 p.purchase_s - s.signup_s AS lat_s
               FROM s LEFT JOIN p ON s.user_id = p.user_id
-              ORDER BY s.user_id""")))
+              ORDER BY s.user_id""")),
+
+    GQuery(
+      "q_events_retention",
+      (s, dir) => {
+        // COHORT RETENTION (round 10): users grouped by first-signup week,
+        // counted as active in each later week they produced ANY event —
+        // the other classic product-analytics shape next to the funnel
+        // (funnel = ordered conversion; retention = presence over time).
+        // Two user_id-keyed pre-aggregations (first signup week, distinct
+        // active weeks) shuffle once each, join on the key they already
+        // share, and the final rollup groups the tiny (cohort, offset)
+        // matrix — events-scale data never crosses a second shuffle. Week
+        // offsets subtract WEEK-ALIGNED timestamps, so the day diff is an
+        // exact multiple of 7 in both engines (no week-epoch convention
+        // to disagree on).
+        val ev = Tables.events(s, dir)
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cohort_wk"))
+        val active = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        cohort.join(active, "user_id")
+          .filter(col("wk") >= col("cohort_wk"))
+          .withColumn("week_offset",
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("int"))
+          .groupBy("cohort_wk", "week_offset")
+          .agg(countDistinct("user_id").as("active_users"))
+          .select(
+            date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH cohort AS (SELECT user_id,
+                    min(date_trunc('week', ts)) AS cohort_wk
+                    FROM events WHERE event_type = 'signup' GROUP BY 1),
+              act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                    FROM events)
+              SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+                CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS INT)
+                  AS week_offset,
+                count(DISTINCT c.user_id) AS active_users
+              FROM cohort c JOIN act a ON c.user_id = a.user_id
+              WHERE a.wk >= c.cohort_wk
+              GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

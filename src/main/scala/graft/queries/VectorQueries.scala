@@ -160,22 +160,35 @@ object VectorQueries {
     * corpus (n=10,000, diffuse clusters — best centroid cosine ~0.2):
     *   - COST says switch early: past the Hamming-radius-2 probe onset
     *     (n > 4,096) the LSH build turns superlinear (×5 exponent 1.42,
-    *     23.2 s) while IVF stays bounded (0.45, 8.0 s — 3× cheaper);
-    *   - RECALL says don't: at that scale the IVF graph held only 0.394
-    *     recall@5 (nprobe·cellSize candidates are near-arbitrary when the
-    *     quantizer carries this little signal — and the touched fraction
-    *     nprobe/kCells shrinks as cells track n/64), where the LSH build's
-    *     radius-widening held 0.955 — hyperplane collisions correlate with
-    *     cosine directly, which is the guarantee mean-centroid cells lack
-    *     on diffuse data. Both numbers are recorded per run in
-    *     BENCH_scale (knn_recall_x5 / knn_ivf_recall_x5).
-    * A 3×-cheaper build at 0.394 recall is not a crossover, it's a
-    * different (wrong) answer — so the auto build keeps paying the LSH
-    * price while any bit-width headroom remains, and hands off only at
-    * the clamp, where the choice is IVF-with-a-recall-knob (crank nprobe)
-    * versus LSH-with-no-knob-at-all.
+    *     23.2 s) while default-knob IVF stays bounded (×5 ~0.35, 9.8 s —
+    *     but at 0.377 recall@5: nprobe·cellSize candidates are
+    *     near-arbitrary when the quantizer carries this little signal);
+    *   - RECALL says don't: the LSH build's radius-widening held 0.955 —
+    *     hyperplane collisions correlate with cosine directly, the
+    *     guarantee mean-centroid cells lack on diffuse data — and the
+    *     measured IVF recall/cost frontier (IVF_FRONTIER.json, swept over
+    *     nprobe × cells at ×5) prices IVF's route to the same recall:
+    *     nprobe=12 at the default n/64 cells reaches 0.981 at 38 s,
+    *     ~1.7× the LSH build's cost at this scale. Cheaper-and-equal does
+    *     not exist on this corpus, so LSH wins while it has bit headroom.
+    * Past the clamp the choice inverts: LSH's buckets grow without bound
+    * (no knob at all) while IVF keeps its bounded-candidate shape, so the
+    * auto build hands off there — at the frontier's ≥0.9-recall operating
+    * point ([[GraphAutoIvfNprobe]]), not the default nprobe. Default-knob
+    * recall and the in-situ switched recall are both recorded per run in
+    * BENCH_scale (knn_ivf_recall_x5 / knn_auto.insitu).
     */
   private[graft] val GraphAutoIvfThreshold: Long = 64L << 15
+
+  /** The nprobe the AUTO build uses on its IVF side — the measured
+    * ≥0.9-recall operating point on the worst-case (diffuse) probe corpus
+    * (IVF_FRONTIER.json: 0.981 recall@5 at the default n/64 cells, vs
+    * 0.377 at the catalog default nprobe=3). The catalog query keeps
+    * nprobe=3: it demonstrates the operator's bounded-candidate shape;
+    * the auto build is the path that must HOLD the recall floor when it
+    * inherits a corpus too big for LSH.
+    */
+  private[graft] val GraphAutoIvfNprobe: Int = 12
 
   /** The crossover the two builds' scaladocs promised, in code: LSH while
     * the adaptive bit width still has headroom, IVF once it saturates.
@@ -185,7 +198,7 @@ object VectorQueries {
     * spec to force the IVF branch at test scale.
     */
   def knnGraphAuto(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int, tables: Int = 6, nprobe: Int = 3,
+      k: Int, tables: Int = 6, nprobe: Int = GraphAutoIvfNprobe,
       thresholdOverride: Long = 0L): org.apache.spark.sql.DataFrame = {
     val threshold =
       if (thresholdOverride > 0) thresholdOverride else GraphAutoIvfThreshold
@@ -210,11 +223,12 @@ object VectorQueries {
     */
   def knnGraphIvf(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, nprobe: Int, nHint: Long = -1L,
-      trainCapPerCell: Long = 256L): org.apache.spark.sql.DataFrame = {
+      trainCapPerCell: Long = 256L,
+      cellsOverride: Int = 0): org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorIndex
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = if (nHint >= 0) nHint else e.count()
-    val cells = ivfCellCount(n)
+    val cells = if (cellsOverride > 0) cellsOverride else ivfCellCount(n)
     val sigs = nrmFrame(e).localCheckpoint()
     val centroids = VectorIndex.kmeansCentroids(s,
       // one Lloyd pass, like the other IVF/PQ trainers: recall is set by
@@ -538,6 +552,54 @@ object VectorQueries {
               FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
     GQuery(
+      "q_sim_knn_class",
+      (s, dir) => {
+        // k-NN CLASSIFIER (round 10): predict each query vector's label by
+        // majority vote over its 10 nearest neighbors — the prediction
+        // face of the similarity surface (dedup/search retrieve rows;
+        // this one turns retrieval into a decision). Same broadcast-query
+        // one-pass corpus scan as q_sim_topk; the vote is a (q_id, label)
+        // count over the k-bounded survivors (20·10 rows) followed by a
+        // 1-row-per-query argmax window — nothing after the scan touches
+        // corpus-scale data, so the plan scales exactly like top-k.
+        // Deterministic end to end: rank ties break on vec_id, vote ties
+        // on lowest label.
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
+        val q = broadcast(
+          e.filter(col("vec_id") < 20).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_n")))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        val wVote = Window.partitionBy("q_id")
+          .orderBy(col("votes").desc, col("label").asc)
+        q.join(e, col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .groupBy("q_id", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(wVote))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH scored AS (
+                SELECT q.vec_id AS q_id, c.vec_id, c.label,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 20),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk FROM scored),
+              votes AS (SELECT q_id, label, count(*) AS votes
+                FROM ranked WHERE rnk <= 10 GROUP BY 1, 2),
+              pick AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY votes DESC, label ASC) AS rn FROM votes)
+              SELECT q_id, label AS pred_label, votes
+              FROM pick WHERE rn = 1 ORDER BY q_id""")),
+
+    GQuery(
       "q_sim_topk_ivf",
       (s, dir) => {
         // IVF-style pruned search: only the query's cell (label) is scored.
@@ -806,9 +868,11 @@ object VectorQueries {
         // which is what keeps recall at 0.955 on the ×5 corpus where
         // radius 1 had decayed to 0.634; the measured exponent (1.42 at
         // ×5) is the price of that floor, not an accident — and a price
-        // worth paying: the IVF build is 3× cheaper there but held only
-        // 0.394 recall on the same corpus (GraphAutoIvfThreshold's
-        // scaladoc has the full two-sided measurement). The crossover is
+        // worth paying: the default-knob IVF build is 3× cheaper there
+        // but held only 0.377 recall, and driving IVF to the same floor
+        // costs ~1.7× LSH (nprobe=12: 0.981 at 38 s — IVF_FRONTIER.json;
+        // GraphAutoIvfThreshold's scaladoc has the full two-sided
+        // measurement). The crossover is
         // CODE, not prose: knnGraphAuto hands off to IVF at the threshold
         // (bit-clamp saturation — where LSH has no knob left), with both
         // branches pinned row-identical to the chosen side's build in

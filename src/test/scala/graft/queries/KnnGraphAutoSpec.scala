@@ -5,13 +5,17 @@ import graft.SparkSpec
 /** The LSH→IVF graph-build crossover (VERDICT r8 item 3): knnGraphAuto must
   * (a) switch exactly where the adaptive bit width saturates its clamp —
   * NOT earlier at the radius-2 cost crossover, because the crossover
-  * constant is recall-first: at ×5 the IVF build is 3× cheaper (8.0 s vs
-  * 23.2 s) but held only 0.394 recall@5 where LSH's radius widening held
-  * 0.955 (BENCH_scale knn_ivf_recall_x5 / knn_recall_x5; the threshold's
-  * scaladoc carries the full two-sided measurement) — and (b) be
-  * row-identical to the side it picks; each side's recall ≥ 0.9 floor at
-  * spec scale is already pinned by KnnGraphSpec / KnnGraphIvfSpec, so
-  * identity here inherits those floors on both branches.
+  * constant is recall-first: at ×5 the default-knob IVF build is 3×
+  * cheaper (9.8 s vs 23.2 s) but held only 0.377 recall@5 where LSH's
+  * radius widening held 0.955, and driving IVF to the floor costs ~1.7×
+  * LSH (nprobe=12: 0.981 at 38 s — IVF_FRONTIER.json; the threshold's
+  * scaladoc carries the full two-sided measurement). Past the clamp the
+  * auto build hands off at that measured operating point
+  * (GraphAutoIvfNprobe = 12), recorded in situ per BENCH_scale run
+  * (knn_auto.insitu.switched_recall). And (b) it must be row-identical to
+  * the side it picks; each side's recall ≥ 0.9 floor at spec scale is
+  * already pinned by KnnGraphSpec / KnnGraphIvfSpec, so identity here
+  * inherits those floors on both branches.
   */
 class KnnGraphAutoSpec extends SparkSpec {
 
