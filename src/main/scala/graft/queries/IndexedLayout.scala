@@ -275,6 +275,94 @@ object IndexedLayout {
     }
   }
 
+  /** Compact the layout: rewrite every cell that holds tombstone-killed
+    * rows down to its live set and drop the then-satisfied tombstones —
+    * the LSM lifecycle's last verb, and the steady-state answer to
+    * unbounded churn the tombstone scaladocs promise. Work is bounded by
+    * the CHURNED cells, never the corpus: a vec_id's rows live in exactly
+    * one cell under the pinned quantizer, so the dirty-cell set (a
+    * bounded driver collect of cell ids) covers every dead row, and
+    * clean cells' files are never touched (spec-asserted by file name).
+    *
+    * CRASH SAFETY, same discipline as [[applyDelta]] plus one wrinkle:
+    * the compacted rows re-stamp their write epoch to the compaction
+    * epoch, and the staging input keeps ONE row per vec_id (max write
+    * epoch) — so a retry converges even from the mid-promote state where
+    * a cell briefly holds both an original row and its compacted copy.
+    * Per cell the order is promote-then-drop-originals; a reader racing
+    * a crashed attempt can observe a torn cell (the documented plain-
+    * parquet append caveat), and the retry converges it. A fully-dead
+    * cell (every row tombstoned) stages nothing and simply drops its
+    * files. Tombstones are deleted only after the meta epoch commits —
+    * and a leftover tombstone is harmless anyway (compacted rows carry a
+    * NEWER epoch than every as_of). Single-writer, like every other
+    * layout mutation. Returns (cells compacted, live rows rewritten).
+    */
+  def compact(spark: SparkSession, outDir: String): (Int, Long) = {
+    val (epoch, hwm) = readMeta(spark, outDir)
+    val fs = fsOf(spark, outDir)
+    def dropTombstones(): Unit =
+      (1 to epoch).map(i => new org.apache.hadoop.fs.Path(s"${tombDir(outDir)}/e$i"))
+        .filter(fs.exists).foreach(p =>
+          require(fs.delete(p, true), s"could not drop satisfied tombstones $p"))
+    val tombs = readTombstones(spark, outDir, epoch) match {
+      case None => return (0, 0L)
+      case Some(t) => t
+    }
+    val raw = spark.read.parquet(outDir)
+    val dirty = raw.join(tombs, Seq("vec_id"))
+      .filter(col("epoch") < col("as_of"))
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (dirty.isEmpty) {
+      // nothing dead on disk (unknown-id deletes, or a crashed attempt
+      // that finished every cell): every tombstone is satisfied — rows
+      // only ever land with epochs NEWER than any existing as_of, so a
+      // tombstone that kills nothing today can never kill anything again
+      dropTombstones()
+      return (0, 0L)
+    }
+    val next = epoch + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("epoch").desc)
+    val input = readCorpus(spark, outDir)
+      .filter(col("cell").isin(dirty.map(c => c: Any): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("epoch", lit(next))
+      .localCheckpoint()
+    val rewritten = input.count()
+    val staging = s"$outDir/_index/staging/e$next"
+    input.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val staged = fs.listStatus(stagingPath).map(_.getPath)
+      .filter(_.getName.startsWith("cell=")).map(p => p.getName -> p).toMap
+    dirty.foreach { cell =>
+      val name = s"cell=$cell"
+      val target = new org.apache.hadoop.fs.Path(outDir, name)
+      staged.get(name).foreach { cellDir =>
+        fs.listStatus(target).map(_.getPath)
+          .filter(_.getName.startsWith(s"e$next-"))
+          .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
+        fs.listStatus(cellDir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            val dest = new org.apache.hadoop.fs.Path(target, s"e$next-$i.parquet")
+            require(fs.rename(f, dest), s"could not promote $f to $dest")
+          }
+      }
+      // drop the superseded originals (for a fully-dead cell: everything)
+      fs.listStatus(target).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(s"e$next-"))
+        .foreach(f => require(fs.delete(f, false), s"could not drop $f"))
+    }
+    writeMeta(spark, outDir, next, hwm) // the commit point
+    dropTombstones()
+    fs.delete(stagingPath, true)
+    (dirty.length, rewritten)
+  }
+
   /** The (q_id, cell) probe set for a query frame (q_id, q_emb): each
     * query's top-`nprobe` cells by centroid cosine. Deterministic in the
     * centroid table (ties → lowest cell).

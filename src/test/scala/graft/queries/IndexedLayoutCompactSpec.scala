@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compaction closes the layout's LSM lifecycle: churned cells collapse to
+  * their live set, satisfied tombstones disappear, clean cells' files are
+  * untouched byte-for-byte — and the LIVE VIEW (readCorpus, prunedTopK)
+  * is identical before and after. Re-running is a no-op.
+  */
+class IndexedLayoutCompactSpec extends SparkSpec {
+
+  private val (nc, np, kk) = (16, 2, 5)
+
+  private def emb = graft.Tables.embeddings(spark, sf001)
+    .select("vec_id", "embedding")
+
+  private def queries = graft.Tables.embeddings(spark, sf001)
+    .filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  private def tmp(p: String) = {
+    val d = java.nio.file.Files.createTempDirectory(p).toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    d
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  private def cellFiles(d: String): Map[String, Set[String]] =
+    new java.io.File(d).listFiles().filter(_.getName.startsWith("cell="))
+      .map(c => c.getName -> c.listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+
+  test("compact rewrites only churned cells, preserves the live view, drops tombstones") {
+    val d = tmp("ivf_compact")
+    IndexedLayout.write(spark, emb, d, kCells = nc)
+    val deadIds = emb.select("vec_id").filter(col("vec_id") % 89 === 7)
+    val updated = emb.join(deadIds, Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(-x as float))"))
+      .localCheckpoint()
+    // churn: delete some ids, upsert new versions of others
+    IndexedLayout.delete(spark,
+      deadIds.join(updated, Seq("vec_id"), "left_anti"), d)
+    IndexedLayout.upsert(spark, updated, d)
+
+    val filesBefore = cellFiles(d)
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+    val searchBefore = canon(IndexedLayout.prunedTopK(spark, d, queries, kk, np))
+    val rawBefore = spark.read.parquet(d).count()
+    assert(rawBefore > liveBefore.size, "fixture: dead rows must exist on disk")
+
+    val (cells, rewritten) = IndexedLayout.compact(spark, d)
+    assert(cells > 0 && rewritten > 0)
+
+    // live view identical; dead rows physically gone; tombstones dropped
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    assert(spark.read.parquet(d).count() == liveBefore.size)
+    assert(canon(IndexedLayout.prunedTopK(spark, d, queries, kk, np))
+      == searchBefore)
+    assert(!new java.io.File(d, "_index/tombstones").exists() ||
+      new java.io.File(d, "_index/tombstones").listFiles().isEmpty)
+
+    // clean cells untouched file-for-file; churned cells hold only the
+    // compaction epoch's files
+    val filesAfter = cellFiles(d)
+    val changed = filesAfter.filter { case (c, fsNow) => filesBefore(c) != fsNow }
+    assert(changed.nonEmpty && changed.size < filesAfter.size)
+    val epochPrefix = changed.values.flatten.map(_.takeWhile(_ != '-')).toSet
+    assert(epochPrefix.size == 1, s"mixed epochs in compacted cells: $epochPrefix")
+    filesAfter.keys.filterNot(changed.contains).foreach { c =>
+      assert(filesAfter(c) == filesBefore(c), s"clean cell $c was touched")
+    }
+
+    // re-running is a no-op (no dead rows left)
+    assert(IndexedLayout.compact(spark, d) == ((0, 0L)))
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+
+    // and the compacted layout still takes further CDC epochs
+    val more = emb.limit(3)
+      .withColumn("vec_id", col("vec_id") + 700000L).localCheckpoint()
+    IndexedLayout.append(spark, more, d)
+    assert(IndexedLayout.readCorpus(spark, d).count() == liveBefore.size + 3)
+  }
+
+  test("a delete-everything cell compacts to empty; unknown-id tombstones clear without work") {
+    import spark.implicits._
+    val d = tmp("ivf_compact_dead")
+    IndexedLayout.write(spark, emb, d, kCells = nc)
+    // kill one whole cell
+    val cellPick = spark.read.parquet(d).select("cell").head.getInt(0)
+    val victims = spark.read.parquet(d)
+      .filter(col("cell") === cellPick).select("vec_id").localCheckpoint()
+    val nVictims = victims.count()
+    IndexedLayout.delete(spark, victims, d)
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+    val (cells, _) = IndexedLayout.compact(spark, d)
+    assert(cells >= 1)
+    assert(spark.read.parquet(d).count() == emb.count() - nVictims)
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    // tombstones that never matched a row clear on the fast path
+    IndexedLayout.delete(spark, Seq(777777701L).toDF("vec_id"), d)
+    assert(IndexedLayout.compact(spark, d) == ((0, 0L)))
+    assert(!new java.io.File(d, "_index/tombstones").exists() ||
+      new java.io.File(d, "_index/tombstones").listFiles().isEmpty)
+  }
+}
