@@ -97,33 +97,33 @@ object StateProbe {
     implicit val enc: org.apache.spark.sql.Encoder[ResourceEventRow] =
       org.apache.spark.sql.Encoders.product[ResourceEventRow]
 
-    val upserts = new java.util.concurrent.atomic.AtomicLong
-    val deletes = new java.util.concurrent.atomic.AtomicLong
-    // probe-delete ids → nanoTime first seen at the sink
-    val deleteSeen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    @volatile var watchedDeletes = Set.empty[String]
+    // counters live in the static [[StateProbeSink]]: with the executor
+    // sink (mode execsink) the RestSink closure is serialized into each
+    // partition task, so a captured counter would increment per-task
+    // copies — the statically-resolved object is the same instance across
+    // local-mode tasks (the ExecResyncRecorder pattern)
+    StateProbeSink.reset()
+    val upserts = StateProbeSink.upserts
+    val deletes = StateProbeSink.deletes
+    val deleteSeen = StateProbeSink.deleteSeen
     val sink = new RestSink(
-      post = p => {
-        if (p.startsWith("""{"deletes"""")) {
-          deletes.addAndGet("\",\"".r.findAllMatchIn(p).length.toLong + 1)
-          val now = System.nanoTime()
-          watchedDeletes.foreach { id =>
-            if (p.contains("\"" + id + "\"")) deleteSeen.putIfAbsent(id, now)
-          }
-        } else upserts.addAndGet("\"createdAt\":".r.findAllMatchIn(p).length.toLong)
-        200
-      },
+      post = StateProbeSink.post _,
       sleep = _ => (), jitter = () => 1.0)
 
     val source = MemoryStream[ResourceEventRow]
     // the reference scenario: 10 s debounce holding upserts, trigger = the
     // delete-latency bound; RocksDB so the 10^6-key state never tests the
     // heap instead of the store; keep-alive so quiet-phase timers still fire
+    // mode execsink = the full 100 TB-shaped config: TWS timers + RocksDB
+    // + per-partition payload delivery (Config.executorSideSink) — proves
+    // the 10^6-key delete-latency bound on the config a large cluster
+    // actually runs, not just the driver-sender one
     val cfg = SyncPipeline.Config(
       debounceMs = 10000, flushIntervalMs = 250, maxBatch = 500,
       checkpointDir = java.nio.file.Files.createTempDirectory("state_probe").toString,
       rocksDbState = mode != "heap", keepAliveTick = mode != "noka",
-      transformWithState = mode == "tws")
+      transformWithState = mode == "tws" || mode == "execsink",
+      executorSideSink = mode == "execsink")
     val collector = new Collector
     spark.streams.addListener(collector)
     val query = SyncPipeline.start(source.toDS(), sink, cfg)
@@ -178,7 +178,7 @@ object StateProbe {
         // reference bound
         val victim = if (ids.nonEmpty) ids.head else rnd.nextInt(keys)
         val id = s"ns/apps/v1/Deployment/app-$victim"
-        watchedDeletes += id
+        StateProbeSink.watchedDeletes += id
         deletedIds += victim
         nProbes += 1
         val sentNs = System.nanoTime()
@@ -238,10 +238,41 @@ object StateProbe {
         s""""state_rows_final":${collector.stateRowsLast},""" +
         s""""state_rows_expected":$expectedRows,""" +
         s""""state_bound_met":${collector.stateRowsLast == expectedRows}}"""
+    // the default (tws) run owns STATE_PROBE.json; alternative-mode runs
+    // land beside it so artifacts accumulate instead of overwriting
+    val outName =
+      if (mode == "tws") "STATE_PROBE.json" else s"STATE_PROBE_$mode.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("STATE_PROBE.json"), (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outName), (json + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => }
     println(json)
     spark.stop()
+  }
+}
+
+/** Static sink-side recorder for [[StateProbe]]: upsert/delete tallies and
+  * the probe-delete first-seen clock. Static so the executor-sink mode's
+  * per-task RestSink closures all hit the one instance (local mode shares
+  * the JVM); the driver modes read it identically.
+  */
+object StateProbeSink {
+  val upserts = new java.util.concurrent.atomic.AtomicLong
+  val deletes = new java.util.concurrent.atomic.AtomicLong
+  val deleteSeen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  @volatile var watchedDeletes = Set.empty[String]
+
+  def reset(): Unit = {
+    upserts.set(0); deletes.set(0); deleteSeen.clear(); watchedDeletes = Set.empty
+  }
+
+  def post(p: String): Int = {
+    if (p.startsWith("""{"deletes"""")) {
+      deletes.addAndGet("\",\"".r.findAllMatchIn(p).length.toLong + 1)
+      val now = System.nanoTime()
+      watchedDeletes.foreach { id =>
+        if (p.contains("\"" + id + "\"")) deleteSeen.putIfAbsent(id, now)
+      }
+    } else upserts.addAndGet("\"createdAt\":".r.findAllMatchIn(p).length.toLong)
+    200
   }
 }
