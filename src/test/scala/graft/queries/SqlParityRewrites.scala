@@ -86,6 +86,13 @@ object SqlParityRewrites {
     // the exclusive-end form range(1, n) = [1 .. n-1]
     """range\(1, size\(split\(lower\(trim\(text\)\), '\\s\+'\)\)\)""" ->
       """sequence(1, size(split(lower(trim(text)), '\\s+')) - 1)""",
+    // ---- round-10 additions (retention / knn-class) ----
+    // the %Y-%m-%d strftime form (the existing '%Y-%m' rule requires the
+    // literal to END there, so these don't shadow each other)
+    """strftime\((.+?), '%Y-%m-%d'\)""" -> "date_format($1, 'yyyy-MM-dd')",
+    // general date_diff('day', a, b) = b − a → datediff(end, start);
+    // placed after the specific DATE-literal rule, which consumes first
+    """date_diff\('day', ([^,]+), ([\w.]+)\)""" -> "datediff($2, $1)",
     // ---- round-8 extensions (the 38-query parity gap) ----
     // DuckDB 1-arg make_timestamp(micros) vs Spark's 6-arg form
     """\bmake_timestamp\(""" -> "timestamp_micros(",
