@@ -104,6 +104,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial_"), p)
   }
 
+  test("q_sim_knn_class broadcasts the query side; the vote never reshuffles the corpus") {
+    val p = plan("q_sim_knn_class")
+    // same one-pass shape as q_sim_topk: queries ride a broadcast...
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    // ...and no cartesian product sneaks in via the vote aggregation
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_events_retention pre-aggregates both sides on user_id, no raw-events join") {
+    val p = plan("q_events_retention")
+    // both join inputs are aggregates (cohort min, distinct weeks) — the
+    // events-scale rows never meet the join un-reduced
+    assert(p.contains("partial_min") || p.contains("partial_first"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_pii, q_emb_project, q_pack_overlap, q_mm_audio stay single-scan and narrow") {
     for (q <- Seq("q_text_pii", "q_emb_project", "q_pack_overlap", "q_mm_audio")) {
       val p = plan(q)
