@@ -244,5 +244,67 @@ object StreamBatchQueries {
                 count(DISTINCT c.user_id) AS active_users
               FROM cohort c JOIN act a ON c.user_id = a.user_id
               WHERE a.wk >= c.cohort_wk
-              GROUP BY 1, 2 ORDER BY 1, 2""")))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    GQuery(
+      "q_events_resample",
+      (s, dir) => {
+        // TIME-SERIES RESAMPLE + FORWARD FILL (round 10): project each
+        // user's irregular event stream onto a fixed 1-hour grid spanning
+        // their first→last active hour, carrying the last observed value
+        // across empty slots (~91% of slots at sf0.1 are gaps) — the
+        // gap-fill primitive of every time-series store, and the third
+        // product-analytics face next to funnel (order) and retention
+        // (presence). Scale shape: the per-hour last-observation pre-agg
+        // shuffles events ONCE on user_id (hash agg on (user_id, hour)
+        // then span on user_id reuse the same key family); the grid
+        // explodes from a 2-column per-user span row, so its size is
+        // users × span-hours — independent of event volume — and the
+        // left join + fill window run on user_id-partitioned data.
+        // Determinism: the in-hour survivor breaks ties on (ts, event_id),
+        // the fill is a frame-sequential carry of that survivor, and the
+        // first grid slot is by construction an observed hour, so the
+        // carry never reads an empty frame.
+        val ev = Tables.events(s, dir)
+        val obs = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
+          .agg(max_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("obs"))
+        val grid = obs.groupBy("user_id")
+          .agg(min("slot").as("t0"), max("slot").as("t1"))
+          .select(col("user_id"),
+            explode(sequence(col("t0"), col("t1"),
+              expr("interval 1 hour"))).as("slot"))
+        val wFill = Window.partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "slot"), "left")
+          .withColumn("value",
+            r4(last(col("obs"), ignoreNulls = true).over(wFill)))
+          .select(col("user_id"), fmtTs(col("slot")).as("slot_ts"),
+            col("value"), col("obs").isNull.cast("int").as("is_gap"))
+          .orderBy("user_id", "slot_ts")
+      },
+      Some("""WITH hourly AS (
+                SELECT user_id,
+                       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS slot,
+                       value AS v,
+                       row_number() OVER (
+                         PARTITION BY user_id, date_trunc('hour', ts)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events),
+              obs AS (SELECT user_id, slot, v AS obs FROM hourly WHERE rn = 1),
+              span AS (SELECT user_id, min(slot) AS t0, max(slot) AS t1
+                       FROM obs GROUP BY 1),
+              grid AS (SELECT user_id,
+                       unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+                       FROM span)
+              SELECT g.user_id, strftime(g.slot, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+                     round(last_value(o.obs IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.slot
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       4) AS value,
+                     CAST(o.obs IS NULL AS INT) AS is_gap
+              FROM grid g LEFT JOIN obs o
+                ON g.user_id = o.user_id AND g.slot = o.slot
+              ORDER BY 1, 2""")))
 }

@@ -120,6 +120,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_events_resample reduces events before the grid join; no cartesian") {
+    val p = plan("q_events_resample")
+    // the grid side explodes from a per-user 2-column span — both join
+    // inputs are user_id-keyed aggregates of the single events scan, so
+    // event-volume rows never cross a second shuffle un-reduced
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_max_by") || p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_pii, q_emb_project, q_pack_overlap, q_mm_audio stay single-scan and narrow") {
     for (q <- Seq("q_text_pii", "q_emb_project", "q_pack_overlap", "q_mm_audio")) {
       val p = plan(q)

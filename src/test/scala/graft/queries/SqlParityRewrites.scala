@@ -86,7 +86,10 @@ object SqlParityRewrites {
     // the exclusive-end form range(1, n) = [1 .. n-1]
     """range\(1, size\(split\(lower\(trim\(text\)\), '\\s\+'\)\)\)""" ->
       """sequence(1, size(split(lower(trim(text)), '\\s+')) - 1)""",
-    // ---- round-10 additions (retention / knn-class) ----
+    // ---- round-10 additions (retention / knn-class / resample) ----
+    // general in-call IGNORE NULLS → Spark's trailing clause (the vid-
+    // specific rule above consumes its own match first)
+    """last_value\(([\w.]+) IGNORE NULLS\)""" -> "last_value($1) IGNORE NULLS",
     // the %Y-%m-%d strftime form (the existing '%Y-%m' rule requires the
     // literal to END there, so these don't shadow each other)
     """strftime\((.+?), '%Y-%m-%d'\)""" -> "date_format($1, 'yyyy-MM-dd')",
