@@ -44,20 +44,26 @@ object IvfGraphProbe {
       k = 5, nprobe = 3).count()
 
     val defaultCells = graft.queries.VectorQueries.ivfCellCount(n)
+    // second arg: Lloyd-pass sweep, e.g. "1,3" — re-tests the iters=1
+    // "polish doesn't buy recall" claim at the probe scale. Default is
+    // the production iters=1 only.
+    val itersSweep = args.lift(1).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1))
     val configs = for {
+      iters <- itersSweep
       cells <- Seq(defaultCells, defaultCells / 2, defaultCells / 4)
       nprobe <- Seq(3, 5, 8, 12)
-    } yield (cells, nprobe)
+    } yield (cells, nprobe, iters)
 
-    val rows = configs.map { case (cells, nprobe) =>
+    val rows = configs.map { case (cells, nprobe, iters) =>
       val t0 = System.nanoTime()
       val g = graft.queries.VectorQueries.knnGraphIvf(spark, scaled,
-        k = 5, nprobe = nprobe, cellsOverride = cells).collect()
+        k = 5, nprobe = nprobe, cellsOverride = cells, iters = iters).collect()
       val sec = (System.nanoTime() - t0) / 1e9
       val approx = Recall.pairs(g.filter(_.getLong(0) % mod == 0), 5)
       val recall = math.rint(Recall.of(exact, approx) * 1000) / 1000
-      val line = f"""{"cells":$cells,"nprobe":$nprobe,"recall":$recall,""" +
-        f""""sec":${math.rint(sec * 100) / 100}}"""
+      val line = f"""{"cells":$cells,"nprobe":$nprobe,"iters":$iters,""" +
+        f""""recall":$recall,"sec":${math.rint(sec * 100) / 100}}"""
       println(line)
       line
     }

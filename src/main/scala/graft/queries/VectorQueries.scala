@@ -224,18 +224,20 @@ object VectorQueries {
   def knnGraphIvf(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, nprobe: Int, nHint: Long = -1L,
       trainCapPerCell: Long = 256L,
-      cellsOverride: Int = 0): org.apache.spark.sql.DataFrame = {
+      cellsOverride: Int = 0,
+      iters: Int = 1): org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorIndex
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = if (nHint >= 0) nHint else e.count()
     val cells = if (cellsOverride > 0) cellsOverride else ivfCellCount(n)
     val sigs = nrmFrame(e).localCheckpoint()
     val centroids = VectorIndex.kmeansCentroids(s,
-      // one Lloyd pass, like the other IVF/PQ trainers: recall is set by
-      // nprobe co-residence, not quantizer polish (measured: iters=1
-      // keeps the graph at 0.97 recall@5 at sf0.001 — same as iters=2 —
-      // and drops a full distributed assign+update chain)
-      trainFrame(sigs, n, cells, trainCapPerCell), cells, iters = 1)
+      // one Lloyd pass by default, like the other IVF/PQ trainers: recall
+      // is set by nprobe co-residence, not quantizer polish (measured:
+      // iters=1 keeps the graph at 0.97 recall@5 at sf0.001 — same as
+      // iters=2 — and drops a full distributed assign+update chain; the
+      // ×5 frontier probe sweeps `iters` to re-test that claim at scale)
+      trainFrame(sigs, n, cells, trainCapPerCell), cells, iters = iters)
     val assign = ivfAssign(sigs, centroids, nprobe)
     rankGraph(topKEdges(scorePairs(ivfCellCandidates(assign), sigs, sigs), k))
   }
