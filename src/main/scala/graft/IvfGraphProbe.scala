@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
   * signal-free quantizer leaves) buys it at a measured quadratic price —
   * this probe turns that sentence into a table.
   *
-  * `runMain graft.IvfGraphProbe [factor]` — prints one JSON line per
-  * config and a final summary line; writes IVF_FRONTIER.json in cwd.
+  * `runMain graft.IvfGraphProbe [factor] [itersSweep]` — prints one JSON
+  * line per config and a final summary line; writes IVF_FRONTIER.json in
+  * cwd. The optional second argument is a comma-separated Lloyd-pass
+  * sweep (e.g. "1,3") re-testing the iters=1 operating choice; default
+  * is the production iters=1 only.
   */
 object IvfGraphProbe {
 

@@ -119,6 +119,16 @@ object ScaleProbe {
       }
       val (tBase, _) = run(base)
       val (tScaled, rowsScaled) = run(scaled)
+      // in-session CONTROL (VERDICT r10 item 4): the same operating-point
+      // IVF build, called directly (no auto wrapper) back-to-back with the
+      // in-situ run — isolates the auto entry's own overhead (corpus count
+      // + routing) from cross-session drift vs the IVF_FRONTIER sweep
+      val tDirect = {
+        val t0 = System.nanoTime()
+        graft.queries.VectorQueries.knnGraphIvf(spark, scaled, k = 5,
+          nprobe = graft.queries.VectorQueries.GraphAutoIvfNprobe).count()
+        (System.nanoTime() - t0) / 1e9
+      }
       val switchedExp = math.rint(
         math.log(tScaled / tBase) / math.log(factor.toDouble) * 100) / 100
       s""""knn_auto":{"threshold_n":${graft.queries.VectorQueries.GraphAutoIvfThreshold},""" +
@@ -126,6 +136,7 @@ object ScaleProbe {
         s""""insitu":{"threshold_override":$nBase,"path_base":"lsh",""" +
         s""""path_scaled":"ivf","sec_base":${math.rint(tBase * 1000) / 1000},""" +
         s""""sec_x$factor":${math.rint(tScaled * 1000) / 1000},""" +
+        s""""sec_x${factor}_direct":${math.rint(tDirect * 1000) / 1000},""" +
         s""""switched_exponent":$switchedExp,""" +
         s""""switched_recall_x$factor":${recallOfRows(rowsScaled)}}}"""
     }

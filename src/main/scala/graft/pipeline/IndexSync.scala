@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.pipeline.VectorSync.VecEvent
 import graft.queries.{IndexedLayout, KnnGraphBuild}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The engine's NAMESAKE loop, end to end: a streaming CDC of vector
@@ -28,10 +29,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     an idempotent delta (newer tombstones kill the earlier copy;
   *     IndexedLayoutDeleteSpec / IndexSyncSpec prove convergence).
   *
+  * EXECUTOR-NATIVE (VERDICT r10 item 1): the event batch never leaves the
+  * cluster. Last-state-wins is a `max_by(struct(...), event_seq)` aggregate
+  * on the Dataset, the upsert/delete split is two filters over its result,
+  * and the split frames feed [[IndexedLayout.applyDelta]] /
+  * [[KnnGraphBuild.deleteVecs]]/delta directly — the driver keeps only the
+  * 2-row verb counts (and the REST-sink contrast no longer applies: unlike
+  * rows leaving the cluster, index maintenance is cluster-internal all the
+  * way down, so CDC throughput here is bounded by the cluster, not the
+  * driver heap).
+  *
   * Bootstrap: run [[IndexedLayout.write]] / [[KnnGraphBuild.build*]] over
-  * the initial corpus first; this query then maintains that state. The
-  * per-trigger event batch is bounded by keys changed per trigger (the
-  * VectorSync contract), so the driver-side collect is delta-sized.
+  * the initial corpus first; this query then maintains that state.
+  *
+  * Churn-proofing: pass `compactEvery > 0` to [[start]] and every N
+  * APPLIED epochs the loop runs [[IndexedLayout.compact]] at
+  * `compactMinDeadFrac` (rewrite only cells whose dead fraction crossed
+  * the threshold) and [[KnnGraphBuild.vacuum]] — the scheduled self-repair
+  * the reference expresses as its 24 h resync cadence
+  * (internal/config/config.go:51). The cadence counter is in-memory (a
+  * restart restarts the count) — compaction timing needs no crash
+  * precision, only eventual firing, exactly like the reference's resync.
+  *
+  * Observability (A20 parity for this loop): applied epochs / upserts /
+  * deletes / skipped replays / compactions count into [[Metrics.global]]
+  * as `graft_indexsync_*` and are scrapeable via [[ApiServer]]'s
+  * GET /metrics — foreachBatch bodies run on the driver, so these
+  * counters land in the JVM that serves the endpoint.
   */
 object IndexSync {
 
@@ -61,61 +85,102 @@ object IndexSync {
     * be null to maintain just one). Exposed for the spec's replay test;
     * [[start]] drives it per micro-batch. Returns (upserts, deletes)
     * applied — (0, 0) when every target store had already absorbed the
-    * epoch.
+    * epoch. All vector rows stay on the cluster; the driver sees only
+    * the bounded per-verb counts.
     */
-  def applyBatch(spark: SparkSession, events: Seq[VecEvent], epochId: Long,
+  def applyBatch(spark: SparkSession, events: Dataset[VecEvent], epochId: Long,
       layoutDir: String, graphDir: String): (Long, Long) = {
-    import spark.implicits._
+    val layoutTodo =
+      layoutDir != null && !marked(spark, s"$layoutDir/_index", epochId)
+    val graphTodo =
+      graphDir != null && !marked(spark, s"$graphDir/_graft_state", epochId)
+    if (!layoutTodo && !graphTodo) {
+      Metrics.global.inc("graft_indexsync_skipped_epochs_total")
+      return (0L, 0L)
+    }
     if (events.isEmpty) return (0L, 0L)
-    // last state wins inside the epoch (A13): one surviving verb per key
-    val last = events.groupBy(_.vec_id).map(_._2.maxBy(_.event_seq)).toSeq
-    val dels = last.filter(_.event_type == "DELETE").map(_.vec_id)
-    val ups = last.filterNot(_.event_type == "DELETE")
-    val upDf = ups.map(e => (e.vec_id, e.embedding))
-      .toDF("vec_id", "embedding")
-      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
-    val delDf = dels.toDF("vec_id")
-    var applied = false
-    if (layoutDir != null && !marked(spark, s"$layoutDir/_index", epochId)) {
+    // last state wins inside the epoch (A13): one surviving verb per key —
+    // an executor-side max_by aggregate, churn-sized, pinned once for the
+    // multi-action application below
+    val last = events.toDF()
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("event_type"), col("embedding")), col("event_seq")).as("e"))
+      .select(col("vec_id"),
+        col("e.event_type").as("event_type"), col("e.embedding").as("embedding"))
+      .localCheckpoint()
+    val upDf = last.filter(col("event_type") =!= "DELETE")
+      .select("vec_id", "embedding")
+    val delDf = last.filter(col("event_type") === "DELETE").select("vec_id")
+    // the ONLY driver-side view of the batch: the 2-row verb histogram
+    val counts = last.groupBy((col("event_type") === "DELETE").as("is_del"))
+      .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val (nUp, nDel) = (counts.getOrElse(false, 0L), counts.getOrElse(true, 0L))
+    if (layoutTodo) {
       IndexedLayout.applyDelta(spark, upDf, delDf, layoutDir)
       mark(spark, s"$layoutDir/_index", epochId)
-      applied = true
     }
-    if (graphDir != null &&
-        !marked(spark, s"$graphDir/_graft_state", epochId)) {
+    if (graphTodo) {
       // tombstone deletes AND superseded upsert copies, then re-insert the
       // fresh vectors through the method-matching delta (upsert = delete +
       // insert; deleteVecs is tolerant of ids that are not live)
       KnnGraphBuild.deleteVecs(spark,
         delDf.union(upDf.select("vec_id")), graphDir)
-      if (ups.nonEmpty) {
+      if (nUp > 0) {
         val method = KnnGraphBuild.methodOf(spark, graphDir)
         if (method == "ivf") KnnGraphBuild.deltaIvf(spark, upDf, graphDir)
         else KnnGraphBuild.delta(spark, upDf, graphDir)
       }
       mark(spark, s"$graphDir/_graft_state", epochId)
-      applied = true
     }
-    if (applied) (ups.size.toLong, dels.size.toLong) else (0L, 0L)
+    Metrics.global.inc("graft_indexsync_epochs_total")
+    Metrics.global.inc("graft_indexsync_upserts_total", nUp)
+    Metrics.global.inc("graft_indexsync_deletes_total", nDel)
+    (nUp, nDel)
+  }
+
+  /** Seq convenience overload (specs, batch replays): same semantics, the
+    * events are parallelized first so the application itself stays
+    * executor-native.
+    */
+  def applyBatch(spark: SparkSession, events: Seq[VecEvent], epochId: Long,
+      layoutDir: String, graphDir: String): (Long, Long) = {
+    import spark.implicits._
+    if (events.isEmpty) return (0L, 0L)
+    applyBatch(spark, spark.createDataset(events), epochId, layoutDir, graphDir)
   }
 
   /** Maintain the physical index state from a CDC stream — the streaming
     * face of [[applyBatch]]. Same exactly-once shape as [[VectorSync]]:
-    * checkpointed offsets + idempotent epoch application.
+    * checkpointed offsets + idempotent epoch application. `compactEvery`
+    * > 0 turns on the scheduled self-repair documented above.
     */
   def start(
       events: Dataset[VecEvent],
       layoutDir: String,
       graphDir: String,
       checkpointDir: String,
-      triggerMs: Long = 100)(implicit spark: SparkSession): StreamingQuery =
+      triggerMs: Long = 100,
+      compactEvery: Int = 0,
+      compactMinDeadFrac: Double = 0.3)(
+      implicit spark: SparkSession): StreamingQuery = {
+    val applied = new java.util.concurrent.atomic.AtomicLong
     events.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[VecEvent], epochId: Long) =>
-        applyBatch(spark, batch.collect().toSeq, epochId, layoutDir, graphDir)
+        val (nUp, nDel) = applyBatch(spark, batch, epochId, layoutDir, graphDir)
+        if (compactEvery > 0 && (nUp > 0 || nDel > 0) &&
+            applied.incrementAndGet() % compactEvery == 0) {
+          if (layoutDir != null) {
+            IndexedLayout.compact(spark, layoutDir, compactMinDeadFrac)
+            Metrics.global.inc("graft_indexsync_compactions_total")
+          }
+          if (graphDir != null) KnnGraphBuild.vacuum(spark, graphDir)
+        }
         ()
       }
       .start()
+  }
 }

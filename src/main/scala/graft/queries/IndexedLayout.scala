@@ -275,14 +275,26 @@ object IndexedLayout {
     }
   }
 
-  /** Compact the layout: rewrite every cell that holds tombstone-killed
-    * rows down to its live set and drop the then-satisfied tombstones —
-    * the LSM lifecycle's last verb, and the steady-state answer to
-    * unbounded churn the tombstone scaladocs promise. Work is bounded by
-    * the CHURNED cells, never the corpus: a vec_id's rows live in exactly
-    * one cell under the pinned quantizer, so the dirty-cell set (a
-    * bounded driver collect of cell ids) covers every dead row, and
-    * clean cells' files are never touched (spec-asserted by file name).
+  /** Compact the layout: rewrite cells holding tombstone-killed rows down
+    * to their live sets and drop the then-satisfied tombstones — the LSM
+    * lifecycle's last verb, and the steady-state answer to unbounded
+    * churn the tombstone scaladocs promise. Work is bounded by the
+    * CHURNED cells, never the corpus: a vec_id's rows live in exactly one
+    * cell under the pinned quantizer, so the dirty-cell set (a bounded
+    * driver collect of per-cell stats, ≤ |cells| rows) covers every dead
+    * row, and clean cells' files are never touched (spec-asserted by
+    * file name).
+    *
+    * `minDeadFrac` is the compaction POLICY knob: only cells whose dead
+    * fraction (dead rows / total rows on disk) reaches the threshold are
+    * rewritten — the RocksDB/LSM space-amp trigger, keeping rewrite I/O
+    * proportional to reclaimable space instead of churn incidence. The
+    * default 0.0 compacts every dirty cell (the full-repair verb). When
+    * cells stay below the threshold, their tombstones must outlive the
+    * pass: the still-needed subset (those killing a row in an
+    * un-compacted cell) is consolidated into the compaction epoch's own
+    * tombstone dir — original `as_of` values preserved, so reader
+    * semantics are unchanged — and only the pre-compaction dirs drop.
     *
     * CRASH SAFETY, same discipline as [[applyDelta]] plus one wrinkle:
     * the compacted rows re-stamp their write epoch to the compaction
@@ -293,12 +305,16 @@ object IndexedLayout {
     * a crashed attempt can observe a torn cell (the documented plain-
     * parquet append caveat), and the retry converges it. A fully-dead
     * cell (every row tombstoned) stages nothing and simply drops its
-    * files. Tombstones are deleted only after the meta epoch commits —
-    * and a leftover tombstone is harmless anyway (compacted rows carry a
-    * NEWER epoch than every as_of). Single-writer, like every other
+    * files. Consolidated survivor tombstones write BEFORE the meta
+    * commit (invisible until it — readers resolve only committed
+    * epochs); originals are deleted only AFTER it — and a leftover
+    * original is harmless anyway (the survivors are its subset, and a
+    * satisfied tombstone kills nothing: rows only ever land with epochs
+    * NEWER than any existing as_of). Single-writer, like every other
     * layout mutation. Returns (cells compacted, live rows rewritten).
     */
-  def compact(spark: SparkSession, outDir: String): (Int, Long) = {
+  def compact(spark: SparkSession, outDir: String,
+      minDeadFrac: Double = 0.0): (Int, Long) = {
     val (epoch, hwm) = readMeta(spark, outDir)
     val fs = fsOf(spark, outDir)
     def dropTombstones(): Unit =
@@ -310,10 +326,15 @@ object IndexedLayout {
       case Some(t) => t
     }
     val raw = spark.read.parquet(outDir)
-    val dirty = raw.join(tombs, Seq("vec_id"))
+    val deadRows = raw.join(tombs, Seq("vec_id"))
       .filter(col("epoch") < col("as_of"))
-      .select("cell").distinct().collect().map(_.getInt(0)).sorted
-    if (dirty.isEmpty) {
+    // per-cell (dead, total) stats — the bounded driver view the policy
+    // decides on (≤ |cells| rows, the centroid-table budget class)
+    val dirtyStats = raw.groupBy("cell").agg(count(lit(1)).as("total"))
+      .join(deadRows.groupBy("cell").agg(count(lit(1)).as("dead")), Seq("cell"))
+      .select(col("cell"), (col("dead").cast("double") / col("total")).as("frac"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    if (dirtyStats.isEmpty) {
       // nothing dead on disk (unknown-id deletes, or a crashed attempt
       // that finished every cell): every tombstone is satisfied — rows
       // only ever land with epochs NEWER than any existing as_of, so a
@@ -321,7 +342,20 @@ object IndexedLayout {
       dropTombstones()
       return (0, 0L)
     }
+    val dirty = dirtyStats.filter(_._2 >= minDeadFrac).map(_._1).sorted
+    // every dirty cell is below the policy threshold: reclaimable space
+    // does not yet justify a rewrite, and the tombstones are still doing
+    // their job — leave everything in place
+    if (dirty.isEmpty) return (0, 0L)
     val next = epoch + 1
+    // tombstones that must OUTLIVE this pass: those still killing a row
+    // in a cell the threshold left un-compacted (pinned before any file
+    // mutation below)
+    val survivorTombs =
+      if (dirty.length == dirtyStats.length) None
+      else Some(deadRows
+        .filter(!col("cell").isin(dirty.map(c => c: Any): _*))
+        .select("vec_id", "as_of").distinct().localCheckpoint())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("epoch").desc)
     val input = readCorpus(spark, outDir)
@@ -357,8 +391,12 @@ object IndexedLayout {
           !p.getName.startsWith(s"e$next-"))
         .foreach(f => require(fs.delete(f, false), s"could not drop $f"))
     }
+    // consolidated survivors land in the compaction epoch's own dir —
+    // invisible until the commit below makes epoch `next` current
+    survivorTombs.filter(s => !s.isEmpty).foreach(_.coalesce(1)
+      .write.mode("overwrite").parquet(s"${tombDir(outDir)}/e$next"))
     writeMeta(spark, outDir, next, hwm) // the commit point
-    dropTombstones()
+    dropTombstones() // pre-compaction dirs only (1..epoch); e`next` survives
     fs.delete(stagingPath, true)
     (dirty.length, rewritten)
   }
