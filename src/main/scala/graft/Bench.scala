@@ -117,9 +117,16 @@ object Bench {
     val upsExec = if (only.isDefined) -1.0
       else (1 to pipelineIterations)
         .map(_ => pipelineThroughput(spark, executorSide = true)).max
+    // the namesake sync→index loop (VERDICT r10 item 1): CDC events through
+    // IndexSync.start into a live IndexedLayout — executor-native, so this
+    // number is the cluster's, not the driver heap's
+    val upsIdx = if (only.isDefined) -1.0
+      else (1 to pipelineIterations)
+        .map(_ => indexsyncThroughput(spark, sfDir)).max
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
+      s""""indexsync_upserts_per_s":$upsIdx,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
       s""""sentinel_sec":$sentinelJson,"sentinel_spread":$sentinelSpread,""" +
       s""""stat":"min","sf":"$sfDir"}"""
@@ -143,6 +150,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
+      s""""indexsync_upserts_per_s":$upsIdx,""" +
       s""""sentinel_spread":$sentinelSpread,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
@@ -193,6 +201,62 @@ object Bench {
     } finally query.stop()
     val secs = (System.nanoTime() - t0) / 1e9
     if (delivered.get() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
+  }
+
+  /** The sync→index loop's sustained rate: a live [[graft.queries.IndexedLayout]]
+    * bootstrapped over the bench corpus absorbs a churning upsert CDC through
+    * [[graft.pipeline.IndexSync.start]] (layout side; the graph side's delta
+    * cost is priced separately by the knn-graph catalog rows). Events stream
+    * via MemoryStream, so batching is Spark's own; the rate is events
+    * absorbed-and-committed per second including every applyDelta epoch's
+    * staging + promote + meta commit, with the periodic compaction policy ON
+    * (compactEvery=4) so the number prices the full churn-proof loop.
+    */
+  private def indexsyncThroughput(spark: SparkSession, sfDir: String): Double = {
+    import graft.pipeline._
+    import graft.pipeline.VectorSync.VecEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[VecEvent] =
+      org.apache.spark.sql.Encoders.product[VecEvent]
+    val layoutDir =
+      java.nio.file.Files.createTempDirectory("bench_isync_layout").toString
+    graft.queries.IndexedLayout.write(spark,
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), layoutDir)
+    // event fixture: 6× churn over 500 live ids (driver-built — fixture
+    // creation, not the measured path)
+    val baseVecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").limit(500).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = 3000
+    val events = (0 until n).map { i =>
+      val (id, v) = baseVecs(i % baseVecs.length)
+      VecEvent("UPDATE", i.toLong, id, v.map(x => x * (1.0f + 0.001f * (i % 7))), 0)
+    }
+    val before = Metrics.global.value("graft_indexsync_upserts_total") +
+      Metrics.global.value("graft_indexsync_deletes_total")
+    def appliedDelta() = Metrics.global.value("graft_indexsync_upserts_total") +
+      Metrics.global.value("graft_indexsync_deletes_total") - before
+    val source = MemoryStream[VecEvent]
+    val query = IndexSync.start(source.toDS(), layoutDir, null,
+      java.nio.file.Files.createTempDirectory("bench_isync_ckpt").toString,
+      triggerMs = 50, compactEvery = 4)
+    val t0 = System.nanoTime()
+    try {
+      events.grouped(500).foreach(chunk => source.addData(chunk))
+      val deadline = System.currentTimeMillis() + 120000
+      // each epoch dedups to last-state-wins, so the APPLIED count is the
+      // surviving-key count per batch, <= n; completion = every input row
+      // went through a committed batch (progress reports post-commit)
+      while (query.recentProgress.map(_.numInputRows).sum < n &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally query.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val absorbed = appliedDelta()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(layoutDir))
+    if (absorbed <= 0) -1.0 else math.round(n / secs * 10.0) / 10.0
   }
 
   /** Upserts per payload = createdAt fields: exactly one per instance and,

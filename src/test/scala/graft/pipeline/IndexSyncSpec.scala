@@ -107,6 +107,57 @@ class IndexSyncSpec extends SparkSpec {
       canon(KnnGraphBuild.readGraph(spark, wantGraph)))
   }
 
+  test("sustained churn with compactEvery keeps on-disk rows bounded (the policy fires)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val layoutDir = tmp("isync_churn_layout")
+    val srcDir = tmp("isync_churn_src")
+    val ckpt = tmp("isync_churn_ckpt")
+    IndexedLayout.write(spark, emb, layoutDir, kCells = nc)
+    val n = emb.count()
+    val churnVecs = emb.orderBy("vec_id").limit(12).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // 4 single-file epochs re-upserting the SAME 12 ids — every epoch is
+    // pure churn; without compaction the layout would hold n + 4*12 rows
+    val batches = 4
+    (1 to batches).foreach { b =>
+      writeEvents(srcDir, f"b$b%02d.json", churnVecs.zipWithIndex.map {
+        case ((id, v), i) =>
+          VecEvent("UPDATE", b * 100L + i, id,
+            v.map(x => x * (1.0f + 0.01f * b)), 0)
+      }.toSeq)
+    }
+    val evs = {
+      implicit val enc: org.apache.spark.sql.Encoder[VecEvent] =
+        org.apache.spark.sql.Encoders.product[VecEvent]
+      spark.readStream.schema(enc.schema)
+        .option("maxFilesPerTrigger", "1").json(srcDir).as[VecEvent]
+    }
+    val before = (
+      Metrics.global.value("graft_indexsync_epochs_total"),
+      Metrics.global.value("graft_indexsync_upserts_total"),
+      Metrics.global.value("graft_indexsync_compactions_total"))
+    val q = IndexSync.start(evs, layoutDir, null, ckpt,
+      compactEvery = 2, compactMinDeadFrac = 0.0)
+    try eventually() {
+      Metrics.global.value("graft_indexsync_compactions_total") - before._3 >= 2
+    } finally q.stop()
+    // the loop's own counters (A20 parity for the index loop)
+    assert(Metrics.global.value("graft_indexsync_epochs_total") - before._1
+      >= batches)
+    assert(Metrics.global.value("graft_indexsync_upserts_total") - before._2
+      >= batches * 12L)
+    // bounded: at most compactEvery epochs of churn outstanding — without
+    // the policy this would be n + batches*12
+    val raw = spark.read.parquet(layoutDir).count()
+    assert(raw <= n + 2 * 12, s"layout grew unbounded: $raw rows vs live $n")
+    // live view correct: same key set, each churned id on a churned
+    // embedding (bit-exact final state is IndexSyncSpec test 1's job;
+    // batch arrival order is the file source's)
+    val live = IndexedLayout.readCorpus(spark, layoutDir)
+    assert(live.count() == n)
+    assert(live.select("vec_id").distinct().count() == n)
+  }
+
   test("an epoch that re-applies (lost marker) converges; a marked epoch is skipped") {
     val layoutDir = tmp("isync_replay_layout")
     val graphDir = tmp("isync_replay_graph")

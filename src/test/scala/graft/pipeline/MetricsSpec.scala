@@ -82,6 +82,49 @@ class MetricsSpec extends AnyFunSuite {
     assert(Metrics.global.value("graft_deletes_total") == delsBefore + 1)
   }
 
+  test("the index loop's epochs/upserts/deletes count and are scrapeable") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("metrics_isync").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    // 12-vector fixture layout — just enough physical state to drive one
+    // real applyBatch epoch
+    val fixture = (0 until 12).map { i =>
+      val v = Array.fill(8)(0.0f); v(i % 4) = 1.0f; v(4 + i % 4) = 0.5f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    graft.queries.IndexedLayout.write(spark, fixture, d, kCells = 2)
+    val events = Seq(
+      VectorSync.VecEvent("UPDATE", 1, 3L,
+        Array.fill(8)(0.1f), 0),
+      VectorSync.VecEvent("DELETE", 2, 7L, Array.empty[Float], 0))
+    val dd = delta("graft_indexsync_epochs_total",
+      "graft_indexsync_upserts_total", "graft_indexsync_deletes_total",
+      "graft_indexsync_skipped_epochs_total") {
+      IndexSync.applyBatch(spark, events, 41L, d, null)
+      IndexSync.applyBatch(spark, events, 41L, d, null) // marked → skipped
+    }
+    assert(dd("graft_indexsync_epochs_total") == 1)
+    assert(dd("graft_indexsync_upserts_total") == 1)
+    assert(dd("graft_indexsync_deletes_total") == 1)
+    assert(dd("graft_indexsync_skipped_epochs_total") == 1)
+    // and the counters ride the same /metrics surface as the sync pipeline's
+    val sched = new ResyncScheduler(intervalMs = 3600000, doResync = () => 0L)
+    val api = new ApiServer(":0", sched).start()
+    try {
+      val conn = new URI(s"http://127.0.0.1:${api.port}/metrics").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect()
+      assert(body.contains("# TYPE graft_indexsync_epochs_total counter"))
+      assert(body.contains("graft_indexsync_upserts_total"))
+      assert(body.contains("graft_indexsync_deletes_total"))
+    } finally { api.close(); sched.close() }
+  }
+
   test("resync runs count; GET /metrics exposes the counters") {
     val sched = new ResyncScheduler(intervalMs = 3600000, doResync = () => 5L)
     val api = new ApiServer(":0", sched).start()

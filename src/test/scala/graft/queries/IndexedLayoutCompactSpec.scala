@@ -90,6 +90,62 @@ class IndexedLayoutCompactSpec extends SparkSpec {
     assert(IndexedLayout.readCorpus(spark, d).count() == liveBefore.size + 3)
   }
 
+  test("minDeadFrac compacts only cells past the threshold; surviving tombstones keep killing") {
+    val d = tmp("ivf_compact_policy")
+    IndexedLayout.write(spark, emb, d, kCells = nc)
+    // pick the two fullest cells: A gets heavy churn (all but one id dead),
+    // B light churn (exactly one id dead) — A's dead fraction clears 0.5,
+    // B's stays below it (>= 3 rows in each by construction)
+    val byCount = spark.read.parquet(d).groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()
+    assert(byCount(1).getLong(1) >= 3, "fixture: need two cells with >= 3 rows")
+    val (cellA, cellB) = (byCount(0).getInt(0), byCount(1).getInt(0))
+    def idsOf(c: Int) = spark.read.parquet(d).filter(col("cell") === c)
+      .select("vec_id").orderBy("vec_id")
+    IndexedLayout.delete(spark, idsOf(cellA).limit(
+      idsOf(cellA).count().toInt - 1), d)
+    IndexedLayout.delete(spark, idsOf(cellB).limit(1), d)
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+    val filesBefore = cellFiles(d)
+
+    val (cells, _) = IndexedLayout.compact(spark, d, minDeadFrac = 0.5)
+    assert(cells == 1, s"only the heavy cell should compact, got $cells")
+    // live view unchanged — B's tombstone survived consolidation and still
+    // kills its row
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    // A rewritten, B untouched file-for-file
+    val filesAfter = cellFiles(d)
+    assert(filesAfter(s"cell=$cellA") != filesBefore(s"cell=$cellA"))
+    assert(filesAfter(s"cell=$cellB") == filesBefore(s"cell=$cellB"))
+    // A's dead rows physically gone; B's still on disk awaiting threshold
+    assert(spark.read.parquet(d).filter(col("cell") === cellA).count() == 1)
+    assert(spark.read.parquet(d).filter(col("cell") === cellB).count()
+      == filesBeforeRowCount(d, cellB, byCount))
+    // exactly one consolidated tombstone dir remains, holding only B's id
+    val tombFiles = new java.io.File(d, "_index/tombstones").listFiles()
+    assert(tombFiles.length == 1, tombFiles.map(_.getName).mkString(","))
+    val survivors = spark.read.parquet(tombFiles.head.getPath)
+    assert(survivors.count() == 1)
+    // below-threshold everywhere: a repeat at the same threshold is a no-op
+    assert(IndexedLayout.compact(spark, d, minDeadFrac = 0.5) == ((0, 0L)))
+    // full repair clears the rest
+    val (cells2, _) = IndexedLayout.compact(spark, d)
+    assert(cells2 == 1)
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    assert(!new java.io.File(d, "_index/tombstones").exists() ||
+      new java.io.File(d, "_index/tombstones").listFiles().isEmpty)
+  }
+
+  /** B's on-disk row count is unchanged by the threshold pass (its dead row
+    * stays until its own compaction) — read it from the pre-churn census.
+    */
+  private def filesBeforeRowCount(d: String, cell: Int,
+      byCount: Array[org.apache.spark.sql.Row]): Long =
+    byCount.find(_.getInt(0) == cell).get.getLong(1)
+
   test("a delete-everything cell compacts to empty; unknown-id tombstones clear without work") {
     import spark.implicits._
     val d = tmp("ivf_compact_dead")

@@ -92,6 +92,46 @@ class IvfFallbackCapSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("the cap holds over a churned layout whose cells are mostly tombstones") {
+    val d = java.nio.file.Files.createTempDirectory("ivf_cap_churn").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    IndexedLayout.write(spark, fixture, d, kCells = 4)
+    // churn: tombstone 28 of the 32 clustered vectors AND all 10 noise
+    // corpus members — every cell is now mostly dead rows
+    IndexedLayout.delete(spark,
+      fixture.select("vec_id").filter(col("vec_id") >= 4L), d)
+    val noiseQ = fixture.filter(col("vec_id") >= 1000L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // the guard is centroid-based, so the breach fires exactly as on the
+    // un-churned layout — tombstones must not weaken the loud-failure path
+    val e = intercept[IllegalArgumentException] {
+      IndexedLayout.prunedTopK(spark, d, noiseQ, k = 3, nprobe = 2).collect()
+    }
+    assert(e.getMessage.contains("maxFallbackFrac"), e.getMessage)
+    // raised knowingly: the exact scan of the churned layout sees ONLY the
+    // live survivors — every neighbor is one of ids 0..3, none tombstoned
+    val rows = IndexedLayout.prunedTopK(spark, d, noiseQ, k = 3, nprobe = 2,
+      maxFallbackFrac = 1.0).collect()
+    assert(rows.groupBy(_.getLong(0)).size == 10)
+    assert(rows.forall(r => r.getLong(2) < 4L),
+      rows.map(_.getLong(2)).distinct.mkString(","))
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    // a live-cluster query still passes under the cap over the churned cells
+    val okQ = fixture.filter(col("vec_id") < 4L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val okRows = IndexedLayout.prunedTopK(spark, d, okQ, k = 3, nprobe = 2)
+      .collect()
+    assert(okRows.nonEmpty && okRows.forall(_.getLong(2) < 4L))
+    // and after compaction removes the dead rows the answers are identical
+    val beforeCompact = rows.map(_.toSeq.mkString("|")).sorted.toSeq
+    IndexedLayout.compact(spark, d)
+    val afterCompact = IndexedLayout.prunedTopK(spark, d, noiseQ, k = 3,
+      nprobe = 2, maxFallbackFrac = 1.0).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(afterCompact == beforeCompact)
+  }
+
   test("the catalog query's real batch stays under the default cap") {
     // vec_id < 10 at sf0.001 must not trip the gate — the cap exists for
     // adversarial batches, not the everyday path
