@@ -36,7 +36,16 @@ object Bench {
       spark.stop(); println(line); System.out.flush()
       return
     }
-    val qs = SparkEntry.queries
+    // bench=false rows (the q_index_fresh CDC flow) stay correctness-gated
+    // in Verify/CORRECTNESS but are excluded from the TIMED catalog: their
+    // cost is per-epoch filesystem-commit overhead, size-independent by
+    // construction (bounded corpus slice + bounded CDC batch), so timing
+    // them as "queries" would only add a constant to the total — the loop's
+    // real rate is priced by indexsync_upserts_per_s below. An explicit
+    // SPARK_GRAFT_ONLY naming such a row still times it.
+    val qs = graft.queries.Catalog.all
+      .filter(q => q.bench || only.exists(_(q.name)))
+      .map(q => q.name -> q.fn).toMap
       .filter { case (name, _) => only.forall(_(name)) }
     // Warmup: run the whole catalog once at the smallest sf before timing.
     // Generated code is data-independent, so this compiles every query's
