@@ -253,6 +253,71 @@ object CorpusQueries {
       }),
 
     GQuery(
+      "q_sample_temperature",
+      (s, dir) => {
+        // Temperature-weighted dataset mixing (the mT5/GPT-3 mixture
+        // recipe, T = 1/2): a source's share of the training mix is
+        // p_l ∝ n_l^(1/T) = n_l², up-weighting low-resource sources
+        // relative to proportional sampling as T shrinks. Quotas resolve
+        // by the LARGEST-REMAINDER method in EXACT integer arithmetic
+        // ((target·w) div / mod wsum) — no float summation whose order
+        // could disagree across engines — over the |langs|-row stats
+        // frame, where the unpartitioned windows are safe because the
+        // lang domain is bounded, never data-scale. Within a source the
+        // selection order is the deterministic md5 draw (the
+        // q_sample_weighted idiom), so the same mix reproduces on any
+        // cluster. The per-lang rank is a window here (the catalog's
+        // oracle-exact form); at 100 TB the identical selection is
+        // TopKPerKey-shaped — quota-bounded partial heaps, no giant
+        // window partition (plans/TopKPerKey.scala).
+        val wAll = Window.partitionBy(lit(1))
+        val quotas = Tables.documents(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", col("n") * col("n"))
+          .withColumn("wsum", sum("w").over(wAll))
+          .withColumn("ntot", sum("n").over(wAll))
+          .withColumn("target", expr("ntot div 2"))
+          .withColumn("quota0", expr("(target * w) div wsum"))
+          .withColumn("rem", expr("(target * w) % wsum"))
+          .withColumn("leftover", col("target") - sum("quota0").over(wAll))
+          .withColumn("rrank", row_number().over(
+            Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang").asc)))
+          .withColumn("quota",
+            col("quota0") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .select("lang", "quota")
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("rnk", row_number().over(w))
+          .join(broadcast(quotas), "lang")
+          .filter(col("rnk") <= col("quota"))
+          .select(col("lang"), col("doc_id"), col("rnk"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            q1 AS (SELECT lang, n, n*n AS w,
+                     sum(n*n) OVER () AS wsum,
+                     (sum(n) OVER ()) // 2 AS target
+                   FROM stats),
+            q2 AS (SELECT lang, target, (target * w) // wsum AS quota0,
+                     (target * w) % wsum AS rem FROM q1),
+            q3 AS (SELECT lang, quota0, target,
+                     sum(quota0) OVER () AS qsum,
+                     row_number() OVER (ORDER BY rem DESC, lang ASC) AS rrank
+                   FROM q2),
+            quotas AS (SELECT lang,
+                     quota0 + CASE WHEN rrank <= target - qsum THEN 1 ELSE 0 END AS quota
+                   FROM q3),
+            ranked AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+                   FROM documents)
+            SELECT r.lang, r.doc_id, r.rnk
+            FROM ranked r JOIN quotas q USING (lang)
+            WHERE r.rnk <= q.quota
+            ORDER BY lang, rnk""")),
+
+    GQuery(
       "q_text_tfidf",
       (s, dir) => {
         // Per-document top TF-IDF term. tf/df from one explode+groupBy

@@ -1000,24 +1000,31 @@ object VectorQueries {
         // detect→payload round-trip, test/e2e/e2e_test.go:401-456).
         import graft.pipeline.IndexSync
         import graft.pipeline.VectorSync.VecEvent
+        import s.implicits._
         val corpus = Tables.embeddings(s, dir)
           .filter(col("vec_id") < 200).select("vec_id", "embedding")
-        val d = java.nio.file.Files.createTempDirectory("graft_fresh").toString
-        IndexedLayout.write(s, corpus, d, kCells = 4)
-        def vec(id: Long): Array[Float] = corpus
-          .filter(col("vec_id") === id).head.getSeq[Float](1).toArray
-        IndexSync.applyBatch(s, Seq(
-          VecEvent("ADD", 1, 9000001L, vec(3).map(_ * 0.9f), 0),
-          VecEvent("UPDATE", 2, 17L, vec(17).map(-_), 0),
-          VecEvent("DELETE", 3, 23L, Array.empty[Float], 0)),
-          epochId = 1L, layoutDir = d, graphDir = null)
-        IndexSync.applyBatch(s, Seq(
-          VecEvent("DELETE", 4, 9000001L, Array.empty[Float], 0)),
-          epochId = 2L, layoutDir = d, graphDir = null)
-        IndexedLayout.compact(s, d)
-        val queries = corpus.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        IndexedLayout.prunedTopK(s, d, queries, k = 5, nprobe = 4)
+        if (corpus.limit(1).isEmpty)
+          // zero-row contract (EmptyInputSpec): nothing to index, nothing
+          // to answer — the flow degenerates to an empty result
+          Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rnk", "vec_id", "cos")
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+          IndexedLayout.write(s, corpus, d, kCells = 4)
+          def vec(id: Long): Array[Float] = corpus
+            .filter(col("vec_id") === id).head.getSeq[Float](1).toArray
+          IndexSync.applyBatch(s, Seq(
+            VecEvent("ADD", 1, 9000001L, vec(3).map(_ * 0.9f), 0),
+            VecEvent("UPDATE", 2, 17L, vec(17).map(-_), 0),
+            VecEvent("DELETE", 3, 23L, Array.empty[Float], 0)),
+            epochId = 1L, layoutDir = d, graphDir = null)
+          IndexSync.applyBatch(s, Seq(
+            VecEvent("DELETE", 4, 9000001L, Array.empty[Float], 0)),
+            epochId = 2L, layoutDir = d, graphDir = null)
+          IndexedLayout.compact(s, d)
+          val queries = corpus.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          IndexedLayout.prunedTopK(s, d, queries, k = 5, nprobe = 4)
+        }
       },
       Some(s"""WITH live AS (
                 SELECT vec_id, embedding FROM embeddings

@@ -146,6 +146,42 @@ class IndexedLayoutCompactSpec extends SparkSpec {
       byCount: Array[org.apache.spark.sql.Row]): Long =
     byCount.find(_.getInt(0) == cell).get.getLong(1)
 
+  test("leftover pre-compaction tombstone dirs (crash before the drop) are harmless and re-converge") {
+    val d = tmp("ivf_compact_crash")
+    IndexedLayout.write(spark, emb, d, kCells = nc)
+    val byCount = spark.read.parquet(d).groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()
+    val (cellA, cellB) = (byCount(0).getInt(0), byCount(1).getInt(0))
+    def idsOf(c: Int) = spark.read.parquet(d).filter(col("cell") === c)
+      .select("vec_id").orderBy("vec_id")
+    IndexedLayout.delete(spark, idsOf(cellA).limit(
+      idsOf(cellA).count().toInt - 1), d)
+    IndexedLayout.delete(spark, idsOf(cellB).limit(1), d)
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+    // snapshot the pre-compaction tombstone dirs (e1, e2)
+    val tombRoot = new java.io.File(d, "_index/tombstones")
+    val snap = java.nio.file.Files.createTempDirectory("tomb_snap").toFile
+    org.apache.commons.io.FileUtils.copyDirectory(tombRoot, snap)
+
+    assert(IndexedLayout.compact(spark, d, minDeadFrac = 0.5)._1 == 1)
+    // crash window: the meta epoch committed and the survivors landed in
+    // e3, but the pre-compaction dirs were never dropped — restore them
+    snap.listFiles().foreach(src => org.apache.commons.io.FileUtils
+      .copyDirectory(src, new java.io.File(tombRoot, src.getName)))
+
+    // harmless: max(as_of) per vec_id makes the duplicates a no-op, and
+    // every satisfied tombstone kills nothing (compacted rows are newer)
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    // the next full compact converges the leftover state away entirely
+    assert(IndexedLayout.compact(spark, d)._1 == 1) // cellB still dirty
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    assert(!tombRoot.exists() || tombRoot.listFiles().isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(snap)
+  }
+
   test("a delete-everything cell compacts to empty; unknown-id tombstones clear without work") {
     import spark.implicits._
     val d = tmp("ivf_compact_dead")

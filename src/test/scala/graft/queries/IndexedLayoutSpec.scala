@@ -135,10 +135,24 @@ class IndexedLayoutSpec extends SparkSpec {
     val marker = java.nio.file.Paths.get(d, "_index", "meta", "e1", "_graft_committed")
     assert(java.nio.file.Files.deleteIfExists(marker))
 
+    // the crashed attempt may also have staged MORE files than the retry
+    // will (committer/config drift): plant a stale e1-* tail — a real
+    // parquet copy, so a failed prefix-clear would surface as duplicate
+    // rows, not a read error — and prove the retry clears it
+    // any cell that took epoch-1 files will be re-staged by the retry
+    // (same delta, same deterministic assignment), so its prefix-clear runs
+    val anyE1 = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("e1-")).minBy(_.getName)
+    val staleTail = new java.io.File(anyE1.getParentFile, "e1-99.parquet")
+    java.nio.file.Files.copy(anyE1.toPath, staleTail.toPath)
+
     // the retry is NOT blocked (the hwm only advances at commit), overwrites
-    // the same epoch-1 file names, and lands the committed, exact layout
+    // the same epoch-1 file names, clears the stale tail, and lands the
+    // committed, exact layout
     assert(IndexedLayout.append(spark, delta, d) > 0)
     assert(java.nio.file.Files.exists(marker))
+    assert(!staleTail.exists(), "retry left a stale e1-* tail behind")
     assert(spark.read.parquet(d).count() == e.count())
     assert(spark.read.parquet(d).select("vec_id").distinct().count() == e.count())
   }
