@@ -130,6 +130,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sample_temperature broadcasts the quota table; no cartesian") {
+    val p = plan("q_sample_temperature")
+    // the |langs|-row quota frame rides a broadcast onto the ranked docs —
+    // the data-scale side shuffles once (the per-lang rank), never for the
+    // quota join
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_pii, q_emb_project, q_pack_overlap, q_mm_audio stay single-scan and narrow") {
     for (q <- Seq("q_text_pii", "q_emb_project", "q_pack_overlap", "q_mm_audio")) {
       val p = plan(q)
