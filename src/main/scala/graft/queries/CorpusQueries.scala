@@ -270,18 +270,25 @@ object CorpusQueries {
         // oracle-exact form); at 100 TB the identical selection is
         // TopKPerKey-shaped — quota-bounded partial heaps, no giant
         // window partition (plans/TopKPerKey.scala).
-        val wAll = Window.partitionBy(lit(1))
-        val quotas = Tables.documents(s, dir).groupBy("lang")
+        val stats = Tables.documents(s, dir).groupBy("lang")
           .agg(count(lit(1)).as("n"))
           .withColumn("w", col("n") * col("n"))
-          .withColumn("wsum", sum("w").over(wAll))
-          .withColumn("ntot", sum("n").over(wAll))
+          .localCheckpoint() // feeds totals AND quotas — stage it once
+        // cross-lang totals as a 1-row broadcast join, not unpartitioned
+        // windows (same exact integer sums, none of WindowExec's
+        // single-partition machinery or warnings on the hot log path)
+        val tot = stats.agg(sum("w").as("wsum"), sum("n").as("ntot"))
+        val base = stats.crossJoin(broadcast(tot))
           .withColumn("target", expr("ntot div 2"))
           .withColumn("quota0", expr("(target * w) div wsum"))
           .withColumn("rem", expr("(target * w) % wsum"))
-          .withColumn("leftover", col("target") - sum("quota0").over(wAll))
+          .localCheckpoint()
+        val qtot = base.agg(sum("quota0").as("qsum"))
+        val quotas = base.crossJoin(broadcast(qtot))
+          .withColumn("leftover", col("target") - col("qsum"))
+          // the one remaining tiny-frame window: ranking |langs| remainders
           .withColumn("rrank", row_number().over(
-            Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang").asc)))
+            Window.orderBy(col("rem").desc, col("lang").asc)))
           .withColumn("quota",
             col("quota0") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
           .select("lang", "quota")
