@@ -1045,5 +1045,118 @@ object VectorQueries {
       // fs-commit overhead on a size-bounded fixture (invariant in sf by
       // construction), not data processing — the loop's real rate is
       // BENCH's indexsync_upserts_per_s
-      bench = false))
+      bench = false),
+
+    GQuery(
+      "q_hybrid_rrf",
+      (s, dir) => {
+        // HYBRID SEARCH: lexical + vector retrieval fused by Reciprocal
+        // Rank Fusion (Cormack et al., SIGIR'09: score = Σ 1/(60+rank)) —
+        // the query mode a production vector DB serves alongside pure ANN,
+        // exercising the documents↔embeddings id alignment. Lexical side:
+        // an INVERTED-INDEX candidate join — query tokens (broadcast-small)
+        // meet the postings list (doc, token), scored by idf summed in
+        // EXACT DECIMAL (idf pre-rounded to 6 — the one float op — then
+        // summed associatively, so the cross-engine sum order can't flip a
+        // rank). Ultra-common tokens (df·2 > N) are pruned from scoring:
+        // the classic stop-word cap that keeps posting-list joins bounded
+        // at 100 TB — an explicit, deterministic integer rule, mirrored in
+        // the oracle. Vector side: the q_sim_topk broadcast-query scan.
+        // Fusion touches only the two k-bounded rank lists (full outer on
+        // (q, doc), ≤ 2k rows per query), with every rank an integer and
+        // the RRF sum a fixed-order two-term double — deterministic across
+        // engines. Output: top-5 fused per query.
+        import graft.functions.TextFunctions.tokens
+        val docs = Tables.documents(s, dir)
+        val tf = docs.select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+          .localCheckpoint() // feeds postings, df, AND the query side
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") * 2 <= col("n_docs")) // stop-word cap
+          .withColumn("idf", round(
+            log(col("n_docs").cast("double") / col("df")), 6)
+            .cast(DecimalType(18, 6)))
+          .select("token", "idf")
+        val qTok = tf.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"), col("token"))
+        val wl = Window.partitionBy("q_id")
+          .orderBy(col("lex").desc, col("doc_id").asc)
+        val lex = qTok.join(tf, "token")
+          .filter(col("doc_id") =!= col("q_id"))
+          .join(idf, "token")
+          .groupBy("q_id", "doc_id").agg(sum("idf").as("lex"))
+          .withColumn("lrank", row_number().over(wl))
+          .filter(col("lrank") <= 10)
+          .select("q_id", "doc_id", "lrank")
+        val e = Tables.embeddings(s, dir)
+          .withColumn("nrm", l2Norm(col("embedding")))
+        val q = broadcast(e.filter(col("vec_id") < 3).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_n")))
+        val wv = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        val vec = q.join(e, col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(cosineWithNorms(
+            col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .withColumn("vrank", row_number().over(wv))
+          .filter(col("vrank") <= 10)
+          .select(col("q_id"), col("vec_id").as("doc_id"), col("vrank"))
+        val wf = Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)), 6))
+          .withColumn("rnk", row_number().over(wf))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "doc_id", "rrf")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(${TextQueries.duckToks})) AS token
+                FROM documents),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              idf AS (
+                SELECT token,
+                       CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 6)
+                            AS DECIMAL(18,6)) AS idf
+                FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
+                WHERE df * 2 <= (SELECT n_docs FROM n)),
+              lex0 AS (
+                SELECT q.q_id, t.doc_id, sum(i.idf) AS lex
+                FROM (SELECT doc_id AS q_id, token FROM tok WHERE doc_id < 3) q
+                JOIN tok t USING (token)
+                JOIN idf i USING (token)
+                WHERE t.doc_id <> q.q_id
+                GROUP BY q.q_id, t.doc_id),
+              lex AS (
+                SELECT q_id, doc_id, lrank FROM (
+                  SELECT q_id, doc_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY lex DESC, doc_id ASC) AS lrank
+                  FROM lex0)
+                WHERE lrank <= 10),
+              vec0 AS (
+                SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 3),
+              vec AS (
+                SELECT q_id, doc_id, vrank FROM (
+                  SELECT q_id, doc_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos_r DESC, doc_id ASC) AS vrank
+                  FROM vec0)
+                WHERE vrank <= 10),
+              fused AS (
+                SELECT q_id, doc_id,
+                       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lrank), 0) +
+                             coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0), 6) AS rrf
+                FROM lex FULL JOIN vec USING (q_id, doc_id))
+              SELECT q_id, rnk, doc_id, rrf FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+                FROM fused)
+              WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+  )
 }

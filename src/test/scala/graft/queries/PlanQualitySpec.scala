@@ -139,6 +139,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_hybrid_rrf joins postings through an inverted index; no cartesian") {
+    val p = plan("q_hybrid_rrf")
+    // the query-token and vector-query sides ride broadcasts; candidates
+    // come from the token equi-join, never an all-pairs product
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_pii, q_emb_project, q_pack_overlap, q_mm_audio stay single-scan and narrow") {
     for (q <- Seq("q_text_pii", "q_emb_project", "q_pack_overlap", "q_mm_audio")) {
       val p = plan(q)
