@@ -554,6 +554,50 @@ object VectorQueries {
               FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
     GQuery(
+      "q_sim_topk_filtered",
+      (s, dir) => {
+        // FILTERED vector search — the vector-DB staple the pure-ANN rows
+        // don't cover: top-k restricted to vectors whose METADATA matches
+        // a predicate from another table (here: docs with lang = 'en',
+        // joined on the documents↔embeddings id alignment). The filter
+        // composes BEFORE ranking (true filtered-ANN semantics: the k
+        // results all satisfy the predicate — post-filtering a plain
+        // top-k would return fewer), and it rides the corpus scan as a
+        // semi-join, so the broadcast-query map-only pass shape of
+        // q_sim_topk is preserved; on the physical layout the same
+        // predicate composes with readCorpus exactly like the tombstone
+        // liveness join.
+        val allowed = Tables.documents(s, dir)
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
+        val corpus = e.join(allowed, Seq("vec_id"), "left_semi")
+        val q = broadcast(
+          e.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_n")))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        q.join(corpus, col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("vec_id"), r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH scored AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+                  AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk FROM scored)
+              SELECT q_id, rnk, vec_id, round(cos_r, 4) AS cos
+              FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    GQuery(
       "q_sim_knn_class",
       (s, dir) => {
         // k-NN CLASSIFIER (round 10): predict each query vector's label by

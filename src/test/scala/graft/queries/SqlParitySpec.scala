@@ -99,7 +99,7 @@ class SqlParitySpec extends SparkSpec {
     "q_mm_resize", "q_sample_weighted", "q_sim_pairs", "q_sim_range",
     "q_sim_topk", "q_sim_knn_class", "q_events_retention",
     "q_events_resample", "q_index_fresh", "q_sample_temperature",
-    "q_hybrid_rrf",
+    "q_hybrid_rrf", "q_sim_topk_filtered",
     "q_sim_topk_ivf", "q_src_csv", "q_src_dsv2", "q_src_jsonl", "q_src_orc",
     "q_stream_session", "q_stream_sliding", "q_stream_tumbling", "q_text_pii",
     "q_text_repetition", "q_text_tfidf", "q_text_tokens", "q_win_topk_native",
