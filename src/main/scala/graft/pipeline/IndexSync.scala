@@ -39,6 +39,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * way down, so CDC throughput here is bounded by the cluster, not the
   * driver heap).
   *
+  * ORDERING CONTRACT: event_seq totally orders events WITHIN a micro-batch
+  * (the A13 last-state-wins key); ACROSS batches, application order is
+  * batch order — the transport must deliver per-key events in order, the
+  * same contract the reference inherits from the watch stream's
+  * resourceVersion ordering (watcher.go). A per-key global-seq gate would
+  * need persistent per-key state in the loop itself; deliberately out of
+  * scope, as in [[VectorSync]].
+  *
   * Bootstrap: run [[IndexedLayout.write]] / [[KnnGraphBuild.build*]] over
   * the initial corpus first; this query then maintains that state.
   *
