@@ -423,9 +423,17 @@ object IndexedLayout {
     * layout. Per-query restriction then rides the (q_id, cell) join: a
     * query only scores vectors in its own probed cells, exactly the
     * logical IVF search.
+    *
+    * `allowedIds` (optional, a vec_id frame) is the FILTERED-ANN verb on
+    * the physical path: candidates are restricted to the allowed set
+    * BEFORE ranking (every returned neighbor satisfies the filter — the
+    * q_sim_topk_filtered semantics), composed as a semi-join on the
+    * pruned scan exactly like the tombstone liveness join, so partition
+    * pruning and the metadata filter stack rather than trade off.
     */
   def prunedTopK(spark: SparkSession, outDir: String, queries: DataFrame,
-      k: Int, nprobe: Int, maxFallbackFrac: Double = -1.0): DataFrame = {
+      k: Int, nprobe: Int, maxFallbackFrac: Double = -1.0,
+      allowedIds: DataFrame = null): DataFrame = {
     val centroids = readCentroids(spark, outDir)
     val probes0 = probeCells(queries, centroids, nprobe).localCheckpoint()
     // the SAME confidence fallback + cap as ivfTopK (one implementation —
@@ -450,8 +458,11 @@ object IndexedLayout {
       .collect().map(_.getInt(0)).sorted
     // tombstones resolve on the LIVE read; the static cell filter still
     // reaches the scan through the tombstone join (left-side predicate)
-    val corpus = readCorpus(spark, outDir)
+    val live = readCorpus(spark, outDir)
       .filter(col("cell").isin(cellSet.map(c => c: Any): _*))
+    val corpus =
+      if (allowedIds == null) live
+      else live.join(allowedIds.select("vec_id"), Seq("vec_id"), "left_semi")
     val q = broadcast(queries
       .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n"))
       .join(probes, "q_id"))

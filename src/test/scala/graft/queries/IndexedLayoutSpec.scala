@@ -157,6 +157,66 @@ class IndexedLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(d).select("vec_id").distinct().count() == e.count())
   }
 
+  test("filtered pruned search: metadata filter composes with planning-time pruning") {
+    // the q_sim_topk_filtered semantics on the PHYSICAL path: candidates
+    // restrict to the allowed set BEFORE ranking, and the partition prune
+    // still happens (filter and prune STACK, neither disables the other)
+    val allowed = graft.Tables.documents(spark, sf001)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+      .localCheckpoint()
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    assert(allowedSet.nonEmpty && allowedSet.size < 500)
+
+    // nprobe = all cells ⇒ the search is exact: must equal the filtered
+    // brute force over the raw embeddings
+    val e = graft.Tables.embeddings(spark, sf001)
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") < 5).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_n")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    val brute = q.join(e.join(allowed, Seq("vec_id"), "left_semi"),
+        col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(graft.functions.VectorFunctions.cosineWithNorms(
+        col("q_emb").cast("array<double>"), col("embedding").cast("array<double>"),
+        col("q_n"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kk)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        graft.Canon.r4(col("cos_r")).as("cos"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(canon(IndexedLayout.prunedTopK(spark, dir, queries, kk, nc,
+      allowedIds = allowed)) == canon(brute))
+
+    // under a REAL prune (nprobe = np < all cells) every neighbor still
+    // satisfies the filter and the layout scan still reads only the
+    // probed cells' files
+    val pruned = IndexedLayout.prunedTopK(spark, dir, queries, kk, np,
+      allowedIds = allowed)
+    val rows = pruned.collect()
+    assert(rows.nonEmpty && rows.forall(r => allowedSet(r.getLong(2))))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(pruned.queryExecution.executedPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      .getOrElse(fail("no FileSourceScanExec over the layout dir"))
+    assert(scan.partitionFilters.mkString(",").contains("cell"))
+    val centroids = IndexedLayout.readCentroids(spark, dir)
+    val probedFiles = IndexedLayout.probeCells(queries, centroids, np)
+      .select("cell").distinct().collect().map(_.getInt(0))
+      .map(c => filesUnder(s"cell=$c")).sum
+    assert(scan.metrics("numFiles").value == probedFiles)
+  }
+
   test("pruned layout search ≡ the same IVF search over the unpartitioned frame") {
     val centroids = IndexedLayout.readCentroids(spark, dir)
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
