@@ -248,9 +248,27 @@ object Bench {
     def appliedDelta() = Metrics.global.value("graft_indexsync_upserts_total") +
       Metrics.global.value("graft_indexsync_deletes_total") - before
     val source = MemoryStream[VecEvent]
+    // cumulative input-row tally via a listener keyed by query id — NOT
+    // query.recentProgress, whose bounded ring (default 100 entries) can
+    // shed early batches and undercount; registered BEFORE start so no
+    // progress event predates it (events for other queries are kept under
+    // their own id and ignored)
+    val inputRows =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        inputRows.merge(e.progress.id, e.progress.numInputRows,
+          (a, b) => a + b)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val query = IndexSync.start(source.toDS(), layoutDir, null,
       java.nio.file.Files.createTempDirectory("bench_isync_ckpt").toString,
       triggerMs = 50, compactEvery = 4)
+    def committed(): Long =
+      inputRows.getOrDefault(query.id, 0L)
     val t0 = System.nanoTime()
     try {
       events.grouped(500).foreach(chunk => source.addData(chunk))
@@ -258,14 +276,19 @@ object Bench {
       // each epoch dedups to last-state-wins, so the APPLIED count is the
       // surviving-key count per batch, <= n; completion = every input row
       // went through a committed batch (progress reports post-commit)
-      while (query.recentProgress.map(_.numInputRows).sum < n &&
-          System.currentTimeMillis() < deadline)
+      while (committed() < n && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
-    } finally query.stop()
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     val absorbed = appliedDelta()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(layoutDir))
-    if (absorbed <= 0) -1.0 else math.round(n / secs * 10.0) / 10.0
+    // a deadline expiry means fewer than n events were absorbed — n/secs
+    // would overstate the rate, so the run reports failure instead
+    if (absorbed <= 0 || committed() < n) -1.0
+    else math.round(n / secs * 10.0) / 10.0
   }
 
   /** Upserts per payload = createdAt fields: exactly one per instance and,

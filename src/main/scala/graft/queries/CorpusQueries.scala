@@ -255,10 +255,14 @@ object CorpusQueries {
     GQuery(
       "q_sample_temperature",
       (s, dir) => {
-        // Temperature-weighted dataset mixing (the mT5/GPT-3 mixture
-        // recipe, T = 1/2): a source's share of the training mix is
-        // p_l ∝ n_l^(1/T) = n_l², up-weighting low-resource sources
-        // relative to proportional sampling as T shrinks. Quotas resolve
+        // Temperature-weighted dataset mixing (the exponentiated-share
+        // family of the mT5/GPT-3 mixture recipes), here with exponent
+        // 1/T = 2: a source's share of the training mix is p_l ∝ n_l²,
+        // which SHARPENS the distribution — high-resource sources gain
+        // share relative to proportional sampling. (The mT5 low-resource
+        // up-weighting is the same machinery with an exponent < 1; the
+        // catalog pins 2 because integer squaring keeps the quota
+        // arithmetic exact end to end.) Quotas resolve
         // by the LARGEST-REMAINDER method in EXACT integer arithmetic
         // ((target·w) div / mod wsum) — no float summation whose order
         // could disagree across engines — over the |langs|-row stats

@@ -328,12 +328,26 @@ object IndexedLayout {
     val raw = spark.read.parquet(outDir)
     val deadRows = raw.join(tombs, Seq("vec_id"))
       .filter(col("epoch") < col("as_of"))
-    // per-cell (dead, total) stats — the bounded driver view the policy
-    // decides on (≤ |cells| rows, the centroid-table budget class)
-    val dirtyStats = raw.groupBy("cell").agg(count(lit(1)).as("total"))
-      .join(deadRows.groupBy("cell").agg(count(lit(1)).as("dead")), Seq("cell"))
-      .select(col("cell"), (col("dead").cast("double") / col("total")).as("frac"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // per-cell (dead, total, max-epoch) stats — the bounded driver view
+    // the policy decides on (≤ |cells| rows, the centroid-table budget
+    // class). A cell holding rows with epoch > the COMMITTED meta epoch
+    // is a torn cell — evidence of a crashed pass that promoted its
+    // compacted copy but never reached the meta commit, so the cell
+    // briefly holds a live row twice (original + re-stamped copy). Those
+    // duplicates DILUTE the dead fraction (dead/(2·live+dead)), so the
+    // policy threshold alone could skip the damaged cell forever; torn
+    // cells therefore bypass `minDeadFrac` unconditionally — the retry
+    // convergence the crash-safety contract promises is policy-proof.
+    val stats = raw.groupBy("cell")
+      .agg(count(lit(1)).as("total"), max("epoch").as("maxe"))
+      .join(deadRows.groupBy("cell").agg(count(lit(1)).as("dead")),
+        Seq("cell"), "left")
+      .select(col("cell"),
+        (coalesce(col("dead"), lit(0L)).cast("double") / col("total")).as("frac"),
+        col("maxe"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
+    val torn = stats.filter(_._3 > epoch).map(_._1).toSet
+    val dirtyStats = stats.filter(s => s._2 > 0.0 || torn(s._1))
     if (dirtyStats.isEmpty) {
       // nothing dead on disk (unknown-id deletes, or a crashed attempt
       // that finished every cell): every tombstone is satisfied — rows
@@ -342,7 +356,8 @@ object IndexedLayout {
       dropTombstones()
       return (0, 0L)
     }
-    val dirty = dirtyStats.filter(_._2 >= minDeadFrac).map(_._1).sorted
+    val dirty = dirtyStats
+      .filter(s => s._2 >= minDeadFrac || torn(s._1)).map(_._1).sorted
     // every dirty cell is below the policy threshold: reclaimable space
     // does not yet justify a rewrite, and the tombstones are still doing
     // their job — leave everything in place

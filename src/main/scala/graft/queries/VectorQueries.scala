@@ -1047,27 +1047,37 @@ object VectorQueries {
         import s.implicits._
         val corpus = Tables.embeddings(s, dir)
           .filter(col("vec_id") < 200).select("vec_id", "embedding")
-        if (corpus.limit(1).isEmpty)
-          // zero-row contract (EmptyInputSpec): nothing to index, nothing
-          // to answer — the flow degenerates to an empty result
+        // one bounded pass pins the three fixture vectors the CDC script
+        // needs; a corpus slice that lacks any of them (incl. the fully
+        // empty case, EmptyInputSpec) degenerates to the empty result —
+        // no unguarded .head on a partial fixture
+        val fixture = corpus.filter(col("vec_id").isin(3L, 17L, 23L))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        if (!Seq(3L, 17L, 23L).forall(fixture.contains))
           Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rnk", "vec_id", "cos")
         else {
           val d = java.nio.file.Files.createTempDirectory("graft_fresh").toString
-          IndexedLayout.write(s, corpus, d, kCells = 4)
-          def vec(id: Long): Array[Float] = corpus
-            .filter(col("vec_id") === id).head.getSeq[Float](1).toArray
-          IndexSync.applyBatch(s, Seq(
-            VecEvent("ADD", 1, 9000001L, vec(3).map(_ * 0.9f), 0),
-            VecEvent("UPDATE", 2, 17L, vec(17).map(-_), 0),
-            VecEvent("DELETE", 3, 23L, Array.empty[Float], 0)),
-            epochId = 1L, layoutDir = d, graphDir = null)
-          IndexSync.applyBatch(s, Seq(
-            VecEvent("DELETE", 4, 9000001L, Array.empty[Float], 0)),
-            epochId = 2L, layoutDir = d, graphDir = null)
-          IndexedLayout.compact(s, d)
-          val queries = corpus.filter(col("vec_id") < 5)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-          IndexedLayout.prunedTopK(s, d, queries, k = 5, nprobe = 4)
+          try {
+            IndexedLayout.write(s, corpus, d, kCells = 4)
+            IndexSync.applyBatch(s, Seq(
+              VecEvent("ADD", 1, 9000001L, fixture(3L).map(_ * 0.9f), 0),
+              VecEvent("UPDATE", 2, 17L, fixture(17L).map(-_), 0),
+              VecEvent("DELETE", 3, 23L, Array.empty[Float], 0)),
+              epochId = 1L, layoutDir = d, graphDir = null)
+            IndexSync.applyBatch(s, Seq(
+              VecEvent("DELETE", 4, 9000001L, Array.empty[Float], 0)),
+              epochId = 2L, layoutDir = d, graphDir = null)
+            IndexedLayout.compact(s, d)
+            val queries = corpus.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+            // eager localCheckpoint materializes the (bounded, ≤ 4·k-row)
+            // answer off the layout files so the temp dir can be deleted
+            // before the caller consumes the frame — no leaked bootstrap
+            // layout per Verify/parity invocation
+            IndexedLayout.prunedTopK(s, d, queries, k = 5, nprobe = 4)
+              .localCheckpoint()
+          } finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(d))
         }
       },
       Some(s"""WITH live AS (

@@ -182,6 +182,56 @@ class IndexedLayoutCompactSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(snap)
   }
 
+  test("a torn cell (crashed mid-promote duplicates) bypasses minDeadFrac and re-converges") {
+    val d = tmp("ivf_compact_torn")
+    IndexedLayout.write(spark, emb, d, kCells = nc)
+    val byCount = spark.read.parquet(d).groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).collect()
+    assert(byCount(0).getLong(1) >= 3, "fixture: need a cell with >= 3 rows")
+    val cellA = byCount(0).getInt(0)
+    val victim = spark.read.parquet(d).filter(col("cell") === cellA)
+      .select("vec_id").orderBy("vec_id").limit(1)
+    IndexedLayout.delete(spark, victim, d) // commits meta epoch 1
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+
+    // hand-build the mid-promote crash state of a compact pass that died
+    // BEFORE its meta commit: cell A's live rows re-stamped to the
+    // uncommitted epoch 2 land as e2-* files next to the originals;
+    // tombstones and meta untouched — exactly the state the crash-safety
+    // scaladoc calls the torn cell
+    val promoted = IndexedLayout.readCorpus(spark, d)
+      .filter(col("cell") === cellA).withColumn("epoch", lit(2))
+    val staging = java.nio.file.Files.createTempDirectory("torn_stage").toString
+    promoted.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    new java.io.File(staging, s"cell=$cellA").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath, new java.io.File(
+          new java.io.File(d, s"cell=$cellA"), s"e2-$i.parquet").toPath)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+
+    // the documented torn-reader caveat: live rows in A appear twice
+    assert(IndexedLayout.readCorpus(spark, d).groupBy("vec_id")
+      .count().filter(col("count") > 1).count() > 0,
+      "fixture: the torn cell must show duplicate live rows")
+
+    // the duplicates DILUTE A's dead fraction far below 0.9, so the
+    // policy threshold alone would skip the damaged cell forever — the
+    // torn detection (rows at epoch > the committed meta epoch) must
+    // force it into the dirty set regardless
+    val (cells, _) = IndexedLayout.compact(spark, d, minDeadFrac = 0.9)
+    assert(cells == 1, s"the torn cell must compact past the threshold, got $cells")
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    assert(IndexedLayout.readCorpus(spark, d).groupBy("vec_id")
+      .count().filter(col("count") > 1).isEmpty, "duplicates must be repaired")
+    // the repair is stable: a repeat at the same threshold is a no-op
+    assert(IndexedLayout.compact(spark, d, minDeadFrac = 0.9) == ((0, 0L)))
+  }
+
   test("a delete-everything cell compacts to empty; unknown-id tombstones clear without work") {
     import spark.implicits._
     val d = tmp("ivf_compact_dead")
