@@ -306,5 +306,55 @@ object StreamBatchQueries {
                      CAST(o.obs IS NULL AS INT) AS is_gap
               FROM grid g LEFT JOIN obs o
                 ON g.user_id = o.user_id AND g.slot = o.slot
+              ORDER BY 1, 2""")),
+
+    GQuery(
+      "q_events_anomaly",
+      (s, dir) => {
+        // Time-series ANOMALY DETECTION: flag hours whose event count is a
+        // > 3σ outlier of that event_type's hourly-count distribution —
+        // the monitoring/alerting query of a metrics store. The z-score
+        // test runs in EXACT integer arithmetic: with per-type n hours,
+        // S = Σc, S2 = Σc², the test c > μ + 3σ multiplies through by n²
+        // into  n·c − S > 0  ∧  (n·c − S)² > 9·(n·S2 − S²)  — counts are
+        // integers, so no float mean/stddev whose summation order could
+        // flip a borderline flag across engines. The squares run in
+        // DECIMAL(38,0): at 100 TB scale (c ~ 1e10, n ~ 1e5 hours) the
+        // deviation is ~1e15 and its square ~1e30 — inside 38 digits,
+        // while BIGINT would overflow. Two narrow shuffles (type×hour
+        // pre-agg, then the per-type stats rollup over the already
+        // hour-granular frame) and a stats join back that broadcasts at
+        // |event_types| rows.
+        import org.apache.spark.sql.types.DecimalType
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+            sum(col("cnt") * col("cnt")).as("s2"))
+        val nD = col("n").cast(DecimalType(38, 0))
+        val dev = nD * col("cnt") - col("s")
+        val varn = nD * col("s2") - col("s").cast(DecimalType(38, 0)) * col("s")
+        hourly.join(broadcast(stats), "event_type")
+          .filter(dev > 0 && dev * dev > varn * 9)
+          .select(col("event_type"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+            col("cnt"), col("n"), col("s"))
+          .orderBy("event_type", "hour_ts")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+              stats AS (
+                SELECT event_type, count(*) AS n, sum(cnt) AS s,
+                       sum(cnt * cnt) AS s2
+                FROM hourly GROUP BY 1)
+              SELECT h.event_type, strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+                     h.cnt, CAST(t.n AS BIGINT) AS n, CAST(t.s AS BIGINT) AS s
+              FROM hourly h JOIN stats t USING (event_type)
+              WHERE t.n * h.cnt - t.s > 0
+                AND CAST(t.n * h.cnt - t.s AS DECIMAL(38,0)) *
+                    CAST(t.n * h.cnt - t.s AS DECIMAL(38,0))
+                    > 9 * CAST(t.n * t.s2 - t.s * t.s AS DECIMAL(38,0))
               ORDER BY 1, 2""")))
 }

@@ -617,5 +617,90 @@ object TextQueries {
              CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
              (['jpeg','png','webp'])[octet_length(encode(text)) % 3 + 1] AS format,
              CAST(least(octet_length(encode(text)) % 10, 5) + 1 AS INT) AS n_frames
-             FROM documents ORDER BY doc_id""")))
+             FROM documents ORDER BY doc_id""")),
+
+    GQuery(
+      "q_rank_bm25",
+      (s, dir) => {
+        // Okapi BM25 ranking (k1 = 1.2, b = 0.75) — the lexical-retrieval
+        // standard whose tf-saturation + doc-length normalization the RRF
+        // hybrid's plain idf sum only approximates. Structure is the
+        // inverted-index candidate join of q_hybrid_rrf: query terms meet
+        // the (doc, token) postings, guarded by a deterministic stop-word
+        // cap (df·10 > 9·n_docs — drop tokens in >90 % of docs) that
+        // bounds posting-list joins at 100 TB; the cap is looser than the
+        // hybrid row's df·2 rule because BM25's idf already down-weights
+        // common terms smoothly and this corpus's vocabulary is nearly
+        // ubiquitous by construction. Per
+        // (query, term, doc) the score is a FIXED double expression tree
+        // over integer inputs (tf, df, dl, n_docs) — every +,·,/ IEEE-
+        // correctly-rounded, so both engines produce bit-identical doubles
+        // — rounded to 6 and summed in EXACT DECIMAL so cross-engine sum
+        // order can't flip a rank (the q_hybrid_rrf contract). idf is the
+        // Robertson/Lucene ln(1 + (N−df+0.5)/(df+0.5)) form, which never
+        // goes negative. Top-10 docs per query, ties on doc_id.
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .localCheckpoint() // feeds dl, tf, df AND the query side
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .filter(col("df") * 10 <= col("n_docs") * 9) // stop-word cap
+          .withColumn("idf", round(log(
+            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+          .select("token", "idf", "avgdl")
+        val qTok = toks.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"), col("token")).distinct()
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+        qTok.join(tf, "token")
+          .filter(col("doc_id") =!= col("q_id"))
+          .join(idf, "token")
+          .join(dl, "doc_id")
+          .withColumn("term_score", round(
+            col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                (lit(0.75) * col("dl").cast("double")) / col("avgdl")))), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .groupBy("q_id", "doc_id").agg(sum("term_score").as("bm25"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("rnk"), col("doc_id"),
+            round(col("bm25").cast("double"), 4).as("bm25"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH tok AS (
+                SELECT doc_id, unnest($duckToks) AS token FROM documents),
+              dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+              stats AS (SELECT count(*) AS n_docs,
+                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY doc_id, token),
+              idf AS (
+                SELECT token, round(ln(
+                  (CAST((SELECT n_docs FROM stats) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+                FROM (SELECT token, count(*) AS df FROM tf GROUP BY token)
+                WHERE df * 10 <= (SELECT n_docs FROM stats) * 9),
+              q AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 3),
+              scored AS (
+                SELECT q.q_id, t.doc_id,
+                  sum(CAST(round(i.idf * ((CAST(t.tf AS DOUBLE) * 2.2) /
+                    (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 +
+                      (0.75 * CAST(d.dl AS DOUBLE)) /
+                        (SELECT avgdl FROM stats)))), 6) AS DECIMAL(18,6))) AS bm25
+                FROM q JOIN tf t USING (token)
+                JOIN idf i USING (token)
+                JOIN dl d ON d.doc_id = t.doc_id
+                WHERE t.doc_id <> q.q_id
+                GROUP BY q.q_id, t.doc_id),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS rnk
+                FROM scored)
+              SELECT q_id, rnk, doc_id, round(CAST(bm25 AS DOUBLE), 4) AS bm25
+              FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""")))
 }

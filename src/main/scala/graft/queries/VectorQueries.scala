@@ -1211,6 +1211,151 @@ object VectorQueries {
                 SELECT *, row_number() OVER (
                   PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rnk
                 FROM fused)
-              WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+              WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    GQuery(
+      "q_sim_topk_diverse",
+      (s, dir) => {
+        // DIVERSITY-CAPPED retrieval (the Elasticsearch field-collapse /
+        // Vespa grouping verb): top-5 per query with AT MOST 2 results
+        // per lang facet — a result list that would otherwise be swamped
+        // by one dominant source keeps cross-facet variety. Semantics:
+        // candidates are admitted in score order but a facet's 3rd-best
+        // is skipped, expressed as two stacked windows — within-(q,facet)
+        // rank caps the facet, then the global rank runs over the capped
+        // SURVIVORS (≤ 2·|langs| rows per query), so the expensive window
+        // is the first one and the global one touches a bounded frame:
+        // exactly the TopKPerKey two-phase shape, with the facet cap as
+        // the partial phase. The facet rides the corpus scan as a join on
+        // the documents↔embeddings id alignment, like q_sim_topk_filtered.
+        val lang = Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
+        val corpus = e.join(lang, Seq("vec_id"))
+        val q = broadcast(
+          e.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_n")))
+        val wf = Window.partitionBy("q_id", "lang")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        val wg = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        q.join(corpus, col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .withColumn("frnk", row_number().over(wf))
+          .filter(col("frnk") <= 2)
+          .withColumn("rnk", row_number().over(wg))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("vec_id"), col("lang"),
+            r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH scored AS (
+                SELECT q.vec_id AS q_id, c.vec_id, d.lang,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                JOIN documents d ON d.doc_id = c.vec_id
+                WHERE q.vec_id < 10),
+              capped AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id, lang ORDER BY cos_r DESC, vec_id ASC) AS frnk
+                FROM scored),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk
+                FROM capped WHERE frnk <= 2)
+              SELECT q_id, rnk, vec_id, lang, round(cos_r, 4) AS cos
+              FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    GQuery(
+      "q_sim_topk_sq",
+      (s, dir) => {
+        // SCALAR-QUANTIZED (int8) search — the SQ sibling of q_sim_topk_pq:
+        // corpus and queries quantize per-vector under q_emb_quant's exact
+        // contract (scale = max|x|/127, q = ⌊x/scale + 0.5⌋), candidates
+        // score in the COMPRESSED domain first. The per-vector scales
+        // CANCEL in cosine, so the approximate score is exactly the cosine
+        // of the integer vectors — an exact int64 dot product with only
+        // the final division in float, which is why this row is
+        // ORACLE-EXACT where the codebook-trained PQ row is rows-only.
+        // Top-20 shortlist per query by the rounded approx score, then the
+        // full-precision re-rank touches ONLY the shortlist — the ADC
+        // shape: at 100 TB the scan reads the 4×-smaller int8 column
+        // family and full floats for 20 rows/query. Both scores round to
+        // 6, ties break on vec_id.
+        def idot(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        val e = Tables.embeddings(s, dir)
+          .withColumn("scale",
+            aggregate(col("embedding"), lit(0.0d),
+              (m, x) => greatest(m, abs(x.cast("double")))) / 127.0)
+          .withColumn("qv", when(col("scale") === 0,
+              transform(col("embedding"), _ => lit(0L)))
+            .otherwise(transform(col("embedding"),
+              x => floor(x.cast("double") / col("scale") + 0.5).cast("long"))))
+          .select("vec_id", "embedding", "qv")
+        val q = broadcast(
+          e.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("qv").as("q_qv")))
+        val ws = Window.partitionBy("q_id")
+          .orderBy(col("acos_r").desc, col("vec_id").asc)
+        val wr = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        q.join(e, col("q_id") =!= col("vec_id"))
+          .withColumn("den",
+            sqrt(idot(col("q_qv"), col("q_qv")).cast("double")) *
+              sqrt(idot(col("qv"), col("qv")).cast("double")))
+          .withColumn("acos_r", round(when(col("den") === 0, lit(0.0d))
+            .otherwise(idot(col("q_qv"), col("qv")).cast("double") / col("den")), 6))
+          .withColumn("srnk", row_number().over(ws))
+          .filter(col("srnk") <= 20)
+          .withColumn("cos_r", round(
+            cosineSimilarity(col("q_emb"), col("embedding")), 6))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("vec_id"),
+            r4(col("acos_r")).as("acos"), r4(col("cos_r")).as("cos"))
+          .orderBy("q_id", "rnk")
+      },
+      Some {
+        def dint(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, len($a) + 1),
+             i -> $a[i] * $b[i]))"""
+        s"""WITH e AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                FROM embeddings),
+              qz AS (SELECT vec_id, embedding,
+                CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+                END AS qv FROM e),
+              adc AS (
+                SELECT q.vec_id AS q_id, c.vec_id, q.embedding AS q_emb,
+                       c.embedding AS c_emb,
+                       round(CASE WHEN sqrt(CAST(${dint("q.qv", "q.qv")} AS DOUBLE)) *
+                                       sqrt(CAST(${dint("c.qv", "c.qv")} AS DOUBLE)) = 0
+                         THEN 0.0
+                         ELSE CAST(${dint("q.qv", "c.qv")} AS DOUBLE) /
+                              (sqrt(CAST(${dint("q.qv", "q.qv")} AS DOUBLE)) *
+                               sqrt(CAST(${dint("c.qv", "c.qv")} AS DOUBLE)))
+                       END, 6) AS acos_r
+                FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10),
+              short AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY acos_r DESC, vec_id ASC) AS srnk
+                FROM adc),
+              exact AS (
+                SELECT q_id, vec_id, acos_r,
+                       round(${duckCos("q_emb", "c_emb")}, 6) AS cos_r
+                FROM short WHERE srnk <= 20),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk
+                FROM exact)
+              SELECT q_id, rnk, vec_id, round(acos_r, 4) AS acos,
+                     round(cos_r, 4) AS cos
+              FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+      })
   )
 }
