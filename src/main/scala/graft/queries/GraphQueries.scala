@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over relationship structure hiding in the relational
+  * tables — the family q_dedup_clusters (connected components) opened,
+  * extended here with iterative rank propagation. Iterative graph
+  * algorithms on Spark are driver-unrolled loops of joins (the Pregel
+  * shape: ranks ⨝ edges on src, aggregate on dst, join back to nodes);
+  * each iteration is two co-partitioned shuffles on the node key, and
+  * lineage is truncated per iteration so the plan doesn't grow with the
+  * iteration count. Determinism across engines follows the catalog
+  * contract: per-edge contributions are a fixed double expression tree
+  * (IEEE ops on identical inputs → identical bits), pre-rounded and
+  * summed in exact DECIMAL so accumulation order can't flip a rank.
+  */
+object GraphQueries {
+
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_graph_pagerank",
+      (s, dir) => {
+        // PAGERANK (damping 0.85, 3 unrolled iterations) over the
+        // customer–supplier fulfillment graph: an undirected edge links a
+        // customer to every supplier that shipped one of its orders
+        // (orders ⨝ lineitem, distinct pairs). Node ids disambiguate the
+        // two key spaces arithmetically (cust → 2k, supp → 2k+1), so the
+        // graph needs no string keys on the shuffle path. Per iteration
+        // r'(v) = 0.15/N + 0.85 · Σ_{u→v} r(u)/deg(u), with the
+        // contribution rounded to 12 and summed in DECIMAL(28,12); the
+        // teleport term keeps the recurrence a fixed two-term double
+        // expression. Undirected edges mean no dangling-mass correction
+        // is needed — every node has out-degree ≥ 1 by construction.
+        // Fixed iteration count (not convergence-tested) keeps the result
+        // closed-form checkable; at 100 TB each iteration is one shuffle
+        // pair on the node key and the edge frame is reused from cache.
+        val eo = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+        val cs = li.join(eo, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sn"))
+          .distinct()
+        val edges = cs.select(col("c").as("src"), col("sn").as("dst"))
+          .unionByName(cs.select(col("sn").as("src"), col("c").as("dst")))
+          .localCheckpoint() // built once, consumed every iteration
+        val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg"))
+        val stats = nodes.agg(count(lit(1)).as("nn"))
+        var ranks = nodes.crossJoin(broadcast(stats))
+          .select(col("node"), col("deg"),
+            round(lit(1.0) / col("nn"), 12).as("r"))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          val contrib = ranks
+            .join(edges, col("node") === col("src"))
+            .withColumn("cb",
+              round(col("r") / col("deg"), 12).cast(DecimalType(28, 12)))
+            .groupBy("dst").agg(sum("cb").as("s"))
+          ranks = nodes
+            .join(contrib, col("node") === col("dst"), "left")
+            .crossJoin(broadcast(stats))
+            .select(col("node"), col("deg"),
+              round(lit(0.15) / col("nn") + lit(0.85) *
+                coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+            .localCheckpoint() // truncate lineage per iteration
+        }
+        ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+          .select(col("node"),
+            when(col("node") % 2 === 0, lit("cust"))
+              .otherwise(lit("supp")).as("kind"),
+            expr("node DIV 2").as("key"),
+            round(col("r"), 8).as("rank"))
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sn
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (
+                SELECT c AS src, sn AS dst FROM cs
+                UNION ALL
+                SELECT sn AS src, c AS dst FROM cs),
+              nodes AS (SELECT src AS node, count(*) AS deg
+                FROM edges GROUP BY 1),
+              stats AS (SELECT count(*) AS nn FROM nodes),
+              r0 AS (SELECT node, deg,
+                round(CAST(1.0 AS DOUBLE) / (SELECT nn FROM stats), 12) AS r
+                FROM nodes),
+              r1 AS (
+                SELECT n.node, n.deg,
+                  round(CAST(0.15 AS DOUBLE) / (SELECT nn FROM stats) +
+                    CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), 0.0),
+                    12) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst,
+                    sum(CAST(round(p.r / p.deg, 12) AS DECIMAL(28,12))) AS s
+                  FROM r0 p JOIN edges e ON p.node = e.src GROUP BY e.dst) c
+                ON n.node = c.dst),
+              r2 AS (
+                SELECT n.node, n.deg,
+                  round(CAST(0.15 AS DOUBLE) / (SELECT nn FROM stats) +
+                    CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), 0.0),
+                    12) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst,
+                    sum(CAST(round(p.r / p.deg, 12) AS DECIMAL(28,12))) AS s
+                  FROM r1 p JOIN edges e ON p.node = e.src GROUP BY e.dst) c
+                ON n.node = c.dst),
+              r3 AS (
+                SELECT n.node, n.deg,
+                  round(CAST(0.15 AS DOUBLE) / (SELECT nn FROM stats) +
+                    CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), 0.0),
+                    12) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst,
+                    sum(CAST(round(p.r / p.deg, 12) AS DECIMAL(28,12))) AS s
+                  FROM r2 p JOIN edges e ON p.node = e.src GROUP BY e.dst) c
+                ON n.node = c.dst)
+              SELECT node,
+                CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+                node // 2 AS key, round(r, 8) AS rank
+              FROM r3 ORDER BY r DESC, node ASC LIMIT 20"""))
+  )
+}

@@ -70,6 +70,36 @@ object IndexedLayout {
 
   private def tombDir(outDir: String) = s"$outDir/_index/tombstones"
 
+  private def floorDir(outDir: String) = s"$outDir/_index/floor"
+
+  /** Raise the time-travel history floor to `floor` — an empty marker
+    * file per raise, highest wins (atomic create; no read-modify-write).
+    * Written by [[compact]] BEFORE its meta commit, so a crash can only
+    * over-clamp (snapshots temporarily unavailable), never expose a
+    * snapshot the compaction is about to make unreconstructable.
+    */
+  private def raiseHistoryFloor(spark: SparkSession, outDir: String,
+      floor: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${floorDir(outDir)}/e$floor")
+    fsOf(spark, outDir).create(p, true).close()
+  }
+
+  /** Oldest epoch a time-travel read can faithfully reconstruct: 0 for a
+    * never-compacted layout, else the newest compaction epoch —
+    * compaction re-stamps survivors and drops satisfied tombstones, so
+    * older snapshots are physically gone (the Delta VACUUM contract).
+    */
+  def historyFloor(spark: SparkSession, outDir: String): Int = {
+    val d = new org.apache.hadoop.fs.Path(floorDir(outDir))
+    val fs = fsOf(spark, outDir)
+    if (!fs.exists(d)) 0
+    else {
+      val es = fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("e")).map(_.drop(1).toInt)
+      if (es.isEmpty) 0 else es.max
+    }
+  }
+
   /** Train (or accept) the quantizer, assign one cell per vector, write
     * the cell-partitioned corpus + the pinned centroid table. Returns the
     * number of cells written. Every data row carries its WRITE EPOCH —
@@ -262,11 +292,31 @@ object IndexedLayout {
     * cells whose dead fraction crosses a threshold and drop their
     * satisfied tombstones — which this layout's per-cell file structure
     * localizes to the churned posting lists.
+    *
+    * `asOf` ≥ 0 is TIME TRAVEL: the snapshot as of that committed epoch —
+    * rows written at epoch ≤ asOf, killed only by tombstones with
+    * as_of ≤ asOf. Epochs ARE the layout's version history (every CDC
+    * verb lands as a new epoch's files + tombstones; nothing before this
+    * needed changing), so a snapshot read is two monotone filters, and
+    * the default asOf = -1 keeps the live read's plan byte-identical
+    * (no extra epoch predicate — PlanQualitySpec's pruning proofs are
+    * untouched). HISTORY FLOOR: `compact` re-stamps survivors to its own
+    * epoch and drops satisfied tombstones, so older snapshots are
+    * physically unreconstructable; `asOf` below [[historyFloor]] CLAMPS
+    * to the floor (never a silently incomplete view) — exactly the Delta
+    * Lake VACUUM contract (time travel reaches back to the last physical
+    * cleanup, never past it).
     */
-  def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
+  def readCorpus(spark: SparkSession, outDir: String,
+      asOf: Int = -1): DataFrame = {
     val (epoch, _) = readMeta(spark, outDir)
-    val base = spark.read.parquet(outDir)
-    readTombstones(spark, outDir, epoch) match {
+    // the floor lookup (an fs listing) is paid only on snapshot reads —
+    // the live path stays exactly the pre-time-travel plan
+    val cut = if (asOf < 0 || asOf >= epoch) epoch
+      else math.min(epoch, math.max(asOf, historyFloor(spark, outDir)))
+    val raw = spark.read.parquet(outDir)
+    val base = if (cut == epoch) raw else raw.filter(col("epoch") <= cut)
+    readTombstones(spark, outDir, cut) match {
       case None => base
       case Some(t) =>
         base.join(t, Seq("vec_id"), "left")
@@ -410,6 +460,10 @@ object IndexedLayout {
     // invisible until the commit below makes epoch `next` current
     survivorTombs.filter(s => !s.isEmpty).foreach(_.coalesce(1)
       .write.mode("overwrite").parquet(s"${tombDir(outDir)}/e$next"))
+    // floor BEFORE the commit: a crash between the two over-clamps time
+    // travel (snapshots < next unavailable) but never exposes a snapshot
+    // this pass is making unreconstructable
+    raiseHistoryFloor(spark, outDir, next)
     writeMeta(spark, outDir, next, hwm) // the commit point
     dropTombstones() // pre-compaction dirs only (1..epoch); e`next` survives
     fs.delete(stagingPath, true)
@@ -448,7 +502,7 @@ object IndexedLayout {
     */
   def prunedTopK(spark: SparkSession, outDir: String, queries: DataFrame,
       k: Int, nprobe: Int, maxFallbackFrac: Double = -1.0,
-      allowedIds: DataFrame = null): DataFrame = {
+      allowedIds: DataFrame = null, asOf: Int = -1): DataFrame = {
     val centroids = readCentroids(spark, outDir)
     val probes0 = probeCells(queries, centroids, nprobe).localCheckpoint()
     // the SAME confidence fallback + cap as ivfTopK (one implementation —
@@ -471,9 +525,11 @@ object IndexedLayout {
     // broadcast-contract small (same class as the centroid table itself)
     val cellSet = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    // tombstones resolve on the LIVE read; the static cell filter still
-    // reaches the scan through the tombstone join (left-side predicate)
-    val live = readCorpus(spark, outDir)
+    // tombstones resolve on the LIVE (or asOf-snapshot) read; the static
+    // cell filter still reaches the scan through the tombstone join
+    // (left-side predicate). The quantizer is PINNED index state, so a
+    // snapshot search probes the same cells as it did at that epoch.
+    val live = readCorpus(spark, outDir, asOf)
       .filter(col("cell").isin(cellSet.map(c => c: Any): _*))
     val corpus =
       if (allowedIds == null) live

@@ -26,5 +26,6 @@ object Catalog {
       CorpusQueries.qs ++
       QualityQueries.qs ++
       VectorQueries.qs ++
+      GraphQueries.qs ++
       SourceQueries.qs
 }

@@ -1102,6 +1102,71 @@ object VectorQueries {
       bench = false),
 
     GQuery(
+      "q_index_asof",
+      (s, dir) => {
+        // TIME TRAVEL on the physical index (the Delta/lakehouse snapshot
+        // verb, served by the layout's own epoch history — every CDC verb
+        // already lands as a new epoch's files + tombstones, so a
+        // snapshot read is two monotone filters, readCorpus(asOf)): two
+        // CDC epochs land (add 9000001 = −v3, update 17 → −v17, delete
+        // 23; then delete 9000001), and the search answers AS OF epoch 1
+        // — the since-deleted 9000001 must ANSWER, 23 must not, 17 must
+        // answer with its epoch-1 value — while the live view differs.
+        // nprobe == kCells makes the snapshot search exact, so the oracle
+        // reconstructs the epoch-1 state in SQL; the sign-flip edits keep
+        // every float bit-exact. No compact here: compaction raises the
+        // history floor (IndexedLayoutTimeTravelSpec proves the clamp).
+        import graft.pipeline.IndexSync
+        import graft.pipeline.VectorSync.VecEvent
+        import s.implicits._
+        val corpus = Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 200).select("vec_id", "embedding")
+        val fixture = corpus.filter(col("vec_id").isin(3L, 17L, 23L))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        if (!Seq(3L, 17L, 23L).forall(fixture.contains))
+          Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rnk", "vec_id", "cos")
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_asof").toString
+          try {
+            IndexedLayout.write(s, corpus, d, kCells = 4)
+            IndexSync.applyBatch(s, Seq(
+              VecEvent("ADD", 1, 9000001L, fixture(3L).map(-_), 0),
+              VecEvent("UPDATE", 2, 17L, fixture(17L).map(-_), 0),
+              VecEvent("DELETE", 3, 23L, Array.empty[Float], 0)),
+              epochId = 1L, layoutDir = d, graphDir = null)
+            IndexSync.applyBatch(s, Seq(
+              VecEvent("DELETE", 4, 9000001L, Array.empty[Float], 0)),
+              epochId = 2L, layoutDir = d, graphDir = null)
+            val queries = corpus.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+            IndexedLayout.prunedTopK(s, d, queries, k = 5, nprobe = 4,
+              asOf = 1).localCheckpoint()
+          } finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(d))
+        }
+      },
+      Some(s"""WITH live1 AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 200 AND vec_id NOT IN (17, 23)
+                UNION ALL
+                SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
+                FROM embeddings WHERE vec_id = 17
+                UNION ALL
+                SELECT 9000001 AS vec_id,
+                       list_transform(embedding, x -> -x) AS embedding
+                FROM embeddings WHERE vec_id = 3),
+              scored AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN live1 c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 5),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk FROM scored)
+              SELECT q_id, rnk, vec_id, round(cos_r, 4) AS cos
+              FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      bench = false),
+
+    GQuery(
       "q_hybrid_rrf",
       (s, dir) => {
         // HYBRID SEARCH: lexical + vector retrieval fused by Reciprocal
