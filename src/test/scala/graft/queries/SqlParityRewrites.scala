@@ -124,6 +124,10 @@ object SqlParityRewrites {
     // 1-based arr[i] indexing into embeddings inside the cosine lambdas
     """(\w+)\.embedding\[i\]""" -> "element_at($1.embedding, CAST(i AS INT))",
     """(?<![.\w])embedding\[i\]""" -> "element_at(embedding, CAST(i AS INT))",
+    // the int8-quantized vector picks and the re-ranked embedding aliases
+    // (q_sim_topk_sq), same 1-based shape as the embedding rules above
+    """(\w+)\.qv\[i\]""" -> "element_at($1.qv, CAST(i AS INT))",
+    """(?<![.\w])(q_emb|c_emb)\[i\]""" -> "element_at($1, CAST(i AS INT))",
     """\blist_max\(""" -> "array_max(",
     """\blist_intersect\(""" -> "array_intersect(",
     // 5-token shingle slice (the [i:i+1] bigram dual above; DuckDB list

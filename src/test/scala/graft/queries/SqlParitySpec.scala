@@ -103,7 +103,10 @@ class SqlParitySpec extends SparkSpec {
     "q_sim_topk_ivf", "q_src_csv", "q_src_dsv2", "q_src_jsonl", "q_src_orc",
     "q_stream_session", "q_stream_sliding", "q_stream_tumbling", "q_text_pii",
     "q_text_repetition", "q_text_tfidf", "q_text_tokens", "q_win_topk_native",
-    "q_win_topk_rule")
+    "q_win_topk_rule",
+    // round 12 additions
+    "q_rank_bm25", "q_sim_topk_diverse", "q_sim_topk_sq", "q_events_anomaly",
+    "q_graph_pagerank", "q_index_asof")
 
   test("verbatim oracle SQL ≡ DataFrame form, query by query") {
     registerViews()
