@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A PERSISTED INVERTED INDEX — the lexical twin of [[IndexedLayout]]'s
+  * cell layout (the Lucene segment model re-expressed as a Spark physical
+  * layout): postings (token, doc_id, tf) written Hive-partitioned by a
+  * deterministic token-hash bucket, so a BM25 query prunes the scan to
+  * its own tokens' buckets at PLANNING time — at 100 TB a k-token query
+  * reads at most k/Buckets of the index, never the corpus. Document
+  * lengths live beside the postings (`_index/dl`), corpus stats
+  * (n_docs, Σdl) in the committed meta, and per-token document frequency
+  * derives from the token's own posting list inside its pruned bucket —
+  * df needs no global pass at query time.
+  *
+  * Deltas follow the layout's discipline exactly: an append stages its
+  * postings, promotes them into the bucket dirs under epoch-prefixed
+  * names (idempotent retry: the e\<N\>-* prefix clears first), and the
+  * meta commit (marker file) flips the epoch live — readers filter
+  * `epoch <= committed`, so a crashed append's leftovers are invisible.
+  * Appends are id-disjoint by contract (new doc_ids only), the same
+  * contract as [[IndexedLayout.append]]; the spec proves build+append ≡
+  * one build over the union, bit-for-bit, because df/dl/stats are sums
+  * over disjoint doc sets.
+  *
+  * Reference analog: the engine's sync→index loop maintains the VECTOR
+  * index (IndexSync); this is the same "index kept fresh beside the
+  * corpus" story for the lexical retrieval path q_rank_bm25 serves
+  * directly. Scoring is tree-identical to q_rank_bm25 (the shared
+  * [[idfOf]]/[[termScore]] expressions), so the indexed search is
+  * oracle-exact against the very same DuckDB SQL.
+  */
+object InvertedIndex {
+
+  /** Token-hash fan-out of the posting lists. Fixed at write time (the
+    * pinned-quantizer analog): queries compute the same bucket with the
+    * same expression, so pruning is correct across sessions.
+    */
+  val Buckets = 16
+
+  private val CommitMarker = "_graft_committed"
+  private def metaDir(outDir: String) = s"$outDir/_index/meta"
+  private def dlDir(outDir: String) = s"$outDir/_index/dl"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private[queries] def bucketOf(token: Column): Column =
+    pmod(hash(token), lit(Buckets))
+
+  /** Robertson/Lucene idf, never negative: ln(1 + (N−df+0.5)/(df+0.5)),
+    * rounded to 6 — one fixed IEEE tree over integer inputs, shared by
+    * the direct q_rank_bm25 and the indexed search so both produce
+    * bit-identical doubles.
+    */
+  private[queries] def idfOf(nDocs: Column, df: Column): Column =
+    round(log((nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5)) + lit(1.0)), 6)
+
+  /** Per-(query-term, doc) BM25 contribution (k1 = 1.2, b = 0.75),
+    * rounded to 6 then cast to exact DECIMAL for order-independent
+    * summation — the q_hybrid_rrf determinism contract.
+    */
+  private[queries] def termScore(tf: Column, dl: Column, idf: Column,
+      avgdl: Column): Column =
+    round(idf * ((tf.cast("double") * lit(2.2)) /
+      (tf.cast("double") + lit(1.2) * (lit(0.25) +
+        (lit(0.75) * dl.cast("double")) / avgdl))), 6)
+      .cast(DecimalType(18, 6))
+
+  /** The deterministic stop-word cap shared with q_rank_bm25: drop
+    * tokens present in more than 90 % of documents — the integer rule
+    * that bounds posting-list joins regardless of corpus skew.
+    */
+  private[queries] def underStopCap(df: Column, nDocs: Column): Column =
+    df * 10 <= nDocs * 9
+
+  private def writeMeta(spark: SparkSession, outDir: String, epoch: Int,
+      nDocs: Long, tokTotal: Long): Unit = {
+    import spark.implicits._
+    val p = s"${metaDir(outDir)}/e$epoch"
+    Seq((epoch, nDocs, tokTotal)).toDF("epoch", "n_docs", "tok_total")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val marker = new org.apache.hadoop.fs.Path(p, CommitMarker)
+    fsOf(spark, p).create(marker, true).close()
+  }
+
+  /** (epoch, n_docs, Σdl) of the newest COMMITTED epoch. */
+  def readMeta(spark: SparkSession, outDir: String): (Int, Long, Long) = {
+    val md = new org.apache.hadoop.fs.Path(metaDir(outDir))
+    val fs = fsOf(spark, metaDir(outDir))
+    require(fs.exists(md), s"no index meta under $md — run build() first")
+    val epochs = fs.listStatus(md).map(_.getPath)
+      .filter(p => p.getName.startsWith("e") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+      .map(_.getName.drop(1).toInt)
+    require(epochs.nonEmpty, s"no committed epoch under $md")
+    val e = epochs.max
+    val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
+    (e, r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"))
+  }
+
+  /** Tokenize once; returns (postings tf frame, per-doc dl frame). */
+  private def project(docs: DataFrame, epoch: Int): (DataFrame, DataFrame) = {
+    import graft.functions.TextFunctions.tokens
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .localCheckpoint() // feeds tf AND dl — tokenize the corpus once
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("token")))
+      .withColumn("epoch", lit(epoch))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .withColumn("epoch", lit(epoch))
+    (tf, dl)
+  }
+
+  /** Build the index over a corpus (epoch 0). Returns n_docs indexed. */
+  def build(spark: SparkSession, docs: DataFrame, outDir: String): Long = {
+    val (tf, dl) = project(docs.select("doc_id", "text"), epoch = 0)
+    tf.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    dl.write.mode("overwrite").parquet(s"${dlDir(outDir)}/e0")
+    val s = dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("t")).head
+    writeMeta(spark, outDir, 0, s.getLong(0), s.getLong(1))
+    s.getLong(0)
+  }
+
+  /** Absorb NEW documents (id-disjoint from everything indexed — the
+    * [[IndexedLayout.append]] contract) as a fresh epoch: staged write,
+    * epoch-prefixed promote into the bucket dirs (retry clears its own
+    * prefix first), dl + stats accumulate, meta commit flips it live.
+    * Work is proportional to the DELTA's postings; existing bucket files
+    * are never rewritten (df/dl/stats are sums over disjoint doc sets,
+    * which is exactly why delta ≡ rebuild holds bit-for-bit).
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, outDir: String): Long = {
+    val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    val next = epoch + 1
+    val (tf, dl) = project(newDocs.select("doc_id", "text"), next)
+    val fs = fsOf(spark, outDir)
+    val staging = s"$outDir/_index/staging/e$next"
+    tf.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(stagingPath).map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).foreach { bdir =>
+        val target = new org.apache.hadoop.fs.Path(outDir, bdir.getName)
+        if (!fs.exists(target)) fs.mkdirs(target)
+        // idempotent retry: clear this epoch's own leftovers first
+        fs.listStatus(target).map(_.getPath)
+          .filter(_.getName.startsWith(s"e$next-"))
+          .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
+        fs.listStatus(bdir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            val dest = new org.apache.hadoop.fs.Path(target, s"e$next-$i.parquet")
+            require(fs.rename(f, dest), s"could not promote $f to $dest")
+          }
+      }
+    dl.write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
+    val s = dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("t")).head
+    writeMeta(spark, outDir, next, nDocs + s.getLong(0), tokTotal + s.getLong(1))
+    fs.delete(stagingPath, true)
+    s.getLong(0)
+  }
+
+  /** The PRUNED postings scan: the static bucket list reaches the scan
+    * as a partition filter (planning-time dir pruning — the spec asserts
+    * numFiles equals the probed buckets' files), uncommitted epochs are
+    * filtered out, and only the query tokens' rows survive. bm25TopK
+    * materializes this once; exposed separately so the pruning proof can
+    * observe the scan's own metrics (the checkpoint hides them from the
+    * serving plan).
+    */
+  private[queries] def readPostings(spark: SparkSession, outDir: String,
+      epoch: Int, bucketSet: Seq[Int], qTokens: DataFrame): DataFrame =
+    spark.read.parquet(outDir)
+      .filter(col("bucket").isin(bucketSet.map(b => b: Any): _*))
+      .filter(col("epoch") <= epoch) // uncommitted leftovers invisible
+      .join(broadcast(qTokens), Seq("token"), "left_semi")
+
+  /** All committed dl rows (doc_id, dl). */
+  private def readDl(spark: SparkSession, outDir: String, epoch: Int): DataFrame = {
+    val fs = fsOf(spark, outDir)
+    val dirs = (0 to epoch).map(i => s"${dlDir(outDir)}/e$i")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    spark.read.parquet(dirs: _*).select("doc_id", "dl")
+  }
+
+  /** BM25 top-`k` docs per query over the index, reading ONLY the query
+    * tokens' buckets (planning-time partition pruning — the physical
+    * payoff, numFiles-asserted in InvertedIndexSpec). `queries` is
+    * (q_id, text); the query side is broadcast-contract small, so the
+    * bucket list is a bounded driver collect (the probeCells idiom).
+    * df for each query token comes from the token's full posting list
+    * inside its own bucket — exact global df, no global pass. With
+    * `excludeQueryDoc` the query's own doc_id is excluded (the catalog
+    * row's corpus-member-as-query form). Scoring is tree-identical to
+    * q_rank_bm25, so the result is oracle-exact against the same SQL.
+    */
+  def bm25TopK(spark: SparkSession, outDir: String, queries: DataFrame,
+      k: Int, excludeQueryDoc: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    val qTok = queries
+      .select(col("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .localCheckpoint()
+    // bounded driver collect (|query tokens| ≤ Buckets values): the
+    // static bucket list is what lets Spark prune partition dirs at
+    // planning time, exactly like IndexedLayout's probed-cell list
+    val bucketSet = qTok.select(bucketOf(col("token")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (bucketSet.isEmpty)
+      return spark.range(0).select(col("id").as("q_id"),
+        lit(0).as("rnk"), col("id").as("doc_id"),
+        lit(0.0d).as("bm25"))
+    val post = readPostings(spark, outDir, epoch, bucketSet.toIndexedSeq,
+      qTok.select("token").distinct())
+      .localCheckpoint() // feeds df AND the candidate join — scan once
+    val tokDf = post.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(underStopCap(col("df"), lit(nDocs)))
+      .withColumn("idf", idfOf(lit(nDocs), col("df")))
+      .select("token", "idf")
+    // same IEEE division as the direct query's sum(dl)/count census
+    val avgdl = tokTotal.toDouble / nDocs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val cand0 = qTok.join(post.select("token", "doc_id", "tf"), "token")
+    val cand = if (excludeQueryDoc) cand0.filter(col("doc_id") =!= col("q_id"))
+               else cand0
+    cand
+      .join(tokDf, "token")
+      .join(readDl(spark, outDir, epoch), "doc_id")
+      .withColumn("ts",
+        termScore(col("tf"), col("dl"), col("idf"), lit(avgdl)))
+      .groupBy("q_id", "doc_id").agg(sum("ts").as("bm25"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"),
+        round(col("bm25").cast("double"), 4).as("bm25"))
+      .orderBy("q_id", "rnk")
+  }
+}

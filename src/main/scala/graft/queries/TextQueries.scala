@@ -648,10 +648,8 @@ object TextQueries {
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(stats))
-          .filter(col("df") * 10 <= col("n_docs") * 9) // stop-word cap
-          .withColumn("idf", round(log(
-            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-              (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+          .filter(InvertedIndex.underStopCap(col("df"), col("n_docs")))
+          .withColumn("idf", InvertedIndex.idfOf(col("n_docs"), col("df")))
           .select("token", "idf", "avgdl")
         val qTok = toks.filter(col("doc_id") < 3)
           .select(col("doc_id").as("q_id"), col("token")).distinct()
@@ -661,11 +659,8 @@ object TextQueries {
           .filter(col("doc_id") =!= col("q_id"))
           .join(idf, "token")
           .join(dl, "doc_id")
-          .withColumn("term_score", round(
-            col("idf") * ((col("tf").cast("double") * lit(2.2)) /
-              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-                (lit(0.75) * col("dl").cast("double")) / col("avgdl")))), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .withColumn("term_score", InvertedIndex.termScore(
+            col("tf"), col("dl"), col("idf"), col("avgdl")))
           .groupBy("q_id", "doc_id").agg(sum("term_score").as("bm25"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
@@ -702,5 +697,74 @@ object TextQueries {
                 PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS rnk
                 FROM scored)
               SELECT q_id, rnk, doc_id, round(CAST(bm25 AS DOUBLE), 4) AS bm25
-              FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""")))
+              FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+
+    GQuery(
+      "q_rank_bm25_idx",
+      (s, dir) => {
+        // The SAME BM25 ranking served from the PERSISTED inverted index
+        // (InvertedIndex: token-bucket-partitioned postings, planning-time
+        // bucket pruning, committed-epoch reads) — the search-engine
+        // serving path beside q_rank_bm25's direct computation, sharing
+        // its scoring expressions so the result is oracle-exact against
+        // the identical SQL. The physical payoffs (numFiles pruning,
+        // delta ≡ rebuild, crashed-append invisibility) are proven in
+        // InvertedIndexSpec; THIS row gates the end-to-end build→serve
+        // flow against the oracle.
+        val docs = Tables.documents(s, dir)
+        if (docs.limit(1).isEmpty)
+          // zero-row contract (EmptyInputSpec): nothing to index
+          spark_empty_bm25(s)
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+          try {
+            InvertedIndex.build(s, docs, d)
+            val queries = docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("q_id"), col("text"))
+            InvertedIndex.bm25TopK(s, d, queries, k = 10,
+              excludeQueryDoc = true).localCheckpoint()
+          } finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(d))
+        }
+      },
+      Some(s"""WITH tok AS (
+                SELECT doc_id, unnest($duckToks) AS token FROM documents),
+              dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+              stats AS (SELECT count(*) AS n_docs,
+                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY doc_id, token),
+              idf AS (
+                SELECT token, round(ln(
+                  (CAST((SELECT n_docs FROM stats) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+                FROM (SELECT token, count(*) AS df FROM tf GROUP BY token)
+                WHERE df * 10 <= (SELECT n_docs FROM stats) * 9),
+              q AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 3),
+              scored AS (
+                SELECT q.q_id, t.doc_id,
+                  sum(CAST(round(i.idf * ((CAST(t.tf AS DOUBLE) * 2.2) /
+                    (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 +
+                      (0.75 * CAST(d.dl AS DOUBLE)) /
+                        (SELECT avgdl FROM stats)))), 6) AS DECIMAL(18,6))) AS bm25
+                FROM q JOIN tf t USING (token)
+                JOIN idf i USING (token)
+                JOIN dl d ON d.doc_id = t.doc_id
+                WHERE t.doc_id <> q.q_id
+                GROUP BY q.q_id, t.doc_id),
+              ranked AS (SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS rnk
+                FROM scored)
+              SELECT q_id, rnk, doc_id, round(CAST(bm25 AS DOUBLE), 4) AS bm25
+              FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk"""),
+      // the build is fixture-bound fs work (like the other index rows):
+      // correctness-gated, excluded from the timed catalog
+      bench = false))
+
+  /** The zero-row (q_id, rnk, doc_id, bm25) frame. */
+  private def spark_empty_bm25(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rnk", "doc_id", "bm25")
+  }
 }

@@ -1358,19 +1358,21 @@ object VectorQueries {
               transform(col("embedding"), _ => lit(0L)))
             .otherwise(transform(col("embedding"),
               x => floor(x.cast("double") / col("scale") + 0.5).cast("long"))))
-          .select("vec_id", "embedding", "qv")
+          // int norm as a narrow pre-join projection (the float path's
+          // nrm trick): scoring a pair costs ONE integer dot product, not
+          // three — value-identical to the oracle's inline self-dots
+          .withColumn("qn", sqrt(idot(col("qv"), col("qv")).cast("double")))
+          .select("vec_id", "embedding", "qv", "qn")
         val q = broadcast(
           e.filter(col("vec_id") < 10).select(
             col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("qv").as("q_qv")))
+            col("qv").as("q_qv"), col("qn").as("q_qn")))
         val ws = Window.partitionBy("q_id")
           .orderBy(col("acos_r").desc, col("vec_id").asc)
         val wr = Window.partitionBy("q_id")
           .orderBy(col("cos_r").desc, col("vec_id").asc)
         q.join(e, col("q_id") =!= col("vec_id"))
-          .withColumn("den",
-            sqrt(idot(col("q_qv"), col("q_qv")).cast("double")) *
-              sqrt(idot(col("qv"), col("qv")).cast("double")))
+          .withColumn("den", col("q_qn") * col("qn"))
           .withColumn("acos_r", round(when(col("den") === 0, lit(0.0d))
             .otherwise(idot(col("q_qv"), col("qv")).cast("double") / col("den")), 6))
           .withColumn("srnk", row_number().over(ws))

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted inverted index: token-bucket-partitioned postings whose
+  * BM25 serving path (bm25TopK) is bit-identical to the direct
+  * q_rank_bm25 computation, reads ONLY the query tokens' buckets
+  * (numFiles-asserted planning-time pruning), absorbs id-disjoint deltas
+  * bit-for-bit ≡ a rebuild over the union, and keeps a crashed append's
+  * leftovers invisible until its meta commit.
+  */
+class InvertedIndexSpec extends SparkSpec {
+
+  private def docs = graft.Tables.documents(spark, sf001)
+
+  private def tmp(p: String) = {
+    val d = java.nio.file.Files.createTempDirectory(p).toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    d
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  private def queries = docs.filter(col("doc_id") < 3)
+    .select(col("doc_id").as("q_id"), col("text"))
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      scans(r.child)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scans)
+  }
+
+  test("bm25TopK over the index ≡ the direct q_rank_bm25 computation") {
+    val d = tmp("invidx_parity")
+    InvertedIndex.build(spark, docs, d)
+    val indexed = canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true))
+    val direct = canon(
+      graft.SparkEntry.queries("q_rank_bm25")(spark, sf001))
+    assert(indexed == direct,
+      s"indexed=${indexed.take(3)} direct=${direct.take(3)}")
+  }
+
+  test("the serving scan reads only the query tokens' buckets (planning-time pruning)") {
+    val d = tmp("invidx_prune")
+    InvertedIndex.build(spark, docs, d)
+    // a single rare token hits exactly one bucket
+    val oneTok = {
+      import spark.implicits._
+      Seq((42L, "dup")).toDF("q_id", "text")
+    }
+    assert(InvertedIndex.bm25TopK(spark, d, oneTok, k = 5).count() > 0,
+      "fixture: 'dup' must rank documents")
+    // observe the pruned scan itself (bm25TopK checkpoints it, which
+    // hides the scan from the serving plan's metrics)
+    val queryBucket0 = spark.range(1)
+      .select(InvertedIndex.bucketOf(lit("dup")).as("b")).head.getInt(0)
+    val res = InvertedIndex.readPostings(spark, d, 0, Seq(queryBucket0), {
+      import spark.implicits._
+      Seq("dup").toDF("token")
+    })
+    res.collect()
+    val scan = scans(res.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(p =>
+        p.toString.contains(d) && !p.toString.contains("_index")))
+      .getOrElse(fail("no FileSourceScanExec over the postings"))
+    assert(scan.partitionFilters.mkString(",").contains("bucket"),
+      scan.partitionFilters.mkString(","))
+    def filesUnder(sub: String): Int = {
+      val f = new java.io.File(d, sub)
+      if (!f.exists()) 0
+      else f.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val allBuckets = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    val probedFiles = filesUnder(s"bucket=$queryBucket0")
+    val allFiles = allBuckets.map(filesUnder).sum
+    assert(probedFiles >= 1 && probedFiles < allFiles,
+      s"fixture: $probedFiles of $allFiles")
+    assert(scan.metrics("numFiles").value == probedFiles,
+      s"numFiles=${scan.metrics("numFiles").value}, bucket has $probedFiles")
+  }
+
+  test("append ≡ rebuild: delta-indexed corpus serves bit-for-bit like a one-shot build") {
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
+    val dDelta = tmp("invidx_delta")
+    val dFull = tmp("invidx_full")
+    InvertedIndex.build(spark, docs.filter(col("doc_id") <= half), dDelta)
+    val added = InvertedIndex.append(spark,
+      docs.filter(col("doc_id") > half), dDelta)
+    assert(added > 0)
+    InvertedIndex.build(spark, docs, dFull)
+    // identical meta stats and identical serving results
+    assert(InvertedIndex.readMeta(spark, dDelta)._2 ==
+      InvertedIndex.readMeta(spark, dFull)._2)
+    assert(InvertedIndex.readMeta(spark, dDelta)._3 ==
+      InvertedIndex.readMeta(spark, dFull)._3)
+    val a = canon(InvertedIndex.bm25TopK(spark, dDelta, queries, k = 10,
+      excludeQueryDoc = true))
+    val b = canon(InvertedIndex.bm25TopK(spark, dFull, queries, k = 10,
+      excludeQueryDoc = true))
+    assert(a == b)
+    // and existing bucket files were never rewritten: every pre-append
+    // file name still present
+    // (epoch-prefixed delta files land beside them)
+    val e1Files = new java.io.File(dDelta).listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles())
+      .map(_.getName).filter(_.startsWith("e1-"))
+    assert(e1Files.nonEmpty, "the delta must land as epoch-1 files")
+  }
+
+  test("a crashed append (promoted files, no meta commit) is invisible; the retry converges") {
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
+    val d = tmp("invidx_crash")
+    InvertedIndex.build(spark, docs.filter(col("doc_id") <= half), d)
+    val before = canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true))
+    // simulate the crash window: run a full append, then roll back ONLY
+    // the meta commit — promoted e1-* postings and the e1 dl dir remain
+    InvertedIndex.append(spark, docs.filter(col("doc_id") > half), d)
+    val fs = new java.io.File(s"$d/_index/meta/e1")
+    assert(fs.exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(fs)
+    // readers see the committed epoch 0 only: the orphaned epoch-1
+    // postings are filtered out by epoch <= committed
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) == before)
+    // the retry clears its own e1-* prefix and converges to the full view
+    InvertedIndex.append(spark, docs.filter(col("doc_id") > half), d)
+    val dFull = tmp("invidx_crash_full")
+    InvertedIndex.build(spark, docs, dFull)
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) ==
+      canon(InvertedIndex.bm25TopK(spark, dFull, queries, k = 10,
+        excludeQueryDoc = true)))
+  }
+}

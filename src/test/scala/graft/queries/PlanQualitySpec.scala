@@ -187,15 +187,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_graph_pagerank takes top-k without a global sort; iterations truncate lineage") {
+  test("q_graph_pagerank composes equi-join iterations, top-k without a global sort") {
     val p = plan("q_graph_pagerank")
-    // the iteration plans are deliberately invisible here: each Pregel
-    // round ends in a localCheckpoint (lineage truncation is the point —
-    // the plan must not grow with the iteration count), so the final
-    // catalog plan is exactly a TakeOrderedAndProject over the last
-    // checkpointed rank frame — rank extraction without a global sort
+    // the three Pregel rounds compose into one lazy plan (edges/nodes
+    // are the only materializations): every rank⨝edges round is an
+    // equi-join on the node key, nothing plans all-pairs, and the final
+    // top-20 is a TakeOrderedAndProject, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // the materialized census
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -105,8 +105,8 @@ class SqlParitySpec extends SparkSpec {
     "q_text_repetition", "q_text_tfidf", "q_text_tokens", "q_win_topk_native",
     "q_win_topk_rule",
     // round 12 additions
-    "q_rank_bm25", "q_sim_topk_diverse", "q_sim_topk_sq", "q_events_anomaly",
-    "q_graph_pagerank", "q_index_asof")
+    "q_rank_bm25", "q_rank_bm25_idx", "q_sim_topk_diverse", "q_sim_topk_sq",
+    "q_events_anomaly", "q_graph_pagerank", "q_index_asof")
 
   test("verbatim oracle SQL ≡ DataFrame form, query by query") {
     registerViews()
