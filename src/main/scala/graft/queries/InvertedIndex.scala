@@ -20,10 +20,13 @@ import org.apache.spark.sql.types.DecimalType
   * names (idempotent retry: the e\<N\>-* prefix clears first), and the
   * meta commit (marker file) flips the epoch live — readers filter
   * `epoch <= committed`, so a crashed append's leftovers are invisible.
-  * Appends are id-disjoint by contract (new doc_ids only), the same
-  * contract as [[IndexedLayout.append]]; the spec proves build+append ≡
-  * one build over the union, bit-for-bit, because df/dl/stats are sums
-  * over disjoint doc sets.
+  * Appends are disjoint from the LIVE doc set by contract (the
+  * [[IndexedLayout.append]] contract); [[delete]] tombstones documents
+  * with the layout's (doc_id, as_of) liveness semantics, so update =
+  * delete + append and a re-added id's fresh postings survive the old
+  * tombstone. The spec proves build+append ≡ one build over the union
+  * and delete ≡ rebuild-over-survivors, bit-for-bit, because df/dl/stats
+  * are sums over disjoint live doc sets.
   *
   * Reference analog: the engine's sync→index loop maintains the VECTOR
   * index (IndexSync); this is the same "index kept fresh beside the
@@ -43,6 +46,7 @@ object InvertedIndex {
   private val CommitMarker = "_graft_committed"
   private def metaDir(outDir: String) = s"$outDir/_index/meta"
   private def dlDir(outDir: String) = s"$outDir/_index/dl"
+  private def delDir(outDir: String) = s"$outDir/_index/deleted"
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -128,8 +132,9 @@ object InvertedIndex {
     s.getLong(0)
   }
 
-  /** Absorb NEW documents (id-disjoint from everything indexed — the
-    * [[IndexedLayout.append]] contract) as a fresh epoch: staged write,
+  /** Absorb NEW documents (id-disjoint from the LIVE set — the
+    * [[IndexedLayout.append]] contract; a tombstoned id may re-enter,
+    * its fresh epoch outliving the tombstone) as a fresh epoch: staged write,
     * epoch-prefixed promote into the bucket dirs (retry clears its own
     * prefix first), dl + stats accumulate, meta commit flips it live.
     * Work is proportional to the DELTA's postings; existing bucket files
@@ -167,27 +172,86 @@ object InvertedIndex {
     s.getLong(0)
   }
 
+  /** The (doc_id, as_of) tombstone frame of committed deletes, max as_of
+    * per id — same liveness contract as [[IndexedLayout]]: a tombstone
+    * kills rows written BEFORE its epoch, so a re-added document's fresh
+    * postings survive the old delete (update = delete + append).
+    */
+  private def readDeleted(spark: SparkSession, outDir: String,
+      epoch: Int): Option[DataFrame] = {
+    val fs = fsOf(spark, outDir)
+    val dirs = (1 to epoch).map(i => s"${delDir(outDir)}/e$i")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*)
+      .groupBy("doc_id").agg(max("as_of").as("as_of")))
+  }
+
+  /** Tombstone-resolved liveness join (churn-sized right side). */
+  private def liveRows(rows: DataFrame, deleted: Option[DataFrame]): DataFrame =
+    deleted match {
+      case None => rows
+      case Some(t) =>
+        rows.join(t, Seq("doc_id"), "left")
+          .filter(col("as_of").isNull || col("epoch") >= col("as_of"))
+          .drop("as_of")
+    }
+
   /** The PRUNED postings scan: the static bucket list reaches the scan
     * as a partition filter (planning-time dir pruning — the spec asserts
     * numFiles equals the probed buckets' files), uncommitted epochs are
-    * filtered out, and only the query tokens' rows survive. bm25TopK
-    * materializes this once; exposed separately so the pruning proof can
-    * observe the scan's own metrics (the checkpoint hides them from the
-    * serving plan).
+    * filtered out, tombstoned documents' rows resolve away (which keeps
+    * the in-bucket df derivation exact over the LIVE set), and only the
+    * query tokens' rows survive. bm25TopK materializes this once;
+    * exposed separately so the pruning proof can observe the scan's own
+    * metrics (the checkpoint hides them from the serving plan).
     */
   private[queries] def readPostings(spark: SparkSession, outDir: String,
       epoch: Int, bucketSet: Seq[Int], qTokens: DataFrame): DataFrame =
-    spark.read.parquet(outDir)
-      .filter(col("bucket").isin(bucketSet.map(b => b: Any): _*))
-      .filter(col("epoch") <= epoch) // uncommitted leftovers invisible
-      .join(broadcast(qTokens), Seq("token"), "left_semi")
+    liveRows(
+      spark.read.parquet(outDir)
+        .filter(col("bucket").isin(bucketSet.map(b => b: Any): _*))
+        .filter(col("epoch") <= epoch) // uncommitted leftovers invisible
+        .join(broadcast(qTokens), Seq("token"), "left_semi"),
+      readDeleted(spark, outDir, epoch))
 
-  /** All committed dl rows (doc_id, dl). */
+  /** All committed LIVE dl rows (doc_id, dl). */
   private def readDl(spark: SparkSession, outDir: String, epoch: Int): DataFrame = {
     val fs = fsOf(spark, outDir)
     val dirs = (0 to epoch).map(i => s"${dlDir(outDir)}/e$i")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    spark.read.parquet(dirs: _*).select("doc_id", "dl")
+    liveRows(spark.read.parquet(dirs: _*), readDeleted(spark, outDir, epoch))
+      .select("doc_id", "dl")
+  }
+
+  /** DELETE documents from the index — the CDC verb that completes the
+    * lexical side's sync story (update = delete + [[append]] under the
+    * liveness contract). Tombstones (doc_id, as_of = the delete's epoch)
+    * land in their own epoch dir; postings and dl rows resolve away at
+    * READ (the [[IndexedLayout]] discipline — no bucket rewrites, work
+    * is O(victims)), and because df derives from the live posting list
+    * and the meta stats net out the victims' (count, Σdl), every score
+    * input — df, dl, N, avgdl — is exactly the survivors': serve ≡
+    * rebuild-over-survivors bit-for-bit, spec-proven. Unknown or
+    * already-dead ids are a harmless no-op record. Single-writer like
+    * every other index mutation. Returns the number of live docs killed.
+    */
+  def delete(spark: SparkSession, docIds: DataFrame, outDir: String): Long = {
+    val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    val next = epoch + 1
+    // victims = LIVE indexed docs among the requested ids (already-dead
+    // and unknown ids must not re-subtract from the stats)
+    val victims = readDl(spark, outDir, epoch)
+      .join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val s = victims.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("t")).head
+    val (k, sdl) = (s.getLong(0), s.getLong(1))
+    if (k > 0)
+      victims.select(col("doc_id"), lit(next).as("as_of"))
+        .write.mode("overwrite").parquet(s"${delDir(outDir)}/e$next")
+    writeMeta(spark, outDir, next, nDocs - k, tokTotal - sdl)
+    k
   }
 
   /** BM25 top-`k` docs per query over the index, reading ONLY the query

@@ -116,6 +116,57 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e1Files.nonEmpty, "the delta must land as epoch-1 files")
   }
 
+  test("delete ≡ rebuild over survivors; update = delete + append; unknown ids no-op") {
+    import spark.implicits._
+    val d = tmp("invidx_del")
+    InvertedIndex.build(spark, docs, d)
+    // kill a slice that intersects the candidate space
+    val dead = docs.select("doc_id").filter(col("doc_id") % 41 === 7)
+      .localCheckpoint()
+    val nDead = dead.count()
+    assert(nDead > 0)
+    assert(InvertedIndex.delete(spark, dead, d) == nDead)
+    // serve ≡ a one-shot build over the survivors — df/dl/N/avgdl all
+    // netted, so every score input is exactly the survivors'
+    val dSurv = tmp("invidx_del_surv")
+    InvertedIndex.build(spark,
+      docs.join(dead, Seq("doc_id"), "left_anti"), dSurv)
+    assert(InvertedIndex.readMeta(spark, d)._2 ==
+      InvertedIndex.readMeta(spark, dSurv)._2)
+    assert(InvertedIndex.readMeta(spark, d)._3 ==
+      InvertedIndex.readMeta(spark, dSurv)._3)
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) ==
+      canon(InvertedIndex.bm25TopK(spark, dSurv, queries, k = 10,
+        excludeQueryDoc = true)))
+    // update = delete + append: one dead id re-enters with NEW text; its
+    // fresh postings outlive the tombstone
+    val reborn = dead.orderBy("doc_id").head.getLong(0)
+    InvertedIndex.append(spark,
+      Seq((reborn, "dup dup table")).toDF("doc_id", "text"), d)
+    val dUpd = tmp("invidx_del_upd")
+    InvertedIndex.build(spark,
+      docs.select("doc_id", "text").join(dead, Seq("doc_id"), "left_anti")
+        .unionByName(Seq((reborn, "dup dup table")).toDF("doc_id", "text")),
+      dUpd)
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) ==
+      canon(InvertedIndex.bm25TopK(spark, dUpd, queries, k = 10,
+        excludeQueryDoc = true)))
+    assert(InvertedIndex.readMeta(spark, d)._2 ==
+      InvertedIndex.readMeta(spark, dUpd)._2)
+    assert(InvertedIndex.readMeta(spark, d)._3 ==
+      InvertedIndex.readMeta(spark, dUpd)._3)
+    // unknown and already-dead ids are harmless no-op records
+    val statsBefore = InvertedIndex.readMeta(spark, d)
+    assert(InvertedIndex.delete(spark,
+      Seq(999999901L).toDF("doc_id"), d) == 0)
+    assert(InvertedIndex.delete(spark, dead.filter(
+      col("doc_id") =!= reborn), d) == 0) // already tombstoned
+    val statsAfter = InvertedIndex.readMeta(spark, d)
+    assert(statsAfter._2 == statsBefore._2 && statsAfter._3 == statsBefore._3)
+  }
+
   test("a crashed append (promoted files, no meta commit) is invisible; the retry converges") {
     val half = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
     val d = tmp("invidx_crash")

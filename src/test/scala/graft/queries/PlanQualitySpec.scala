@@ -159,23 +159,24 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_sim_topk_diverse")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // two windows: the (q, facet) cap first, then the global rank over
-    // its ≤ 2·|langs| survivors — both present, cap before global
-    val capIdx = p.indexOf("frnk")
-    val glbIdx = p.indexOf("rnk#")
-    assert(capIdx >= 0 && glbIdx >= 0, p)
+    // the (q, facet) cap must run before the global rank. Its physical
+    // form depends on which rules are active in the shared session: as
+    // the frnk row_number window, or — when TopKRewrite is registered —
+    // rewritten into the custom TopKPerKey operator (the rank-dropped
+    // idiom; the upgrade is exactly what the rule is for)
+    assert(p.contains("frnk") || p.contains("TopKPerKey"), p)
+    assert(p.contains("rnk#"), p)
   }
 
   test("q_sim_topk_sq scores in the compressed domain; full floats only after the shortlist") {
     val p = plan("q_sim_topk_sq")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the exact cosine (the float kernel) must be computed AFTER the
-    // shortlist filter, never on the full candidate stream: the plan
-    // applies srnk <= 20 below the projection that calls vec_dot on the
-    // raw embeddings
-    val srnkIdx = p.indexOf("srnk")
-    assert(srnkIdx >= 0, p)
+    // the shortlist cap must exist — as the srnk row_number window, or
+    // rewritten into TopKPerKey when the TopKRewrite rule is active in
+    // the shared session (the rank-dropped idiom); either way the exact
+    // cosine projection sits ABOVE the cap, touching only survivors
+    assert(p.contains("srnk") || p.contains("TopKPerKey"), p)
   }
 
   test("q_events_anomaly joins hourly aggregates, never raw events; stats broadcast") {
