@@ -132,10 +132,16 @@ object Bench {
     val upsIdx = if (only.isDefined) -1.0
       else (1 to pipelineIterations)
         .map(_ => indexsyncThroughput(spark, sfDir)).max
+    // the LEXICAL twin of the loop above: doc CDC through LexIndexSync
+    // into a live InvertedIndex, compaction policy on
+    val docsLex = if (only.isDefined) -1.0
+      else (1 to pipelineIterations)
+        .map(_ => lexsyncThroughput(spark, sfDir)).max
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
       s""""indexsync_upserts_per_s":$upsIdx,""" +
+      s""""lexsync_docs_per_s":$docsLex,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
       s""""sentinel_sec":$sentinelJson,"sentinel_spread":$sentinelSpread,""" +
       s""""stat":"min","sf":"$sfDir"}"""
@@ -160,6 +166,7 @@ object Bench {
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
       s""""indexsync_upserts_per_s":$upsIdx,""" +
+      s""""lexsync_docs_per_s":$docsLex,""" +
       s""""sentinel_spread":$sentinelSpread,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
@@ -289,6 +296,61 @@ object Bench {
     // would overstate the rate, so the run reports failure instead
     if (absorbed <= 0 || committed() < n) -1.0
     else math.round(n / secs * 10.0) / 10.0
+  }
+
+  /** The lexical loop's sustained rate: a live [[graft.queries.InvertedIndex]]
+    * bootstrapped over the bench corpus absorbs a churning document-update
+    * CDC through [[graft.pipeline.LexIndexSync.start]], compaction policy ON
+    * — the rate prices tokenize + delete-then-append epochs + periodic
+    * compaction, end to end. Same cumulative-listener completion tally and
+    * deadline-failure semantics as [[indexsyncThroughput]].
+    */
+  private def lexsyncThroughput(spark: SparkSession, sfDir: String): Double = {
+    import graft.pipeline._
+    import graft.pipeline.LexIndexSync.DocEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[DocEvent] =
+      org.apache.spark.sql.Encoders.product[DocEvent]
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("bench_lexsync_idx").toString
+    graft.queries.InvertedIndex.build(spark,
+      Tables.documents(spark, sfDir).select("doc_id", "text"), indexDir)
+    val n = 2000
+    val events = (0 until n).map { i =>
+      DocEvent("UPDATE", i.toLong, (i % 200).toLong,
+        s"dup churn pass${i / 200} token${i % 17} merge window sort")
+    }
+    val inputRows =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        inputRows.merge(e.progress.id, e.progress.numInputRows,
+          (a, b) => a + b)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val source = MemoryStream[DocEvent]
+    val query = LexIndexSync.start(source.toDS(), indexDir,
+      java.nio.file.Files.createTempDirectory("bench_lexsync_ckpt").toString,
+      triggerMs = 50, compactEvery = 4)
+    def committed(): Long = inputRows.getOrDefault(query.id, 0L)
+    val t0 = System.nanoTime()
+    try {
+      events.grouped(500).foreach(chunk => source.addData(chunk))
+      val deadline = System.currentTimeMillis() + 120000
+      while (committed() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
+    if (committed() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
   }
 
   /** Upserts per payload = createdAt fields: exactly one per instance and,

@@ -72,16 +72,16 @@ object IndexSync {
     * Written AFTER the store's own epoch committed; purely a replay
     * short-circuit, never the correctness mechanism.
     */
-  private def markerPath(stateRoot: String, epochId: Long) =
+  private[pipeline] def markerPath(stateRoot: String, epochId: Long) =
     new org.apache.hadoop.fs.Path(s"$stateRoot/stream/e$epochId")
 
-  private def marked(spark: SparkSession,
+  private[pipeline] def marked(spark: SparkSession,
       stateRoot: String, epochId: Long): Boolean = {
     val p = markerPath(stateRoot, epochId)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  private def mark(spark: SparkSession,
+  private[pipeline] def mark(spark: SparkSession,
       stateRoot: String, epochId: Long): Unit = {
     val p = markerPath(stateRoot, epochId)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -55,6 +55,43 @@ object InvertedIndex {
   private[queries] def bucketOf(token: Column): Column =
     pmod(hash(token), lit(Buckets))
 
+  /** File-name epoch of a bucket file: `e<K>-*` (an append's postings)
+    * or `e<K>c-*` (a compaction's rewrite). */
+  private def fileEpoch(name: String): Option[Int] = {
+    val m = "^e(\\d+)c?-".r.findFirstMatchIn(name)
+    m.map(_.group(1).toInt)
+  }
+
+  /** Roll back UNCOMMITTED leftovers (bucket files and dl dirs whose
+    * epoch exceeds the committed one — a crashed append's promoted files
+    * or a crashed compaction's staged copies). Every epoch-advancing verb
+    * calls this first, so an abandoned crash can never be resurrected by
+    * a LATER commit reusing its epoch number; a retry of the same verb
+    * simply re-stages what it cleared. Safe by construction: files above
+    * the committed epoch are invisible to readers (the `epoch <=
+    * committed` read filter), and a pre-commit compaction never dropped
+    * an original, so nothing live is ever removed.
+    */
+  private def clearUncommitted(spark: SparkSession, outDir: String,
+      committed: Int): Unit = {
+    val fs = fsOf(spark, outDir)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("bucket=")).foreach { bdir =>
+          fs.listStatus(bdir).map(_.getPath)
+            .filter(f => fileEpoch(f.getName).exists(_ > committed))
+            .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
+        }
+    val dld = new org.apache.hadoop.fs.Path(dlDir(outDir))
+    if (fs.exists(dld))
+      fs.listStatus(dld).map(_.getPath)
+        .filter(p => p.getName.startsWith("e") &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          p.getName.drop(1).toInt > committed)
+        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
+  }
+
   /** Robertson/Lucene idf, never negative: ln(1 + (N−df+0.5)/(df+0.5)),
     * rounded to 6 — one fixed IEEE tree over integer inputs, shared by
     * the direct q_rank_bm25 and the indexed search so both produce
@@ -143,6 +180,7 @@ object InvertedIndex {
     */
   def append(spark: SparkSession, newDocs: DataFrame, outDir: String): Long = {
     val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
     val next = epoch + 1
     val (tf, dl) = project(newDocs.select("doc_id", "text"), next)
     val fs = fsOf(spark, outDir)
@@ -215,13 +253,151 @@ object InvertedIndex {
         .join(broadcast(qTokens), Seq("token"), "left_semi"),
       readDeleted(spark, outDir, epoch))
 
-  /** All committed LIVE dl rows (doc_id, dl). */
+  /** All committed LIVE dl rows (doc_id, dl). The max-epoch pick per doc
+    * makes the read safe against [[compact]]'s post-commit crash window
+    * (the consolidated dl copy and a not-yet-dropped original coexist
+    * briefly — the newest wins; one row per doc either way).
+    */
   private def readDl(spark: SparkSession, outDir: String, epoch: Int): DataFrame = {
     val fs = fsOf(spark, outDir)
     val dirs = (0 to epoch).map(i => s"${dlDir(outDir)}/e$i")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     liveRows(spark.read.parquet(dirs: _*), readDeleted(spark, outDir, epoch))
+      .groupBy("doc_id").agg(max_by(col("dl"), col("epoch")).as("dl"))
       .select("doc_id", "dl")
+  }
+
+  /** Compact the index: rewrite buckets holding tombstone-killed postings
+    * down to their live rows, consolidate the document-length store, and
+    * drop satisfied tombstones — [[IndexedLayout.compact]]'s LSM verb on
+    * the lexical layout, with two hard-won refinements over the cell
+    * layout's original design:
+    *
+    *   - TWO-PHASE: the meta commit happens BEFORE any original file is
+    *     dropped. Pre-commit, the rewritten copies (named `e<next>c-*`,
+    *     epoch column = next) are invisible to readers (the committed-
+    *     epoch filter) and every original is intact, so a crash there
+    *     loses nothing and [[clearUncommitted]] rolls the copies back;
+    *     post-commit, a crash can only leave superseded originals beside
+    *     their committed copies — readers briefly see duplicates (the
+    *     torn caveat) and the next compact converges them.
+    *   - The dirty set bypasses `minDeadFrac` for any bucket showing
+    *     torn-state evidence: duplicate (doc_id, token) postings — the
+    *     post-commit crash's signature, whose dilution would otherwise
+    *     let the policy skip the damaged bucket forever (the exact
+    *     failure mode the cell layout's minDeadFrac review found).
+    *
+    * Unlike a vector (one cell), a document's postings span every bucket
+    * its tokens hash to, so tombstones still needed by un-compacted
+    * buckets consolidate into the compaction epoch's own deleted dir
+    * (original as_of preserved). The dl store rewrites to its live set in
+    * the same pass — the price of dropping tombstones that also guard dl
+    * rows — and [[readDl]]'s max-epoch pick bridges the window between
+    * the meta commit and the old dl dirs' removal. `minDeadFrac` is the
+    * usual space-amp knob: only buckets whose dead-posting fraction
+    * reaches it rewrite. Single-writer, like every index mutation.
+    * Returns (buckets compacted, live postings rewritten).
+    */
+  def compact(spark: SparkSession, outDir: String,
+      minDeadFrac: Double = 0.0): (Int, Long) = {
+    val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
+    val fs = fsOf(spark, outDir)
+    val next = epoch + 1
+    def dropOldDirs(root: String, lo: Int): Unit =
+      (lo to epoch).map(i => new org.apache.hadoop.fs.Path(s"$root/e$i"))
+        .filter(fs.exists).foreach(p =>
+          require(fs.delete(p, true), s"could not drop $p"))
+    val tombsOpt = readDeleted(spark, outDir, epoch)
+    val raw = spark.read.parquet(outDir).filter(col("epoch") <= epoch)
+    val deadRows = tombsOpt match {
+      case None => raw.limit(0).withColumn("t_as_of", lit(0))
+      case Some(t) => raw.join(t.withColumnRenamed("as_of", "t_as_of"),
+        Seq("doc_id")).filter(col("epoch") < col("t_as_of"))
+    }
+    // per-bucket (dead, total, duplicate-evidence) stats — the bounded
+    // driver view the policy decides on (≤ Buckets rows)
+    val stats = raw.groupBy("bucket")
+      .agg(count(lit(1)).as("total"),
+        countDistinct(col("doc_id"), col("token")).as("uniq"))
+      .join(deadRows.groupBy("bucket").agg(count(lit(1)).as("dead")),
+        Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(col("dead"), lit(0L)).cast("double") / col("total")).as("frac"),
+        (col("total") > col("uniq")).as("torn"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2)))
+    val torn = stats.filter(_._3).map(_._1).toSet
+    val dirtyStats = stats.filter(s => s._2 > 0.0 || torn(s._1))
+    if (dirtyStats.isEmpty) {
+      if (tombsOpt.isEmpty) return (0, 0L)
+      // no dead postings on disk: every tombstone is satisfied on the
+      // postings side but may still guard dead dl rows — consolidate dl
+      // live, commit, and only then drop the tombstones
+      readDl(spark, outDir, epoch).withColumn("epoch", lit(next))
+        .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
+      writeMeta(spark, outDir, next, nDocs, tokTotal)
+      dropOldDirs(delDir(outDir), 1)
+      dropOldDirs(dlDir(outDir), 0)
+      return (0, 0L)
+    }
+    val dirty = dirtyStats
+      .filter(s => s._2 >= minDeadFrac || torn(s._1)).map(_._1).sorted
+    if (dirty.isEmpty) return (0, 0L)
+    val survivorTombs =
+      if (tombsOpt.isEmpty || dirty.length == dirtyStats.length) None
+      else Some(deadRows
+        .filter(!col("bucket").isin(dirty.map(b => b: Any): _*))
+        .select(col("doc_id"), col("t_as_of").as("as_of"))
+        .distinct().localCheckpoint())
+    // the live rows of the dirty buckets, one copy per (doc_id, token)
+    // (max epoch wins — converges post-commit-crash duplicates)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "token").orderBy(col("epoch").desc)
+    val input = liveRows(
+        raw.filter(col("bucket").isin(dirty.map(b => b: Any): _*)), tombsOpt)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("epoch", lit(next))
+      .localCheckpoint()
+    val rewritten = input.count()
+    val staging = s"$outDir/_index/staging/compact_e$next"
+    input.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val staged = fs.listStatus(stagingPath).map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).map(p => p.getName -> p).toMap
+    // phase 1: promote copies (c-namespace) — originals untouched
+    dirty.foreach { bucket =>
+      val name = s"bucket=$bucket"
+      val target = new org.apache.hadoop.fs.Path(outDir, name)
+      staged.get(name).foreach { bdir =>
+        fs.listStatus(bdir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            val dest = new org.apache.hadoop.fs.Path(target, s"e${next}c-$i.parquet")
+            require(fs.rename(f, dest), s"could not promote $f to $dest")
+          }
+      }
+    }
+    // consolidated dl (live set re-stamped) + surviving tombstones land in
+    // the compaction epoch's own dirs — all invisible until the commit
+    readDl(spark, outDir, epoch).withColumn("epoch", lit(next))
+      .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
+    survivorTombs.filter(st => !st.isEmpty).foreach(_.coalesce(1)
+      .write.mode("overwrite").parquet(s"${delDir(outDir)}/e$next"))
+    writeMeta(spark, outDir, next, nDocs, tokTotal) // the commit point
+    // phase 2: drop the superseded originals + prior-epoch side dirs
+    dirty.foreach { bucket =>
+      val target = new org.apache.hadoop.fs.Path(outDir, s"bucket=$bucket")
+      fs.listStatus(target).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(s"e${next}c-"))
+        .foreach(f => require(fs.delete(f, false), s"could not drop $f"))
+    }
+    dropOldDirs(delDir(outDir), 1) // pre-compaction dirs; e(next) survives
+    dropOldDirs(dlDir(outDir), 0)
+    fs.delete(stagingPath, true)
+    (dirty.length, rewritten)
   }
 
   /** DELETE documents from the index — the CDC verb that completes the
@@ -238,6 +414,7 @@ object InvertedIndex {
     */
   def delete(spark: SparkSession, docIds: DataFrame, outDir: String): Long = {
     val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
     val next = epoch + 1
     // victims = LIVE indexed docs among the requested ids (already-dead
     // and unknown ids must not re-subtract from the stats)

@@ -125,6 +125,41 @@ class MetricsSpec extends AnyFunSuite {
     } finally { api.close(); sched.close() }
   }
 
+  test("the lexical index loop's counters count and are scrapeable") {
+    val spark = graft.SparkSpec.session
+    val d = java.nio.file.Files.createTempDirectory("metrics_lexsync").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    graft.queries.InvertedIndex.build(spark,
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 30)
+        .select("doc_id", "text"), d)
+    val events = Seq(
+      LexIndexSync.DocEvent("UPDATE", 1, 3L, "dup merge window"),
+      LexIndexSync.DocEvent("DELETE", 2, 7L, ""))
+    val dd = delta("graft_lexsync_epochs_total",
+      "graft_lexsync_upserts_total", "graft_lexsync_deletes_total",
+      "graft_lexsync_skipped_epochs_total") {
+      LexIndexSync.applyBatch(spark, events, 51L, d)
+      LexIndexSync.applyBatch(spark, events, 51L, d) // marked → skipped
+    }
+    assert(dd("graft_lexsync_epochs_total") == 1)
+    assert(dd("graft_lexsync_upserts_total") == 1)
+    assert(dd("graft_lexsync_deletes_total") == 1)
+    assert(dd("graft_lexsync_skipped_epochs_total") == 1)
+    val sched = new ResyncScheduler(intervalMs = 3600000, doResync = () => 0L)
+    val api = new ApiServer(":0", sched).start()
+    try {
+      val conn = new URI(s"http://127.0.0.1:${api.port}/metrics").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect()
+      assert(body.contains("# TYPE graft_lexsync_epochs_total counter"))
+      assert(body.contains("graft_lexsync_upserts_total"))
+      assert(body.contains("graft_lexsync_deletes_total"))
+    } finally { api.close(); sched.close() }
+  }
+
   test("resync runs count; GET /metrics exposes the counters") {
     val sched = new ResyncScheduler(intervalMs = 3600000, doResync = () => 5L)
     val api = new ApiServer(":0", sched).start()

@@ -167,6 +167,86 @@ class InvertedIndexSpec extends SparkSpec {
     assert(statsAfter._2 == statsBefore._2 && statsAfter._3 == statsBefore._3)
   }
 
+  test("compact rewrites churned buckets to their live set; clean buckets untouched; repeat no-op") {
+    val d = tmp("invidx_compact")
+    InvertedIndex.build(spark, docs, d)
+    val dead = docs.select("doc_id").filter(col("doc_id") % 83 === 5)
+      .localCheckpoint()
+    assert(InvertedIndex.delete(spark, dead, d) == dead.count())
+    val before = canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true))
+    val rawBefore = spark.read.parquet(d).count()
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(d).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles()
+          .map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+    val filesBefore = bucketFiles()
+    val (buckets, rewritten) = InvertedIndex.compact(spark, d)
+    assert(buckets > 0 && rewritten > 0)
+    // dead postings physically gone; serving unchanged; tombstones gone
+    assert(spark.read.parquet(d).count() < rawBefore)
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) == before)
+    assert(!new java.io.File(d, "_index/deleted").exists() ||
+      new java.io.File(d, "_index/deleted").listFiles().isEmpty)
+    // clean buckets untouched file-for-file
+    val filesAfter = bucketFiles()
+    val changed = filesAfter.filter { case (b, f) => filesBefore(b) != f }
+    assert(changed.nonEmpty)
+    filesAfter.keys.filterNot(changed.contains).foreach { b =>
+      assert(filesAfter(b) == filesBefore(b), s"clean bucket $b touched") }
+    // repeat is a no-op; further CDC still lands
+    assert(InvertedIndex.compact(spark, d) == ((0, 0L)))
+    import spark.implicits._
+    InvertedIndex.append(spark,
+      Seq((900001L, "dup merge")).toDF("doc_id", "text"), d)
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) != before) // 'dup' postings changed df
+  }
+
+  test("a torn bucket (post-commit crash duplicates) bypasses minDeadFrac and repairs") {
+    import spark.implicits._
+    val d = tmp("invidx_torn")
+    InvertedIndex.build(spark, docs, d)
+    val (epoch, n0, t0) = InvertedIndex.readMeta(spark, d)
+    // hand-build the post-commit crash state: a bucket's rows duplicated
+    // as committed-epoch compaction copies (e<epoch>c-*), originals still
+    // in place — visible duplicates whose dilution would evade a high
+    // threshold without the torn rule
+    val bdir = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("bucket=")).maxBy(
+        _.listFiles().map(_.length()).sum)
+    val bucket = bdir.getName.stripPrefix("bucket=").toInt
+    val copyRows = spark.read.parquet(d).filter(col("bucket") === bucket)
+      .drop("bucket")
+    val staging = java.nio.file.Files.createTempDirectory("torn_idx").toString
+    copyRows.coalesce(1).write.mode("overwrite").parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.move(f.toPath,
+          new java.io.File(bdir, s"e${epoch}c-9$i.parquet").toPath)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    // duplicates are visible (committed epoch) — df doubled for that
+    // bucket's tokens until repair
+    val dups = spark.read.parquet(d).groupBy("doc_id", "token")
+      .count().filter(col("count") > 1).count()
+    assert(dups > 0, "fixture: duplicates must exist")
+    val (buckets, _) = InvertedIndex.compact(spark, d, minDeadFrac = 0.9)
+    assert(buckets == 1, s"the torn bucket must compact, got $buckets")
+    assert(spark.read.parquet(d).groupBy("doc_id", "token")
+      .count().filter(col("count") > 1).isEmpty)
+    val (_, n1, t1) = InvertedIndex.readMeta(spark, d)
+    assert(n1 == n0 && t1 == t0)
+    // and the repaired index serves exactly like an untouched build
+    val dRef = tmp("invidx_torn_ref")
+    InvertedIndex.build(spark, docs, dRef)
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) ==
+      canon(InvertedIndex.bm25TopK(spark, dRef, queries, k = 10,
+        excludeQueryDoc = true)))
+  }
+
   test("a crashed append (promoted files, no meta commit) is invisible; the retry converges") {
     val half = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
     val d = tmp("invidx_crash")
