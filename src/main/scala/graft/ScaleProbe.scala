@@ -31,7 +31,15 @@ object ScaleProbe {
     "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
     "q_dedup_clusters", "q_corpus_final", "q_pack_chunks", "q_text_tfidf",
     "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq", "q_sim_knn_graph",
-    "q_sim_knn_graph_ivf")
+    "q_sim_knn_graph_ivf",
+    // round 12: the new retrieval rows that read the scaled tables
+    // (documents/embeddings; pagerank/anomaly read the symlinked
+    // relational/event tables and are excluded — their probe would time
+    // identical data). bm25's expected shape is ~linear: the postings/df
+    // build is one map-reduce pass over the corpus (the persisted-index
+    // row is the serving path that avoids it); the SQ and diversity scans
+    // are broadcast-query corpus passes like q_sim_topk.
+    "q_rank_bm25", "q_sim_topk_sq", "q_sim_topk_diverse")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(5)

@@ -941,6 +941,29 @@ object VectorQueries {
       None),
 
     GQuery(
+      "q_sim_topk_graph",
+      (s, dir) => {
+        // GRAPH-TRAVERSAL ANN search (GraphSearch.beamTopK): top-5 by
+        // greedy beam search over the k-NN graph — the HNSW/DiskANN-family
+        // serving regime beside brute (q_sim_topk) and IVF
+        // (q_sim_topk_ivf): per-query cost is beam × degree × iters
+        // candidate scorings, independent of corpus size, with scores
+        // computed once per (query, vertex). The row builds the graph via
+        // the shared LSH pipeline and then walks it; in production the
+        // graph is the PERSISTED, IndexSync-maintained KnnGraphBuild
+        // state and only the walk runs (GraphSearchSpec's disk-serving
+        // form). Rows-only: approximate by construction; recall floor
+        // 0.85 (measured 0.990 at sf0.001, seeds-only 0.050) asserted in
+        // GraphSearchSpec.
+        val g = knnGraph(s, dir, k = 5, tables = 6).localCheckpoint()
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        GraphSearch.beamTopK(s, g, e, q, k = 5)
+      },
+      None),
+
+    GQuery(
       "q_emb_quant",
       (s, dir) => {
         // Int8 scalar quantization — vector-store prep: per-vector scale =
