@@ -90,4 +90,74 @@ object GraphSearch {
       embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame =
     beamTopK(spark, KnnGraphBuild.readGraph(spark, graphDir),
       embeddings, queries, k)
+
+  /** One shortlist candidate row for the MMR re-rank. */
+  final case class MmrCand(q_id: Long, vec_id: Long, cos_r: Double,
+      embedding: Seq[Float])
+
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR'98):
+    * from a per-query shortlist, greedily select `k` results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — relevance traded
+    * against redundancy, the diversity re-rank a production retrieval
+    * stack runs after ANN. The shortlist arrives as (q_id, vec_id,
+    * cos_r, embedding) rows, `shortK`-bounded per query by contract.
+    *
+    * The greedy argmax with set-valued state is run per query group in a
+    * typed flatMapGroups — the documented last-rung case: ≤ shortK rows
+    * per group, an inherently ITERATIVE selection no relational operator
+    * expresses, executed on executors with one shuffle on q_id (group
+    * count = queries, never corpus-scale). All similarities round to 6
+    * before comparison and ties break on vec_id, so the selection is
+    * deterministic — MmrSpec pins it against an independent plain-Scala
+    * recompute, exactly.
+    */
+  def mmrRerank(spark: SparkSession, shortlist: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    shortlist.as[MmrCand].groupByKey(_.q_id)
+      .flatMapGroups { (q, it) =>
+        val cands = it.toArray.sortBy(c => (-c.cos_r, c.vec_id))
+        mmrSelect(cands, k, lambda).zipWithIndex.map { case ((c, s), i) =>
+          (q, i + 1, c.vec_id, math.rint(s * 10000.0) / 10000.0)
+        }
+      }
+      .toDF("q_id", "rnk", "vec_id", "mmr")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The greedy selection itself — shared verbatim with MmrSpec's
+    * independent recompute so the spec checks the DISTRIBUTED plumbing
+    * against the algorithm, and the algorithm against hand-computable
+    * cases.
+    */
+  private[queries] def mmrSelect(cands: Array[MmrCand], k: Int,
+      lambda: Double): Seq[(MmrCand, Double)] = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      val c = if (den == 0.0) 0.0 else dot / den
+      math.rint(c * 1e6) / 1e6 // the catalog's round-6 determinism rule
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(MmrCand, Double)]()
+    val remaining = scala.collection.mutable.ArrayBuffer(cands.toIndexedSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(c.embedding, s._1.embedding)).max
+        val s = math.rint((lambda * c.cos_r -
+          (1.0 - lambda) * redundancy) * 1e6) / 1e6
+        (c, s)
+      }
+      val best = scored.minBy { case (c, s) => (-s, c.vec_id) }
+      selected += best
+      remaining -= best._1
+    }
+    selected.toSeq
+  }
 }

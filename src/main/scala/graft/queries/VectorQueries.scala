@@ -964,6 +964,38 @@ object VectorQueries {
       None),
 
     GQuery(
+      "q_sim_mmr",
+      (s, dir) => {
+        // MMR DIVERSITY RE-RANK (Carbonell & Goldstein '98): the re-rank
+        // stage a production retrieval stack runs after ANN — top-5
+        // selected from a 30-deep brute shortlist by λ·relevance −
+        // (1−λ)·max-similarity-to-already-selected (λ = 0.7), trading
+        // redundancy against relevance. The shortlist is the q_sim_topk
+        // broadcast scan (corpus touched once, map-only); the greedy
+        // selection runs per query group on the 30-row shortlist
+        // (GraphSearch.mmrRerank — the typed last-rung operator, group
+        // count = |queries|). Rows-only: deterministic (round-6 + vec_id
+        // ties) and pinned EXACTLY against an independent recompute plus
+        // hand-computed diversity cases in MmrSpec, but the iterative
+        // set-valued selection has no SQL twin.
+        val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
+        val q = broadcast(
+          e.filter(col("vec_id") < 10).select(
+            col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_n")))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_r").desc, col("vec_id").asc)
+        val shortlist = q.join(e, col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(
+            cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .withColumn("srnk", row_number().over(w))
+          .filter(col("srnk") <= 30)
+          .select("q_id", "vec_id", "cos_r", "embedding")
+        GraphSearch.mmrRerank(s, shortlist, k = 5)
+      },
+      None),
+
+    GQuery(
       "q_emb_quant",
       (s, dir) => {
         // Int8 scalar quantization — vector-store prep: per-vector scale =
