@@ -9,11 +9,9 @@ import org.apache.spark.sql.types.DecimalType
   * extended here with iterative rank propagation. Iterative graph
   * algorithms on Spark are driver-unrolled loops of joins (the Pregel
   * shape: ranks ⨝ edges on src, aggregate on dst, join back to nodes);
-  * each iteration is two co-partitioned shuffles on the node key, the
-  * reused edge/node frames are materialized once, and a bounded
-  * iteration count composes into one lazy plan (open-ended runs would
-  * truncate lineage every ~10 rounds). Determinism across engines
-  * follows the catalog
+  * the reused edge/node frames are materialized once and each round's
+  * rank vector materializes so its broadcast builds from a computed
+  * frame. Determinism across engines follows the catalog
   * contract: per-edge contributions are a fixed double expression tree
   * (IEEE ops on identical inputs → identical bits), pre-rounded and
   * summed in exact DECIMAL so accumulation order can't flip a rank.
@@ -50,27 +48,35 @@ object GraphQueries {
         val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("node"), col("deg"))
           .localCheckpoint() // the census feeds every round's left join
-        val stats = nodes.agg(count(lit(1)).as("nn"))
-        // three rounds compose into ONE lazy plan: a fixed iteration
-        // count keeps lineage shallow, so per-round materialization would
-        // only add scheduler overhead (measured 4.4 s → ~1 s at sf0.1);
-        // an open-ended PageRank would localCheckpoint every ~10 rounds
-        // instead — the loop structure already supports it
-        var ranks = nodes.crossJoin(broadcast(stats))
+        // the node COUNT is a bounded driver scalar (the probe-cell /
+        // quota-table class): hoisting it to a literal removes a
+        // broadcast stage from every round — the teleport term is the
+        // same double either way
+        val nn = nodes.count()
+        // the rank and contribution vectors are NODE-CENSUS-sized — the
+        // dimension class (customer + supplier key spaces), orders of
+        // magnitude under the edge set — so they ride BROADCASTS into
+        // the edge join and the census join: each round is one map-side
+        // pass over the cached edges plus a partial-aggregated 16k-row
+        // shuffle, no edge-set sort. (A graph whose census outgrows the
+        // broadcast budget swaps these hints for co-partitioned SMJs —
+        // the shape is otherwise identical.) Rounds materialize so each
+        // broadcast builds from a computed frame, not a re-derivation.
+        var ranks = nodes
           .select(col("node"), col("deg"),
-            round(lit(1.0) / col("nn"), 12).as("r"))
+            round(lit(1.0) / lit(nn), 12).as("r"))
         for (_ <- 1 to 3) {
-          val contrib = ranks
+          val contrib = broadcast(ranks)
             .join(edges, col("node") === col("src"))
             .withColumn("cb",
               round(col("r") / col("deg"), 12).cast(DecimalType(28, 12)))
             .groupBy("dst").agg(sum("cb").as("s"))
           ranks = nodes
-            .join(contrib, col("node") === col("dst"), "left")
-            .crossJoin(broadcast(stats))
+            .join(broadcast(contrib), col("node") === col("dst"), "left")
             .select(col("node"), col("deg"),
-              round(lit(0.15) / col("nn") + lit(0.85) *
+              round(lit(0.15) / lit(nn) + lit(0.85) *
                 coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+            .localCheckpoint()
         }
         ranks.orderBy(col("r").desc, col("node").asc).limit(20)
           .select(col("node"),

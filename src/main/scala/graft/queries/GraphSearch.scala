@@ -50,8 +50,11 @@ object GraphSearch {
       .localCheckpoint()
     val q = broadcast(queries
       .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n")))
+    // the candidate frame is QUERY-BOUNDED by construction (≤ queries ×
+    // beam × degree rows/round), so it broadcasts into the corpus-sized
+    // vector join — the corpus streams map-side, never shuffles
     def score(cand: DataFrame): DataFrame = // (q_id, vec_id) → + cos_r
-      cand.join(e, "vec_id").join(q, "q_id")
+      broadcast(cand).join(e, "vec_id").join(q, "q_id")
         .withColumn("cos_r", round(cosineWithNorms(
           col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
         .select("q_id", "vec_id", "cos_r")
@@ -64,16 +67,20 @@ object GraphSearch {
     val seeds = e.orderBy("vec_id").limit(entrySeeds).select("vec_id")
     var scoredAll = score(q.select("q_id").crossJoin(seeds))
       .localCheckpoint() // every (q, v) ever scored — dedup authority
-    var frontier = topBeam(scoredAll).localCheckpoint()
+    // the frontier stays LAZY over the checkpointed score set: one
+    // materialization per round (the growing scoredAll), not two — the
+    // beam window re-derives inside the round's own job
+    var frontier = topBeam(scoredAll)
     for (_ <- 1 to iters) {
-      val fresh = frontier.select("q_id", "vec_id")
+      // the beam-bounded frontier broadcasts into the adjacency scan
+      val fresh = broadcast(frontier.select("q_id", "vec_id"))
         .join(adj, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
         .distinct()
         .join(scoredAll.select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_anti") // score once per (q, v)
       scoredAll = scoredAll.unionByName(score(fresh)).localCheckpoint()
-      frontier = topBeam(scoredAll).localCheckpoint()
+      frontier = topBeam(scoredAll)
     }
     frontier.filter(col("q_id") =!= col("vec_id"))
       .withColumn("rnk", row_number().over(wBeam))
