@@ -111,6 +111,54 @@ class LexIndexSyncSpec extends SparkSpec {
     assert(serve(d) == serve(dRef))
   }
 
+  test("stop/restart recovery: the checkpoint resumes and the index converges") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val enc: org.apache.spark.sql.Encoder[DocEvent] =
+      org.apache.spark.sql.Encoders.product[DocEvent]
+    val d = tmp("lexsync_rec_idx")
+    val srcDir = tmp("lexsync_rec_src")
+    val ckpt = tmp("lexsync_rec_ckpt")
+    InvertedIndex.build(spark, docs, d)
+    def writeEvents(name: String, evs: Seq[DocEvent]): Unit =
+      Files.writeString(java.nio.file.Paths.get(srcDir, name),
+        evs.map(e => s"""{"event_type":"${e.event_type}","event_seq":${
+          e.event_seq},"doc_id":${e.doc_id},"text":"${e.text}"}""")
+          .mkString("\n"))
+    def fileEvents() = spark.readStream.schema(enc.schema).json(srcDir)
+      .as[DocEvent]
+    val before = Metrics.global.value("graft_lexsync_epochs_total")
+    // first life: one epoch applies, then the "crash" (stop)
+    writeEvents("b1.json", Seq(
+      DocEvent("UPDATE", 1, 19L, "dup recover merge"),
+      DocEvent("DELETE", 2, 23L, "")))
+    val q1 = LexIndexSync.start(fileEvents(), d, ckpt, triggerMs = 50)
+    try eventually() {
+      Metrics.global.value("graft_lexsync_epochs_total") >= before + 1 }
+    finally q1.stop()
+    // second life: the checkpoint resumes — only the NEW file applies
+    // (the old epoch is offset-committed AND marker-skipped), and fresh
+    // events land
+    writeEvents("b2.json", Seq(
+      DocEvent("ADD", 3, 910001L, "dup recover window sort"),
+      DocEvent("DELETE", 4, 29L, "")))
+    val mid = Metrics.global.value("graft_lexsync_epochs_total")
+    val q2 = LexIndexSync.start(fileEvents(), d, ckpt, triggerMs = 50)
+    try eventually() {
+      Metrics.global.value("graft_lexsync_epochs_total") >= mid + 1 }
+    finally q2.stop()
+    import spark.implicits._
+    val dRef = tmp("lexsync_rec_ref")
+    InvertedIndex.build(spark,
+      docs.filter(!col("doc_id").isin(19L, 23L, 29L))
+        .unionByName(Seq(
+          (19L, "dup recover merge"),
+          (910001L, "dup recover window sort")).toDF("doc_id", "text")),
+      dRef)
+    assert(serve(d) == serve(dRef))
+    assert(InvertedIndex.readMeta(spark, d)._2 ==
+      InvertedIndex.readMeta(spark, dRef)._2)
+  }
+
   test("sustained update churn with compactEvery keeps on-disk postings bounded") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val d = tmp("lexsync_churn")
