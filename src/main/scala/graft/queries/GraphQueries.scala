@@ -18,6 +18,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraphQueries {
 
+  /** The customer–supplier fulfillment graph, undirected: an edge links a
+    * customer to every supplier that shipped one of its orders (orders ⨝
+    * lineitem, distinct pairs), node ids arithmetically disambiguated
+    * (cust → 2k, supp → 2k+1) so the shuffle path carries no strings.
+    * Materialized once per query — every iterative round consumes it.
+    */
+  private def fulfillmentEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      edgePred: org.apache.spark.sql.Column = lit(true)): org.apache.spark.sql.DataFrame = {
+    val eo = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir).filter(edgePred)
+      .select("l_orderkey", "l_suppkey")
+    val cs = li.join(eo, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    cs.select(col("c").as("src"), col("sn").as("dst"))
+      .unionByName(cs.select(col("sn").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+  }
+
   val qs: Seq[GQuery] = Seq(
     GQuery(
       "q_graph_pagerank",
@@ -36,15 +57,7 @@ object GraphQueries {
         // Fixed iteration count (not convergence-tested) keeps the result
         // closed-form checkable; at 100 TB each iteration is one shuffle
         // pair on the node key and the edge frame is reused from cache.
-        val eo = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-        val cs = li.join(eo, col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("c"),
-            (col("l_suppkey") * 2 + 1).as("sn"))
-          .distinct()
-        val edges = cs.select(col("c").as("src"), col("sn").as("dst"))
-          .unionByName(cs.select(col("sn").as("src"), col("c").as("dst")))
-          .localCheckpoint() // built once, consumed every iteration
+        val edges = fulfillmentEdges(s, dir)
         val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("node"), col("deg"))
           .localCheckpoint() // the census feeds every round's left join
@@ -53,37 +66,45 @@ object GraphQueries {
         // broadcast stage from every round — the teleport term is the
         // same double either way
         val nn = nodes.count()
-        // the rank and contribution vectors are NODE-CENSUS-sized — the
-        // dimension class (customer + supplier key spaces), orders of
-        // magnitude under the edge set — so they ride BROADCASTS into
-        // the edge join and the census join: each round is one map-side
-        // pass over the cached edges plus a partial-aggregated 16k-row
-        // shuffle, no edge-set sort. (A graph whose census outgrows the
-        // broadcast budget swaps these hints for co-partitioned SMJs —
-        // the shape is otherwise identical.) Rounds materialize so each
-        // broadcast builds from a computed frame, not a re-derivation.
-        var ranks = nodes
-          .select(col("node"), col("deg"),
-            round(lit(1.0) / lit(nn), 12).as("r"))
-        for (_ <- 1 to 3) {
-          val contrib = broadcast(ranks)
-            .join(edges, col("node") === col("src"))
-            .withColumn("cb",
-              round(col("r") / col("deg"), 12).cast(DecimalType(28, 12)))
-            .groupBy("dst").agg(sum("cb").as("s"))
-          ranks = nodes
-            .join(broadcast(contrib), col("node") === col("dst"), "left")
+        if (nn == 0) {
+          // zero-row contract (EmptyInputSpec): an empty graph ranks
+          // nothing — and guards the 1/N teleport against ANSI ÷0
+          import s.implicits._
+          Seq.empty[(Long, String, Long, Double)]
+            .toDF("node", "kind", "key", "rank")
+        } else {
+          // the rank and contribution vectors are NODE-CENSUS-sized — the
+          // dimension class (customer + supplier key spaces), orders of
+          // magnitude under the edge set — so they ride BROADCASTS into
+          // the edge join and the census join: each round is one map-side
+          // pass over the cached edges plus a partial-aggregated 16k-row
+          // shuffle, no edge-set sort. (A graph whose census outgrows the
+          // broadcast budget swaps these hints for co-partitioned SMJs —
+          // the shape is otherwise identical.) Rounds materialize so each
+          // broadcast builds from a computed frame, not a re-derivation.
+          var ranks = nodes
             .select(col("node"), col("deg"),
-              round(lit(0.15) / lit(nn) + lit(0.85) *
-                coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
-            .localCheckpoint()
+              round(lit(1.0) / lit(nn), 12).as("r"))
+          for (_ <- 1 to 3) {
+            val contrib = broadcast(ranks)
+              .join(edges, col("node") === col("src"))
+              .withColumn("cb",
+                round(col("r") / col("deg"), 12).cast(DecimalType(28, 12)))
+              .groupBy("dst").agg(sum("cb").as("s"))
+            ranks = nodes
+              .join(broadcast(contrib), col("node") === col("dst"), "left")
+              .select(col("node"), col("deg"),
+                round(lit(0.15) / lit(nn) + lit(0.85) *
+                  coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+              .localCheckpoint()
+          }
+          ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+            .select(col("node"),
+              when(col("node") % 2 === 0, lit("cust"))
+                .otherwise(lit("supp")).as("kind"),
+              expr("node DIV 2").as("key"),
+              round(col("r"), 8).as("rank"))
         }
-        ranks.orderBy(col("r").desc, col("node").asc).limit(20)
-          .select(col("node"),
-            when(col("node") % 2 === 0, lit("cust"))
-              .otherwise(lit("supp")).as("kind"),
-            expr("node DIV 2").as("key"),
-            round(col("r"), 8).as("rank"))
       },
       Some("""WITH cs AS (
                 SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sn
@@ -131,6 +152,75 @@ object GraphQueries {
               SELECT node,
                 CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
                 node // 2 AS key, round(r, 8) AS rank
-              FROM r3 ORDER BY r DESC, node ASC LIMIT 20"""))
+              FROM r3 ORDER BY r DESC, node ASC LIMIT 20""")),
+
+    GQuery(
+      "q_graph_components",
+      (s, dir) => {
+        // MIN-LABEL PROPAGATION (3 synchronous rounds) over the same
+        // fulfillment graph — the Pregel min-aggregation variant beside
+        // pagerank's sum: every node starts labeled with its own id and
+        // each round takes the min of its label and its neighbors' — after
+        // T rounds a node's label is the smallest id within T hops, the
+        // bounded-round prefix of connected components (the UNBOUNDED
+        // iteration lives in q_dedup_clusters' large-star/small-star).
+        // The graph is the HIGH-DISCOUNT SMALL-LOT procurement subgraph
+        // (lineitems with quantity ≤ 2 at > 8 % discount) — sparse enough
+        // that real component structure survives the supplier hubs that
+        // make the full fulfillment graph one blob in two hops.
+        // Integer-only arithmetic, so the row is oracle-exact with zero
+        // float ceremony; the label census (≤ nodes rows) rides
+        // broadcasts exactly like the rank vector. Output: the 20 largest
+        // label groups after round 3.
+        val edges = fulfillmentEdges(s, dir,
+          edgePred = col("l_quantity") <= 2 && col("l_discount") > 0.08)
+        val nodes = edges.select(col("src").as("node")).distinct()
+          .localCheckpoint()
+        var labels = nodes.select(col("node"), col("node").as("label"))
+        for (_ <- 1 to 3) {
+          val inc = broadcast(labels)
+            .join(edges, col("node") === col("src"))
+            .groupBy("dst").agg(min("label").as("ml"))
+          labels = labels
+            .join(broadcast(inc), col("node") === col("dst"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("ml"), col("label"))).as("label"))
+            .localCheckpoint()
+        }
+        labels.groupBy("label").agg(count(lit(1)).as("members"))
+          .orderBy(col("members").desc, col("label").asc).limit(20)
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sn
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_quantity <= 2 AND l_discount > 0.08),
+              edges AS (
+                SELECT c AS src, sn AS dst FROM cs
+                UNION ALL
+                SELECT sn AS src, c AS dst FROM cs),
+              l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+              l1 AS (
+                SELECT n.node,
+                  least(n.label, coalesce(m.ml, n.label)) AS label
+                FROM l0 n LEFT JOIN (
+                  SELECT e.dst, min(p.label) AS ml
+                  FROM l0 p JOIN edges e ON p.node = e.src GROUP BY e.dst) m
+                ON n.node = m.dst),
+              l2 AS (
+                SELECT n.node,
+                  least(n.label, coalesce(m.ml, n.label)) AS label
+                FROM l1 n LEFT JOIN (
+                  SELECT e.dst, min(p.label) AS ml
+                  FROM l1 p JOIN edges e ON p.node = e.src GROUP BY e.dst) m
+                ON n.node = m.dst),
+              l3 AS (
+                SELECT n.node,
+                  least(n.label, coalesce(m.ml, n.label)) AS label
+                FROM l2 n LEFT JOIN (
+                  SELECT e.dst, min(p.label) AS ml
+                  FROM l2 p JOIN edges e ON p.node = e.src GROUP BY e.dst) m
+                ON n.node = m.dst)
+              SELECT label, count(*) AS members FROM l3
+              GROUP BY 1 ORDER BY members DESC, label ASC LIMIT 20"""))
   )
 }

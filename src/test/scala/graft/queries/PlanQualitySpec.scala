@@ -200,6 +200,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_graph_components aggregates the checkpointed census; no cartesian") {
+    val p = plan("q_graph_components")
+    // min-label rounds materialize like pagerank's; the catalog plan is
+    // the label-group census over the final checkpoint
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_pii, q_emb_project, q_pack_overlap, q_mm_audio stay single-scan and narrow") {
     for (q <- Seq("q_text_pii", "q_emb_project", "q_pack_overlap", "q_mm_audio")) {
       val p = plan(q)

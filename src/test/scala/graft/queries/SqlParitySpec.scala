@@ -68,7 +68,8 @@ class SqlParitySpec extends SparkSpec {
     "q_dedup_exact",
     "q_fn_math", "q_fn_conditional", "q_fn_map", "q_fn_json",
     "q_agg_pivot", "q_agg_unpivot",
-    "q_text_stats", "q_kube_annotations", "q_sync_diff")
+    "q_text_stats", "q_kube_annotations", "q_sync_diff",
+    "q_graph_components")
 
   /** Queries whose oracle text differs from Spark SQL only by these
     * mechanical dialect spellings (regex → replacement, applied in order) —
