@@ -144,6 +144,48 @@ object InvertedIndex {
     (e, r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"))
   }
 
+  /** The (n_docs, Σdl) stats AS OF a committed epoch — old meta dirs are
+    * retained per epoch, so a snapshot's scoring constants (N, avgdl)
+    * read straight from its own commit.
+    */
+  private def readMetaAt(spark: SparkSession, outDir: String,
+      e: Int): (Long, Long) = {
+    val p = s"${metaDir(outDir)}/e$e"
+    require(fsOf(spark, p).exists(
+      new org.apache.hadoop.fs.Path(p, CommitMarker)),
+      s"epoch $e was never committed under ${metaDir(outDir)}")
+    val r = spark.read.parquet(p).head
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"))
+  }
+
+  private def floorDir(outDir: String) = s"$outDir/_index/floor"
+
+  /** Raise the time-travel history floor — the [[IndexedLayout]] marker
+    * discipline: an empty file per raise, highest wins, written by
+    * [[compact]] BEFORE its meta commit so a crash only over-clamps.
+    */
+  private def raiseHistoryFloor(spark: SparkSession, outDir: String,
+      floor: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${floorDir(outDir)}/e$floor")
+    fsOf(spark, outDir).create(p, true).close()
+  }
+
+  /** Oldest epoch a time-travel read can faithfully reconstruct: 0 for a
+    * never-compacted index, else the newest compaction epoch (compaction
+    * re-stamps postings/dl and drops satisfied tombstones — the history
+    * behind it is physically gone, the Delta VACUUM contract).
+    */
+  def historyFloor(spark: SparkSession, outDir: String): Int = {
+    val d = new org.apache.hadoop.fs.Path(floorDir(outDir))
+    val fs = fsOf(spark, outDir)
+    if (!fs.exists(d)) 0
+    else {
+      val es = fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("e")).map(_.drop(1).toInt)
+      if (es.isEmpty) 0 else es.max
+    }
+  }
+
   /** Tokenize once; returns (postings tf frame, per-doc dl frame). */
   private def project(docs: DataFrame, epoch: Int): (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.tokens
@@ -335,6 +377,7 @@ object InvertedIndex {
       // live, commit, and only then drop the tombstones
       readDl(spark, outDir, epoch).withColumn("epoch", lit(next))
         .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
+      raiseHistoryFloor(spark, outDir, next) // before the commit: crashes over-clamp only
       writeMeta(spark, outDir, next, nDocs, tokTotal)
       dropOldDirs(delDir(outDir), 1)
       dropOldDirs(dlDir(outDir), 0)
@@ -385,6 +428,7 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
     survivorTombs.filter(st => !st.isEmpty).foreach(_.coalesce(1)
       .write.mode("overwrite").parquet(s"${delDir(outDir)}/e$next"))
+    raiseHistoryFloor(spark, outDir, next) // before the commit: crashes over-clamp only
     writeMeta(spark, outDir, next, nDocs, tokTotal) // the commit point
     // phase 2: drop the superseded originals + prior-epoch side dirs
     dirty.foreach { bucket =>
@@ -441,11 +485,28 @@ object InvertedIndex {
     * `excludeQueryDoc` the query's own doc_id is excluded (the catalog
     * row's corpus-member-as-query form). Scoring is tree-identical to
     * q_rank_bm25, so the result is oracle-exact against the same SQL.
+    *
+    * `asOf` ≥ 0 is TIME TRAVEL, symmetric with
+    * [[IndexedLayout.readCorpus]]: every piece of serving state is
+    * already epoch-tagged (postings/dl rows carry their write epoch,
+    * tombstone and meta dirs are per-epoch), so a snapshot search is the
+    * same three monotone gates at an earlier cut — and the scoring
+    * CONSTANTS (N, avgdl) read from that epoch's own retained meta, so
+    * the snapshot scores exactly as the index scored then. `asOf` below
+    * [[historyFloor]] clamps to it (compaction re-stamps rows and drops
+    * satisfied tombstones — the Delta VACUUM contract), never returning
+    * a silently incomplete view.
     */
   def bm25TopK(spark: SparkSession, outDir: String, queries: DataFrame,
-      k: Int, excludeQueryDoc: Boolean = false): DataFrame = {
+      k: Int, excludeQueryDoc: Boolean = false, asOf: Int = -1): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    val (committed, nDocs0, tokTotal0) = readMeta(spark, outDir)
+    val epoch = if (asOf < 0 || asOf >= committed) committed
+      else math.min(committed,
+        math.max(asOf, historyFloor(spark, outDir)))
+    val (nDocs, tokTotal) =
+      if (epoch == committed) (nDocs0, tokTotal0)
+      else readMetaAt(spark, outDir, epoch)
     val qTok = queries
       .select(col("q_id"),
         explode(array_distinct(tokens(col("text")))).as("token"))

@@ -167,6 +167,37 @@ class InvertedIndexSpec extends SparkSpec {
     assert(statsAfter._2 == statsBefore._2 && statsAfter._3 == statsBefore._3)
   }
 
+  test("bm25TopK(asOf) reconstructs every epoch's serving state; compact raises the floor") {
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
+    val d = tmp("invidx_asof")
+    def serveAt(asOf: Int): Seq[String] =
+      canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+        excludeQueryDoc = true, asOf = asOf))
+    InvertedIndex.build(spark, docs.filter(col("doc_id") <= half), d)
+    val s0 = serveAt(-1)
+    InvertedIndex.append(spark, docs.filter(col("doc_id") > half), d)
+    val s1 = serveAt(-1)
+    val dead = docs.select("doc_id").filter(col("doc_id") % 53 === 9)
+      .localCheckpoint()
+    assert(InvertedIndex.delete(spark, dead, d) > 0)
+    val s2 = serveAt(-1)
+    assert(Seq(s0, s1, s2).distinct.size == 3,
+      "fixture: each epoch must change the serving state")
+    // every committed epoch reconstructs — including its own scoring
+    // constants (N, avgdl from that epoch's retained meta); out-of-range
+    // clamps to newest
+    assert(serveAt(0) == s0)
+    assert(serveAt(1) == s1)
+    assert(serveAt(2) == s2)
+    assert(serveAt(99) == s2)
+    // compaction raises the floor; older snapshots clamp to it
+    assert(InvertedIndex.historyFloor(spark, d) == 0)
+    assert(InvertedIndex.compact(spark, d)._1 > 0)
+    assert(InvertedIndex.historyFloor(spark, d) == 3)
+    assert(serveAt(-1) == s2, "compaction must preserve the live serving state")
+    assert(serveAt(0) == s2, "below-floor snapshots must clamp to the compacted state")
+  }
+
   test("compact rewrites churned buckets to their live set; clean buckets untouched; repeat no-op") {
     val d = tmp("invidx_compact")
     InvertedIndex.build(spark, docs, d)
