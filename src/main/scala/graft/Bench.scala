@@ -219,6 +219,30 @@ object Bench {
     if (delivered.get() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
   }
 
+
+  /** Cumulative input-row tally keyed by query id — NOT recentProgress,
+    * whose bounded ring (default 100 entries) can shed early batches and
+    * undercount. Construct BEFORE starting the query so no progress
+    * event predates it; events for other queries are kept under their
+    * own id and ignored. One implementation for every throughput probe —
+    * the counting subtlety must not live in two places.
+    */
+  private final class InputRowTally(spark: SparkSession) extends AutoCloseable {
+    private val rows =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]
+    private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        rows.merge(e.progress.id, e.progress.numInputRows, (a, b) => a + b)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def committed(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      rows.getOrDefault(q.id, 0L)
+    override def close(): Unit = spark.streams.removeListener(listener)
+  }
+
   /** The sync→index loop's sustained rate: a live [[graft.queries.IndexedLayout]]
     * bootstrapped over the bench corpus absorbs a churning upsert CDC through
     * [[graft.pipeline.IndexSync.start]] (layout side; the graph side's delta
@@ -255,27 +279,11 @@ object Bench {
     def appliedDelta() = Metrics.global.value("graft_indexsync_upserts_total") +
       Metrics.global.value("graft_indexsync_deletes_total") - before
     val source = MemoryStream[VecEvent]
-    // cumulative input-row tally via a listener keyed by query id — NOT
-    // query.recentProgress, whose bounded ring (default 100 entries) can
-    // shed early batches and undercount; registered BEFORE start so no
-    // progress event predates it (events for other queries are kept under
-    // their own id and ignored)
-    val inputRows =
-      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        inputRows.merge(e.progress.id, e.progress.numInputRows,
-          (a, b) => a + b)
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
+    val tally = new InputRowTally(spark)
     val query = IndexSync.start(source.toDS(), layoutDir, null,
       java.nio.file.Files.createTempDirectory("bench_isync_ckpt").toString,
       triggerMs = 50, compactEvery = 4)
-    def committed(): Long =
-      inputRows.getOrDefault(query.id, 0L)
+    def committed(): Long = tally.committed(query)
     val t0 = System.nanoTime()
     try {
       events.grouped(500).foreach(chunk => source.addData(chunk))
@@ -287,7 +295,7 @@ object Bench {
         Thread.sleep(100)
     } finally {
       query.stop()
-      spark.streams.removeListener(listener)
+      tally.close()
     }
     val secs = (System.nanoTime() - t0) / 1e9
     val absorbed = appliedDelta()
@@ -322,22 +330,12 @@ object Bench {
       DocEvent("UPDATE", i.toLong, (i % 200).toLong,
         s"dup churn pass${i / 200} token${i % 17} merge window sort")
     }
-    val inputRows =
-      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        inputRows.merge(e.progress.id, e.progress.numInputRows,
-          (a, b) => a + b)
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
+    val tally = new InputRowTally(spark)
     val source = MemoryStream[DocEvent]
     val query = LexIndexSync.start(source.toDS(), indexDir,
       java.nio.file.Files.createTempDirectory("bench_lexsync_ckpt").toString,
       triggerMs = 50, compactEvery = 4)
-    def committed(): Long = inputRows.getOrDefault(query.id, 0L)
+    def committed(): Long = tally.committed(query)
     val t0 = System.nanoTime()
     try {
       events.grouped(500).foreach(chunk => source.addData(chunk))
@@ -346,7 +344,7 @@ object Bench {
         Thread.sleep(100)
     } finally {
       query.stop()
-      spark.streams.removeListener(listener)
+      tally.close()
     }
     val secs = (System.nanoTime() - t0) / 1e9
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))

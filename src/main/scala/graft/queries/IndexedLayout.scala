@@ -228,10 +228,20 @@ object IndexedLayout {
       .distinct().localCheckpoint()
     val nTomb = tombs.count()
     if (nUp == 0 && nTomb == 0) return (0L, 0L)
+    val fs = fsOf(spark, outDir)
     if (nTomb > 0)
       tombs.withColumn("as_of", lit(next))
         .coalesce(1).write.mode("overwrite").parquet(s"${tombDir(outDir)}/e$next")
-    val fs = fsOf(spark, outDir)
+    else {
+      // a crashed earlier attempt may have left an UNCOMMITTED tombstone
+      // dir at this epoch (tombstones write before the meta commit);
+      // committing `next` without overwriting it would resurrect those
+      // never-committed deletes against rows they were never meant to
+      // survive into — roll the orphan back instead
+      val orphan = new org.apache.hadoop.fs.Path(s"${tombDir(outDir)}/e$next")
+      if (fs.exists(orphan))
+        require(fs.delete(orphan, true), s"could not clear $orphan")
+    }
     if (nUp > 0) {
       val staging = s"$outDir/_index/staging/e$next"
       val assigned = VectorQueries.ivfAssign(
@@ -367,6 +377,18 @@ object IndexedLayout {
       minDeadFrac: Double = 0.0): (Int, Long) = {
     val (epoch, hwm) = readMeta(spark, outDir)
     val fs = fsOf(spark, outDir)
+    // roll back UNCOMMITTED tombstone dirs first (a crashed delta writes
+    // tombstones before its meta commit): this pass commits epoch next,
+    // which would otherwise make the orphaned tombstones live and kill
+    // rows whose replacement was never promoted — the abandoned delta's
+    // own retry, not this compaction, is what may re-issue them
+    val td = new org.apache.hadoop.fs.Path(tombDir(outDir))
+    if (fs.exists(td))
+      fs.listStatus(td).map(_.getPath)
+        .filter(p => p.getName.length > 1 && p.getName.startsWith("e") &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          p.getName.drop(1).toInt > epoch)
+        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
     def dropTombstones(): Unit =
       (1 to epoch).map(i => new org.apache.hadoop.fs.Path(s"${tombDir(outDir)}/e$i"))
         .filter(fs.exists).foreach(p =>

@@ -62,6 +62,14 @@ object InvertedIndex {
     m.map(_.group(1).toInt)
   }
 
+  /** Epoch of a per-epoch DIR name (`e<K>`); None for anything else —
+    * a stray dir named just `e` must be ignored, never crash the parse.
+    */
+  private def dirEpoch(name: String): Option[Int] =
+    if (name.length > 1 && name.startsWith("e") &&
+      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
+    else None
+
   /** Roll back UNCOMMITTED leftovers (bucket files and dl dirs whose
     * epoch exceeds the committed one — a crashed append's promoted files
     * or a crashed compaction's staged copies). Every epoch-advancing verb
@@ -83,13 +91,17 @@ object InvertedIndex {
             .filter(f => fileEpoch(f.getName).exists(_ > committed))
             .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
         }
-    val dld = new org.apache.hadoop.fs.Path(dlDir(outDir))
-    if (fs.exists(dld))
-      fs.listStatus(dld).map(_.getPath)
-        .filter(p => p.getName.startsWith("e") &&
-          p.getName.drop(1).forall(_.isDigit) &&
-          p.getName.drop(1).toInt > committed)
-        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
+    // dl AND tombstone epoch dirs above the commit roll back too — a
+    // crashed delete's never-committed tombstones must not go live when
+    // a later verb commits the same epoch number (its stats never netted
+    // the victims, so resurrection would also corrupt N/avgdl)
+    Seq(dlDir(outDir), delDir(outDir)).foreach { root =>
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rp))
+        fs.listStatus(rp).map(_.getPath)
+          .filter(p => dirEpoch(p.getName).exists(_ > committed))
+          .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
+    }
   }
 
   /** Robertson/Lucene idf, never negative: ln(1 + (N−df+0.5)/(df+0.5)),
@@ -180,8 +192,7 @@ object InvertedIndex {
     val fs = fsOf(spark, outDir)
     if (!fs.exists(d)) 0
     else {
-      val es = fs.listStatus(d).map(_.getPath.getName)
-        .filter(_.startsWith("e")).map(_.drop(1).toInt)
+      val es = fs.listStatus(d).map(_.getPath.getName).flatMap(dirEpoch)
       if (es.isEmpty) 0 else es.max
     }
   }
@@ -287,24 +298,26 @@ object InvertedIndex {
     * metrics (the checkpoint hides them from the serving plan).
     */
   private[queries] def readPostings(spark: SparkSession, outDir: String,
-      epoch: Int, bucketSet: Seq[Int], qTokens: DataFrame): DataFrame =
+      epoch: Int, bucketSet: Seq[Int], qTokens: DataFrame,
+      deleted: Option[DataFrame]): DataFrame =
     liveRows(
       spark.read.parquet(outDir)
         .filter(col("bucket").isin(bucketSet.map(b => b: Any): _*))
         .filter(col("epoch") <= epoch) // uncommitted leftovers invisible
         .join(broadcast(qTokens), Seq("token"), "left_semi"),
-      readDeleted(spark, outDir, epoch))
+      deleted)
 
   /** All committed LIVE dl rows (doc_id, dl). The max-epoch pick per doc
     * makes the read safe against [[compact]]'s post-commit crash window
     * (the consolidated dl copy and a not-yet-dropped original coexist
     * briefly — the newest wins; one row per doc either way).
     */
-  private def readDl(spark: SparkSession, outDir: String, epoch: Int): DataFrame = {
+  private def readDl(spark: SparkSession, outDir: String, epoch: Int,
+      deleted: Option[DataFrame]): DataFrame = {
     val fs = fsOf(spark, outDir)
     val dirs = (0 to epoch).map(i => s"${dlDir(outDir)}/e$i")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    liveRows(spark.read.parquet(dirs: _*), readDeleted(spark, outDir, epoch))
+    liveRows(spark.read.parquet(dirs: _*), deleted)
       .groupBy("doc_id").agg(max_by(col("dl"), col("epoch")).as("dl"))
       .select("doc_id", "dl")
   }
@@ -358,15 +371,26 @@ object InvertedIndex {
         Seq("doc_id")).filter(col("epoch") < col("t_as_of"))
     }
     // per-bucket (dead, total, duplicate-evidence) stats — the bounded
-    // driver view the policy decides on (≤ Buckets rows)
+    // driver view the policy decides on (≤ Buckets rows). Torn evidence
+    // is duplicate (doc_id, token) pairs among the LIVE rows only: an
+    // ordinary update (delete-then-append of the same doc) leaves its
+    // OLD posting dead-but-on-disk beside the new one, which is exactly
+    // the dead mass minDeadFrac exists to meter — counting raw rows here
+    // would flag every update-churned bucket torn and turn the policy
+    // knob into dead code; only live duplicates (the post-commit-crash
+    // signature) may bypass it.
+    val liveDups = liveRows(raw, tombsOpt)
+      .groupBy("bucket")
+      .agg((count(lit(1)) >
+        countDistinct(col("doc_id"), col("token"))).as("torn"))
     val stats = raw.groupBy("bucket")
-      .agg(count(lit(1)).as("total"),
-        countDistinct(col("doc_id"), col("token")).as("uniq"))
+      .agg(count(lit(1)).as("total"))
       .join(deadRows.groupBy("bucket").agg(count(lit(1)).as("dead")),
         Seq("bucket"), "left")
+      .join(liveDups, Seq("bucket"), "left")
       .select(col("bucket"),
         (coalesce(col("dead"), lit(0L)).cast("double") / col("total")).as("frac"),
-        (col("total") > col("uniq")).as("torn"))
+        coalesce(col("torn"), lit(false)).as("torn"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2)))
     val torn = stats.filter(_._3).map(_._1).toSet
     val dirtyStats = stats.filter(s => s._2 > 0.0 || torn(s._1))
@@ -375,7 +399,7 @@ object InvertedIndex {
       // no dead postings on disk: every tombstone is satisfied on the
       // postings side but may still guard dead dl rows — consolidate dl
       // live, commit, and only then drop the tombstones
-      readDl(spark, outDir, epoch).withColumn("epoch", lit(next))
+      readDl(spark, outDir, epoch, tombsOpt).withColumn("epoch", lit(next))
         .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
       raiseHistoryFloor(spark, outDir, next) // before the commit: crashes over-clamp only
       writeMeta(spark, outDir, next, nDocs, tokTotal)
@@ -424,7 +448,7 @@ object InvertedIndex {
     }
     // consolidated dl (live set re-stamped) + surviving tombstones land in
     // the compaction epoch's own dirs — all invisible until the commit
-    readDl(spark, outDir, epoch).withColumn("epoch", lit(next))
+    readDl(spark, outDir, epoch, tombsOpt).withColumn("epoch", lit(next))
       .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
     survivorTombs.filter(st => !st.isEmpty).foreach(_.coalesce(1)
       .write.mode("overwrite").parquet(s"${delDir(outDir)}/e$next"))
@@ -462,7 +486,8 @@ object InvertedIndex {
     val next = epoch + 1
     // victims = LIVE indexed docs among the requested ids (already-dead
     // and unknown ids must not re-subtract from the stats)
-    val victims = readDl(spark, outDir, epoch)
+    val victims = readDl(spark, outDir, epoch,
+        readDeleted(spark, outDir, epoch))
       .join(docIds.select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val s = victims.agg(count(lit(1)).as("n"),
@@ -520,8 +545,12 @@ object InvertedIndex {
       return spark.range(0).select(col("id").as("q_id"),
         lit(0).as("rnk"), col("id").as("doc_id"),
         lit(0.0d).as("bm25"))
+    // one tombstone resolution per call, pinned and shared by the
+    // postings scan AND the dl join (each would otherwise re-list and
+    // re-read every per-epoch delete dir)
+    val tombs = readDeleted(spark, outDir, epoch).map(_.localCheckpoint())
     val post = readPostings(spark, outDir, epoch, bucketSet.toIndexedSeq,
-      qTok.select("token").distinct())
+      qTok.select("token").distinct(), tombs)
       .localCheckpoint() // feeds df AND the candidate join — scan once
     val tokDf = post.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(underStopCap(col("df"), lit(nDocs)))
@@ -536,7 +565,7 @@ object InvertedIndex {
                else cand0
     cand
       .join(tokDf, "token")
-      .join(readDl(spark, outDir, epoch), "doc_id")
+      .join(readDl(spark, outDir, epoch, tombs), "doc_id")
       .withColumn("ts",
         termScore(col("tf"), col("dl"), col("idf"), lit(avgdl)))
       .groupBy("q_id", "doc_id").agg(sum("ts").as("bm25"))

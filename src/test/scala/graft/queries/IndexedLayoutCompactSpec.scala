@@ -232,6 +232,42 @@ class IndexedLayoutCompactSpec extends SparkSpec {
     assert(IndexedLayout.compact(spark, d, minDeadFrac = 0.9) == ((0, 0L)))
   }
 
+  test("a crashed delta's uncommitted tombstones are rolled back, never committed by compact or the next delta") {
+    import spark.implicits._
+    val d = tmp("ivf_compact_orphan")
+    IndexedLayout.write(spark, emb, d, kCells = nc)
+    // make the layout compact-eligible (some real dead rows at epoch 1)
+    IndexedLayout.delete(spark, emb.select("vec_id")
+      .filter(col("vec_id") % 101 === 3), d)
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+    // simulate a crashed delete-only delta: its tombstone dir exists at
+    // epoch 2 but the meta commit never happened
+    val orphanIds = emb.select("vec_id").filter(col("vec_id") % 103 === 5)
+      .localCheckpoint()
+    assert(orphanIds.count() > 0)
+    orphanIds.withColumn("as_of", lit(2)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/_index/tombstones/e2")
+    // uncommitted → invisible
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    // compact commits epoch 2 — the orphans must be rolled back first,
+    // or the crashed delete's victims would silently vanish
+    assert(IndexedLayout.compact(spark, d)._1 > 0)
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore,
+      "compact must not resurrect a crashed delta's tombstones")
+    // same hazard through the delete-free delta path: plant another
+    // orphan at the next epoch, then append fresh ids (nTomb == 0)
+    orphanIds.withColumn("as_of", lit(3)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/_index/tombstones/e3")
+    IndexedLayout.append(spark,
+      emb.limit(2).withColumn("vec_id", col("vec_id") + 930000L)
+        .localCheckpoint(), d)
+    assert(IndexedLayout.readCorpus(spark, d).count() == liveBefore.size + 2,
+      "an append must clear, not commit, the orphaned tombstone dir")
+  }
+
   test("a delete-everything cell compacts to empty; unknown-id tombstones clear without work") {
     import spark.implicits._
     val d = tmp("ivf_compact_dead")

@@ -65,7 +65,7 @@ class InvertedIndexSpec extends SparkSpec {
     val res = InvertedIndex.readPostings(spark, d, 0, Seq(queryBucket0), {
       import spark.implicits._
       Seq("dup").toDF("token")
-    })
+    }, None)
     res.collect()
     val scan = scans(res.queryExecution.executedPlan)
       .find(_.relation.location.rootPaths.exists(p =>
@@ -276,6 +276,63 @@ class InvertedIndexSpec extends SparkSpec {
       excludeQueryDoc = true)) ==
       canon(InvertedIndex.bm25TopK(spark, dRef, queries, k = 10,
         excludeQueryDoc = true)))
+  }
+
+  test("a crashed delete's tombstones roll back — the next verb's commit cannot resurrect them") {
+    import spark.implicits._
+    val d = tmp("invidx_crashdel")
+    InvertedIndex.build(spark, docs, d)
+    val before = canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true))
+    val (e0, n0, t0) = InvertedIndex.readMeta(spark, d)
+    // real delete, then roll back ONLY its meta commit: the tombstone dir
+    // exists at epoch e0+1 but was never committed — the abandoned-crash
+    // state
+    InvertedIndex.delete(spark,
+      docs.select("doc_id").filter(col("doc_id") % 37 === 3), d)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$d/_index/meta/e${e0 + 1}"))
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) == before, "uncommitted tombstones must be invisible")
+    // a DIFFERENT verb now commits the same epoch number: the orphaned
+    // tombstones must be rolled back, not resurrected — the crashed
+    // delete's victims still serve and the stats still count them
+    InvertedIndex.append(spark,
+      Seq((920001L, "dup resurrect merge")).toDF("doc_id", "text"), d)
+    val (e1, n1, _) = InvertedIndex.readMeta(spark, d)
+    assert(e1 == e0 + 1 && n1 == n0 + 1)
+    val dRef = tmp("invidx_crashdel_ref")
+    InvertedIndex.build(spark,
+      docs.select("doc_id", "text")
+        .unionByName(Seq((920001L, "dup resurrect merge")).toDF("doc_id", "text")),
+      dRef)
+    assert(canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true)) ==
+      canon(InvertedIndex.bm25TopK(spark, dRef, queries, k = 10,
+        excludeQueryDoc = true)),
+      "the crashed delete's victims must still serve after the append commits")
+  }
+
+  test("ordinary update churn does not trip torn detection past minDeadFrac") {
+    import spark.implicits._
+    val d = tmp("invidx_churn_policy")
+    InvertedIndex.build(spark, docs, d)
+    // a handful of in-place updates: old postings go dead-but-on-disk
+    // beside the new ones — the dead mass the policy exists to METER,
+    // not torn-state evidence
+    (1 to 3).foreach { pass =>
+      val ids = Seq(101L, 102L, 103L)
+      InvertedIndex.delete(spark, ids.toDF("doc_id"), d)
+      InvertedIndex.append(spark,
+        ids.map(i => (i, s"dup churn$pass merge window")).toDF("doc_id", "text"), d)
+    }
+    // dead fraction is tiny (9 doc-generations over ~15k postings), no
+    // live duplicates exist — a high threshold must leave everything
+    // in place
+    assert(InvertedIndex.compact(spark, d, minDeadFrac = 0.9) == ((0, 0L)),
+      "update churn alone must not bypass the policy threshold")
+    // and the full-repair pass still reclaims the dead mass afterwards
+    assert(InvertedIndex.compact(spark, d)._1 > 0)
   }
 
   test("a crashed append (promoted files, no meta commit) is invisible; the retry converges") {
