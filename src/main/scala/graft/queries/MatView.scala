@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incrementally-maintained materialized aggregate view.
+  *
+  * The reference's sync loop keeps a DERIVED store continuously consistent
+  * with a churning source (internal/controller/debounce.go feeding
+  * internal/client/rest.go); this is the same contract for an AGGREGATE:
+  * `count(*)` + exact `sum(col)` per group key, kept fresh by deltas
+  * instead of recomputation. The design is a delta log of SIGNED partial
+  * aggregates — the retract-stream form (Flink's `Retract` mode;
+  * Lambda-free incremental view maintenance, Griffin/Libkin SIGMOD'95's
+  * count-annotated relations):
+  *
+  *   - `outDir/delta/e<K>` holds epoch K's partials: per-key
+  *     (mv_cnt, mv_sum_<col>...) where retractions carry NEGATIVE counts
+  *     and sums. Inserts and deletes of base rows are therefore the same
+  *     merge operation — serving is `sum()` over partials with
+  *     `mv_cnt > 0` (a group retracted to zero vanishes, exactly as if
+  *     the base rows never existed).
+  *   - `outDir/_view/meta/e<K>` commits epoch K (commit-marker protocol
+  *     shared with [[IndexedLayout]]/[[InvertedIndex]]: data dirs first,
+  *     marker last; anything above the committed epoch is an orphan and
+  *     is rolled back by the next verb, so a crashed refresh can never be
+  *     resurrected by a later commit taking the same epoch number).
+  *     Meta also records the HISTORY FLOOR: the lowest delta epoch a
+  *     serve may read. [[compact]] consolidates floor..epoch into one
+  *     dir at epoch+1 and raises the floor to it BEFORE dropping the
+  *     originals — a crash between commit and drop leaves stale dirs
+  *     that serving already ignores (no double count), and the retry
+  *     just re-drops them.
+  *
+  * Why this scales where recomputation cannot: a refresh touches ONLY the
+  * delta — one map-side-combined shuffle of the delta rows on the group
+  * key — never the 100 TB base table. Serving merges at most
+  * (epoch − floor + 1) partial frames, each bounded by the group-key
+  * cardinality, and compaction keeps that count constant under sustained
+  * churn. Sums aggregate in DECIMAL(28,10): exact addition means a
+  * retraction subtracts bit-for-bit what its insert added, so a group
+  * retracted to zero is EXACTLY zero, not a float residue.
+  *
+  * Only subtractable aggregates live here (count/sum/avg=sum÷cnt);
+  * min/max are not retractable without the base and are served by the
+  * ordinary agg queries instead — the honest boundary every IVM system
+  * draws.
+  */
+object MatView {
+  private val CommitMarker = "_graft_committed"
+  private def deltaDir(outDir: String) = s"$outDir/delta"
+  private def metaDir(outDir: String) = s"$outDir/_view/meta"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Epoch of a per-epoch dir name (`e<K>`); None for anything else. */
+  private def dirEpoch(name: String): Option[Int] =
+    if (name.length > 1 && name.startsWith("e") &&
+      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
+    else None
+
+  private def writeMeta(spark: SparkSession, outDir: String, epoch: Int,
+      floor: Int, keys: Seq[String], vals: Seq[String]): Unit = {
+    import spark.implicits._
+    val p = s"${metaDir(outDir)}/e$epoch"
+    Seq((epoch, floor, keys, vals)).toDF("epoch", "floor", "keys", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val marker = new org.apache.hadoop.fs.Path(p, CommitMarker)
+    fsOf(spark, p).create(marker, true).close()
+  }
+
+  /** Committed (epoch, floor, keys, vals); `at` pins a past epoch for
+    * time travel — it must still be committed AND at or above the history
+    * floor the compactions have raised.
+    */
+  def readMeta(spark: SparkSession, outDir: String,
+      at: Option[Int] = None): (Int, Int, Seq[String], Seq[String]) = {
+    val md = new org.apache.hadoop.fs.Path(metaDir(outDir))
+    val fs = fsOf(spark, metaDir(outDir))
+    require(fs.exists(md), s"no view meta under $md — run bootstrap() first")
+    val epochs = fs.listStatus(md).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+      .flatMap(p => dirEpoch(p.getName))
+    require(epochs.nonEmpty, s"no committed epoch under $md")
+    val e = at match {
+      case Some(k) =>
+        require(epochs.contains(k), s"epoch $k was never committed under $md")
+        k
+      case None => epochs.max
+    }
+    val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
+    val live = spark.read.parquet(s"${metaDir(outDir)}/e${epochs.max}").head
+    // a past epoch whose deltas compaction has already dropped is gone —
+    // same history-floor contract as the index stores' time travel
+    require(r.getAs[Int]("floor") >= live.getAs[Int]("floor") || at.isEmpty,
+      s"epoch $e predates the compaction floor ${live.getAs[Int]("floor")}")
+    (e, r.getAs[Int]("floor"),
+      r.getSeq[String](r.fieldIndex("keys")),
+      r.getSeq[String](r.fieldIndex("vals")))
+  }
+
+  /** Roll back UNCOMMITTED delta dirs (epoch above the committed one — a
+    * crashed refresh/compact wrote data but never its meta marker). Every
+    * epoch-advancing verb calls this first, so a later verb committing
+    * the same epoch number can never make a crashed pass's partials live.
+    */
+  private def clearUncommitted(spark: SparkSession, outDir: String,
+      committed: Int): Unit = {
+    val fs = fsOf(spark, outDir)
+    val dd = new org.apache.hadoop.fs.Path(deltaDir(outDir))
+    if (fs.exists(dd))
+      fs.listStatus(dd).map(_.getPath)
+        .filter(p => dirEpoch(p.getName).exists(_ > committed))
+        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
+  }
+
+  /** Signed per-key partials of one delta: mv_cnt = ±count(*), one exact
+    * decimal mv_sum per value column. One map-side-combined shuffle of
+    * the delta rows on the group key — the entire cost of a refresh.
+    */
+  private def partials(df: DataFrame, keys: Seq[String], vals: Seq[String],
+      sign: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        (count(lit(1)) * sign).as("mv_cnt"),
+        vals.map(v => (sum(col(v).cast(DecimalType(28, 10))) * sign)
+          .cast(DecimalType(28, 10)).as(s"mv_sum_$v")): _*)
+
+  /** Create the view: epoch-0 partials over the base frame. The ONLY verb
+    * that ever reads the base relation.
+    */
+  def bootstrap(spark: SparkSession, base: DataFrame, keys: Seq[String],
+      vals: Seq[String], outDir: String): Unit = {
+    partials(base, keys, vals, 1)
+      .write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e0")
+    writeMeta(spark, outDir, 0, 0, keys, vals)
+  }
+
+  /** Apply one delta: `inserts` are base rows added, `retracts` base rows
+    * removed (pass the SAME row shape as the base; an update is a retract
+    * of the old row + insert of the new). Cost ∝ delta size only. Returns
+    * the committed epoch. Idempotent on retry after a crash: the epoch
+    * dir name is deterministic and the orphan rollback clears a half-
+    * written attempt first.
+    */
+  def refresh(spark: SparkSession, outDir: String, inserts: DataFrame,
+      retracts: DataFrame): Int = {
+    val (epoch, floor, keys, vals) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
+    val next = epoch + 1
+    val delta = partials(inserts, keys, vals, 1)
+      .unionByName(partials(retracts, keys, vals, -1))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("mv_cnt").as("mv_cnt"),
+        vals.map(v => sum(s"mv_sum_$v").cast(DecimalType(28, 10))
+          .as(s"mv_sum_$v")): _*)
+      .filter(col("mv_cnt") =!= 0 ||
+        vals.map(v => col(s"mv_sum_$v") =!= 0).foldLeft(lit(false))(_ || _))
+    delta.write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e$next")
+    writeMeta(spark, outDir, next, floor, keys, vals)
+    next
+  }
+
+  /** CDC adapter: one frame of base rows + an `op` column (INSERT/DELETE,
+    * the reference's event verbs) becomes one refresh epoch.
+    */
+  def applyCdc(spark: SparkSession, outDir: String, events: DataFrame,
+      opCol: String = "op"): Int =
+    refresh(spark, outDir,
+      events.filter(upper(col(opCol)) === "INSERT").drop(opCol),
+      events.filter(upper(col(opCol)) === "DELETE").drop(opCol))
+
+  /** The view: groups with a live (positive) count, exact decimal sums.
+    * Reads only delta epochs floor..asOf — never the base. `asOf` time-
+    * travels to a past committed epoch (at or above the history floor).
+    */
+  def serve(spark: SparkSession, outDir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val (epoch, floor, keys, vals) = readMeta(spark, outDir, asOf)
+    val fs = fsOf(spark, outDir)
+    val dirs = (floor to epoch).map(i => s"${deltaDir(outDir)}/e$i")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    spark.read.parquet(dirs: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("mv_cnt").as("mv_cnt"),
+        vals.map(v => sum(s"mv_sum_$v").cast(DecimalType(28, 10))
+          .as(s"mv_sum_$v")): _*)
+      .filter(col("mv_cnt") > 0)
+  }
+
+  /** Consolidate floor..epoch into ONE delta dir and raise the floor to
+    * it, bounding serve-time merge width under sustained churn. Crash-
+    * safe at every cut: the consolidated dir is invisible until the meta
+    * commit; after the commit the raised floor hides the stale originals
+    * from serving, so the post-commit drop window cannot double count and
+    * a retry simply re-drops. Returns (newEpoch, groupsKept).
+    */
+  def compact(spark: SparkSession, outDir: String): (Int, Long) = {
+    val (epoch, floor, keys, vals) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
+    val next = epoch + 1
+    val consolidated = serve(spark, outDir).localCheckpoint()
+    val kept = consolidated.count()
+    consolidated.write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e$next")
+    writeMeta(spark, outDir, next, next, keys, vals)
+    val fs = fsOf(spark, outDir)
+    (floor to epoch).map(i =>
+      new org.apache.hadoop.fs.Path(s"${deltaDir(outDir)}/e$i"))
+      .filter(fs.exists)
+      .foreach(p => require(fs.delete(p, true), s"could not drop $p"))
+    (next, kept)
+  }
+
+  import graft.Canon._
+
+  /** Catalog row: the full IVM lifecycle on `orders`, ORACLE-EXACT. Boot
+    * from the even-orderkey half, insert the odd half, retract every
+    * orderkey ≡ 3 (mod 10), compact, serve — the result must equal a
+    * plain GROUP BY over `orders` minus the retracted keys, which is
+    * exactly what the DuckDB oracle computes from the base table.
+    */
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_matview_refresh",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_matview").toString
+        try {
+          bootstrap(s, orders.filter(col("o_orderkey") % 2 === 0),
+            Seq("o_custkey"), Seq("o_totalprice"), d)
+          refresh(s, d, orders.filter(col("o_orderkey") % 2 === 1),
+            orders.limit(0))
+          refresh(s, d, orders.limit(0),
+            orders.filter(col("o_orderkey") % 10 === 3))
+          compact(s, d)
+          // bounded result (≤ |custkey| rows) pinned off the view files so
+          // the temp dir can be deleted before the caller consumes it
+          serve(s, d)
+            .select(col("o_custkey"), col("mv_cnt").as("n"),
+              r4(col("mv_sum_o_totalprice").cast("double")).as("total"))
+            .orderBy("o_custkey")
+            .localCheckpoint()
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(d))
+      },
+      Some("""SELECT o_custkey, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 4) AS total
+             FROM orders WHERE NOT (o_orderkey % 10 = 3)
+             GROUP BY o_custkey ORDER BY o_custkey""")))
+}

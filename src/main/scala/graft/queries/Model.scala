@@ -27,5 +27,7 @@ object Catalog {
       QualityQueries.qs ++
       VectorQueries.qs ++
       GraphQueries.qs ++
-      SourceQueries.qs
+      SourceQueries.qs ++
+      MatView.qs ++
+      ZOrderLayout.qs
 }

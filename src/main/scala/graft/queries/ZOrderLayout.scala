@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) file clustering for multi-dimensional scan
+  * pruning — the data-layout lever that makes 2-D box predicates cheap at
+  * 100 TB (Morton 1966; the OPTIMIZE ZORDER idiom of modern lakehouse
+  * table formats).
+  *
+  * A linear sort by column X gives parquet row groups tight min/max
+  * ranges on X only: a predicate on Y skips nothing and a 100 TB scan
+  * stays a 100 TB scan. Interleaving the bits of quantile-bucketed X and
+  * Y into one Morton key and range-partition-sorting by it bounds EVERY
+  * row group inside a small (x, y) rectangle, so parquet's footer stats
+  * prune on BOTH dimensions from the same single copy of the data.
+  *
+  * Scale shape: bucket boundaries come from one `approxQuantile` pass
+  * (Greenwald–Khanna sketch — the same sampling idea Spark's range
+  * partitioner uses), broadcast as a 2^bits+1-element literal; bucket
+  * assignment is a codegen'd HOF over that array (O(2^bits) per row,
+  * 256 comparisons at the default — vectorizable and shuffle-free); the
+  * only shuffle is the range repartition by the Morton key that any
+  * clustered write needs. Quantile (equal-mass) buckets, not equal-width:
+  * skew cannot collapse the curve into a few hot cells, so the per-file
+  * rectangle bound — and therefore the pruning guarantee — survives
+  * skewed columns.
+  *
+  * Serving needs NO custom reader: `spark.read.parquet(dir).filter(box)`
+  * pushes the box to parquet, whose row-group stats do the skipping —
+  * the layout is an organization contract, not a new format.
+  */
+object ZOrderLayout {
+
+  /** Morton interleave of the low `bits` bits of two bucket ids (x even
+    * positions, y odd): pure shift/mask arithmetic, whole-stage-codegen
+    * friendly, no UDF.
+    */
+  def zvalue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)),
+            2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Quantile-bucket `c` into [0, 2^bits) using boundaries from one
+    * approxQuantile pass: bucket = #boundaries ≤ v, clamped. Equal-mass
+    * buckets keep the curve balanced under skew.
+    */
+  private def bucketize(c: Column, bounds: Array[Double], bits: Int): Column = {
+    val nb = 1 << bits
+    greatest(lit(0), least(lit(nb - 1),
+      size(filter(typedLit(bounds.toSeq), b => c.cast("double") >= b)) - 1))
+  }
+
+  /** Write `df` z-order-clustered on (colX, colY) into `outDir` as
+    * `numFiles` range-partitioned parquet files, each internally sorted
+    * by the Morton key. The helper columns are dropped before the write
+    * (projection preserves the sort), so the layout is invisible in the
+    * schema — only in the row-group statistics.
+    */
+  def write(spark: SparkSession, df: DataFrame, outDir: String,
+      colX: String, colY: String, bits: Int = 8, numFiles: Int = 16): Unit = {
+    val probes = (0 to (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val Array(bx, by) =
+      df.na.drop(Seq(colX, colY))
+        .stat.approxQuantile(Array(colX, colY), probes, 0.001)
+    if (bx.isEmpty || by.isEmpty) { // empty input: nothing to cluster
+      df.write.mode("overwrite").parquet(outDir); return
+    }
+    df.withColumn("_zv", zvalue(
+        bucketize(col(colX), bx, bits), bucketize(col(colY), by, bits), bits))
+      .repartitionByRange(numFiles, col("_zv"))
+      .sortWithinPartitions("_zv")
+      .drop("_zv")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Baseline for the pruning comparison: the SAME data linear-sorted by
+    * one column — tight stats on colX, useless stats on everything else.
+    */
+  def writeLinear(spark: SparkSession, df: DataFrame, outDir: String,
+      colX: String, numFiles: Int = 16): Unit =
+    df.repartitionByRange(numFiles, col(colX))
+      .sortWithinPartitions(colX)
+      .write.mode("overwrite").parquet(outDir)
+
+  import graft.Canon._
+
+  /** Catalog row: z-order a lineitem copy on (l_extendedprice,
+    * l_orderkey), answer a 2-D box aggregation from it — ORACLE-EXACT
+    * against the same SELECT over the original table (the layout must
+    * never change answers, only the bytes a scan touches;
+    * ZOrderLayoutSpec asserts the row-group skipping itself via scan
+    * metrics). The orderkey bound is a FRACTION of the table's max —
+    * `floor(max · 0.2)` on both engines — so the box keeps the same ~2%
+    * selectivity at every scale factor instead of degenerating to empty
+    * or to the whole table.
+    */
+  val qs: Seq[GQuery] = Seq(
+    GQuery(
+      "q_layout_zorder",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_zorder").toString
+        try {
+          write(s, li, d, "l_extendedprice", "l_orderkey")
+          // max() over an EMPTY slice is null — degenerate to bound 0
+          // (the filter then matches nothing, like the oracle's empty
+          // scalar subquery comparison)
+          val mr = li.agg(max("l_orderkey")).head
+          val okBound =
+            if (mr.isNullAt(0)) 0L else math.floor(mr.getLong(0) * 0.2).toLong
+          s.read.parquet(d)
+            .filter(col("l_extendedprice").between(10000, 20000) &&
+              col("l_orderkey") <= okBound)
+            .groupBy("l_suppkey")
+            .agg(count(lit(1)).as("n"),
+              r4(sum(col("l_extendedprice").cast("decimal(28,10)"))
+                .cast("double")).as("price_sum"))
+            .orderBy("l_suppkey")
+            .localCheckpoint() // pin the bounded result off the temp files
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(d))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4) AS price_sum
+             FROM lineitem
+             WHERE l_extendedprice BETWEEN 10000 AND 20000
+               AND l_orderkey <= (SELECT CAST(floor(max(l_orderkey) * 0.2) AS BIGINT) FROM lineitem)
+             GROUP BY l_suppkey ORDER BY l_suppkey""")))
+}

@@ -218,4 +218,52 @@ class PlanQualitySpec extends SparkSpec {
         s"$q should be join-free:\n$p")
     }
   }
+
+  test("MatView.serve reads only delta partials — never the base table — with map-side combine") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val d = java.nio.file.Files.createTempDirectory("mv_plan").toString
+    try {
+      MatView.bootstrap(spark, orders, Seq("o_custkey"), Seq("o_totalprice"), d)
+      MatView.refresh(spark, d, orders.limit(0),
+        orders.filter(col("o_orderkey") % 10 === 3))
+      val p = MatView.serve(spark, d).queryExecution.executedPlan.toString
+      // serving merges the bounded partial-aggregate log, not the base:
+      // the 100 TB original must not appear in the plan
+      assert(!p.contains("orders.parquet"), p)
+      assert(p.contains(d), p)
+      assert(p.contains("partial_"), p) // partial→final merge of partials
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d))
+  }
+
+  test("the z-ordered layout's serving scan carries the 2-D box as pushed filters") {
+    // (q_layout_zorder itself returns a pinned checkpoint, so the guard
+    // drives the layout directly — same read path as the catalog row)
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val d = java.nio.file.Files.createTempDirectory("zorder_plan").toString
+    try {
+      ZOrderLayout.write(spark, li, d, "l_extendedprice", "l_orderkey")
+      val qe = spark.read.parquet(d)
+        .filter(col("l_extendedprice").between(10000, 20000) &&
+          col("l_orderkey") <= 300)
+        .queryExecution.executedPlan
+      // both dimensions of the box must reach the parquet reader —
+      // row-group skipping off the z-ordered stats is what the layout
+      // exists for. Read the scan's metadata, not the plan STRING: the
+      // rendered PushedFilters list truncates with "…" past a few entries
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scansOf)
+      }
+      val pushed = scansOf(qe).map(_.metadata("PushedFilters")).mkString("\n")
+      assert(pushed.contains("GreaterThanOrEqual(l_extendedprice,10000.0)"), pushed)
+      assert(pushed.contains("LessThanOrEqual(l_extendedprice,20000.0)"), pushed)
+      assert(pushed.contains("LessThanOrEqual(l_orderkey,300)"), pushed)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d))
+  }
 }
