@@ -137,11 +137,17 @@ object Bench {
     val docsLex = if (only.isDefined) -1.0
       else (1 to pipelineIterations)
         .map(_ => lexsyncThroughput(spark, sfDir)).max
+    // the AGGREGATE twin: base-row CDC through MatViewSync into a live
+    // materialized view, compaction policy on
+    val rowsMv = if (only.isDefined) -1.0
+      else (1 to pipelineIterations)
+        .map(_ => mvsyncThroughput(spark, sfDir)).max
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
       s""""indexsync_upserts_per_s":$upsIdx,""" +
       s""""lexsync_docs_per_s":$docsLex,""" +
+      s""""mvsync_rows_per_s":$rowsMv,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
       s""""sentinel_sec":$sentinelJson,"sentinel_spread":$sentinelSpread,""" +
       s""""stat":"min","sf":"$sfDir"}"""
@@ -167,6 +173,7 @@ object Bench {
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
       s""""indexsync_upserts_per_s":$upsIdx,""" +
       s""""lexsync_docs_per_s":$docsLex,""" +
+      s""""mvsync_rows_per_s":$rowsMv,""" +
       s""""sentinel_spread":$sentinelSpread,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
@@ -348,6 +355,59 @@ object Bench {
     }
     val secs = (System.nanoTime() - t0) / 1e9
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir))
+    if (committed() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
+  }
+
+  /** The aggregate-view loop's sustained rate: a live
+    * [[graft.queries.MatView]] bootstrapped over the bench orders absorbs
+    * a churning insert/retract CDC through
+    * [[graft.pipeline.MatViewSync.start]], compaction policy ON — the
+    * rate prices the signed-partials refresh + the meta-commit replay
+    * gate + periodic log consolidation. Same cumulative-listener
+    * completion tally and deadline-failure semantics as the other loops.
+    */
+  private def mvsyncThroughput(spark: SparkSession, sfDir: String): Double = {
+    import graft.pipeline._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(String, Long, Double)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble)
+    val viewDir =
+      java.nio.file.Files.createTempDirectory("bench_mvsync_view").toString
+    graft.queries.MatView.bootstrap(spark,
+      Tables.orders(spark, sfDir).select(
+        org.apache.spark.sql.functions.col("o_custkey").as("k"),
+        org.apache.spark.sql.functions.col("o_totalprice").as("v")),
+      Seq("k"), Seq("v"), viewDir)
+    val n = 2000
+    // every 4th event retracts the row its predecessor inserted (stream
+    // order guarantees the insert's epoch is not after the delete's), so
+    // the probe prices BOTH verbs under churn
+    val events = (0 until n).map { i =>
+      if (i % 4 == 3) ("DELETE", (i - 1) % 200L, (i - 1) * 0.5)
+      else ("INSERT", i % 200L, i * 0.5)
+    }
+    val tally = new InputRowTally(spark)
+    val source = MemoryStream[(String, Long, Double)]
+    val query = MatViewSync.start(source.toDS().toDF("op", "k", "v"), viewDir,
+      java.nio.file.Files.createTempDirectory("bench_mvsync_ckpt").toString,
+      triggerMs = 50, compactEvery = 4)
+    def committed(): Long = tally.committed(query)
+    val t0 = System.nanoTime()
+    try {
+      events.grouped(500).foreach(chunk => source.addData(chunk))
+      val deadline = System.currentTimeMillis() + 120000
+      while (committed() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally {
+      query.stop()
+      tally.close()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(viewDir))
     if (committed() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
   }
 

@@ -335,6 +335,43 @@ object IndexedLayout {
     }
   }
 
+  /** CHANGE-DATA-FEED between two committed epochs — the Delta CDF verb,
+    * derived from the epoch history the layout already keeps (no change
+    * journal to maintain): `upsert` rows are the ids LIVE at `to` whose
+    * current version landed after `from` (new ids and replaced values —
+    * net semantics: an id upserted twice in the window emits once, with
+    * its final value; added-then-deleted emits nothing), `delete` rows
+    * are the ids live at `from` and gone at `to` (embedding null). Each
+    * side is one snapshot read plus a churn-sized filter/anti-join, so a
+    * downstream consumer syncs INCREMENTALLY — the diff is
+    * change-proportional, never corpus-proportional, which is the whole
+    * point at 100 TB.
+    *
+    * `from` must be at or above [[historyFloor]]: compaction re-stamps
+    * survivors to its own epoch, so a diff across a compaction boundary
+    * would emit the whole corpus as fake upserts — that request fails
+    * loudly instead of answering wrong (the clamp that is safe for
+    * snapshot READS is not safe for diffs).
+    */
+  def changesBetween(spark: SparkSession, outDir: String,
+      from: Int, to: Int): DataFrame = {
+    val (epoch, _) = readMeta(spark, outDir)
+    val floor = historyFloor(spark, outDir)
+    require(from <= to, s"changesBetween: from=$from > to=$to")
+    require(to <= epoch, s"changesBetween: to=$to exceeds committed epoch $epoch")
+    require(from >= floor,
+      s"changesBetween: from=$from predates the history floor $floor — " +
+        "compaction dropped the versions this diff would need")
+    val before = readCorpus(spark, outDir, asOf = from)
+    val after = readCorpus(spark, outDir, asOf = to)
+    val upserts = after.filter(col("epoch") > from)
+      .select(lit("upsert").as("change"), col("vec_id"), col("embedding"))
+    val deletes = before.select("vec_id")
+      .join(after.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(lit("delete").as("change"), col("vec_id"))
+    upserts.unionByName(deletes, allowMissingColumns = true)
+  }
+
   /** Compact the layout: rewrite cells holding tombstone-killed rows down
     * to their live sets and drop the then-satisfied tombstones — the LSM
     * lifecycle's last verb, and the steady-state answer to unbounded

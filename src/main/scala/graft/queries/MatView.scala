@@ -64,13 +64,27 @@ object MatView {
     else None
 
   private def writeMeta(spark: SparkSession, outDir: String, epoch: Int,
-      floor: Int, keys: Seq[String], vals: Seq[String]): Unit = {
+      floor: Int, keys: Seq[String], vals: Seq[String],
+      streamEpoch: Long): Unit = {
     import spark.implicits._
     val p = s"${metaDir(outDir)}/e$epoch"
-    Seq((epoch, floor, keys, vals)).toDF("epoch", "floor", "keys", "vals")
+    Seq((epoch, floor, keys, vals, streamEpoch))
+      .toDF("epoch", "floor", "keys", "vals", "stream_epoch")
       .coalesce(1).write.mode("overwrite").parquet(p)
     val marker = new org.apache.hadoop.fs.Path(p, CommitMarker)
     fsOf(spark, p).create(marker, true).close()
+  }
+
+  /** High-water mark of the CDC stream epochs already folded into the
+    * view (−1 if none): the [[graft.pipeline.MatViewSync]] replay gate.
+    * Living INSIDE the meta commit makes refresh+dedup atomic — there is
+    * no marker-after-commit crash window in which a replayed stream epoch
+    * could double-apply its retractions.
+    */
+  def lastStreamEpoch(spark: SparkSession, outDir: String): Long = {
+    val (epoch, _, _, _) = readMeta(spark, outDir)
+    spark.read.parquet(s"${metaDir(outDir)}/e$epoch").head
+      .getAs[Long]("stream_epoch")
   }
 
   /** Committed (epoch, floor, keys, vals); `at` pins a past epoch for
@@ -137,7 +151,7 @@ object MatView {
       vals: Seq[String], outDir: String): Unit = {
     partials(base, keys, vals, 1)
       .write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e0")
-    writeMeta(spark, outDir, 0, 0, keys, vals)
+    writeMeta(spark, outDir, 0, 0, keys, vals, -1L)
   }
 
   /** Apply one delta: `inserts` are base rows added, `retracts` base rows
@@ -148,9 +162,12 @@ object MatView {
     * written attempt first.
     */
   def refresh(spark: SparkSession, outDir: String, inserts: DataFrame,
-      retracts: DataFrame): Int = {
+      retracts: DataFrame, streamEpoch: Long = -1L): Int = {
     val (epoch, floor, keys, vals) = readMeta(spark, outDir)
     clearUncommitted(spark, outDir, epoch)
+    // the stream high-water mark only advances (a manual refresh between
+    // stream epochs must not reset the replay gate)
+    val hwm = math.max(streamEpoch, lastStreamEpoch(spark, outDir))
     val next = epoch + 1
     val delta = partials(inserts, keys, vals, 1)
       .unionByName(partials(retracts, keys, vals, -1))
@@ -162,7 +179,7 @@ object MatView {
       .filter(col("mv_cnt") =!= 0 ||
         vals.map(v => col(s"mv_sum_$v") =!= 0).foldLeft(lit(false))(_ || _))
     delta.write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e$next")
-    writeMeta(spark, outDir, next, floor, keys, vals)
+    writeMeta(spark, outDir, next, floor, keys, vals, hwm)
     next
   }
 
@@ -170,10 +187,11 @@ object MatView {
     * the reference's event verbs) becomes one refresh epoch.
     */
   def applyCdc(spark: SparkSession, outDir: String, events: DataFrame,
-      opCol: String = "op"): Int =
+      opCol: String = "op", streamEpoch: Long = -1L): Int =
     refresh(spark, outDir,
       events.filter(upper(col(opCol)) === "INSERT").drop(opCol),
-      events.filter(upper(col(opCol)) === "DELETE").drop(opCol))
+      events.filter(upper(col(opCol)) === "DELETE").drop(opCol),
+      streamEpoch)
 
   /** The view: groups with a live (positive) count, exact decimal sums.
     * Reads only delta epochs floor..asOf — never the base. `asOf` time-
@@ -204,11 +222,12 @@ object MatView {
   def compact(spark: SparkSession, outDir: String): (Int, Long) = {
     val (epoch, floor, keys, vals) = readMeta(spark, outDir)
     clearUncommitted(spark, outDir, epoch)
+    val hwm = lastStreamEpoch(spark, outDir) // carried across compactions
     val next = epoch + 1
     val consolidated = serve(spark, outDir).localCheckpoint()
     val kept = consolidated.count()
     consolidated.write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e$next")
-    writeMeta(spark, outDir, next, next, keys, vals)
+    writeMeta(spark, outDir, next, next, keys, vals, hwm)
     val fs = fsOf(spark, outDir)
     (floor to epoch).map(i =>
       new org.apache.hadoop.fs.Path(s"${deltaDir(outDir)}/e$i"))

@@ -1222,6 +1222,58 @@ object VectorQueries {
       bench = false),
 
     GQuery(
+      "q_index_cdf",
+      (s, dir) => {
+        // CHANGE DATA FEED off the physical index's epoch history (the
+        // Delta CDF verb, IndexedLayout.changesBetween): the same two CDC
+        // epochs as q_index_asof land (add 9000001 = −v3, update 17 →
+        // −v17, delete 23; then delete 9000001), and the NET diff 0→2
+        // must be exactly {upsert 17 with its new value, delete 23} — the
+        // add-then-delete of 9000001 nets out, the update emits its FINAL
+        // embedding (sign-flip keeps floats exact), and a downstream
+        // consumer applying this diff to snapshot 0 lands on snapshot 2
+        // (IndexedLayoutCdfSpec proves that contract on real history).
+        import graft.pipeline.IndexSync
+        import graft.pipeline.VectorSync.VecEvent
+        import s.implicits._
+        val corpus = Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 200).select("vec_id", "embedding")
+        val fixture = corpus.filter(col("vec_id").isin(3L, 17L, 23L))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        if (!Seq(3L, 17L, 23L).forall(fixture.contains))
+          Seq.empty[(String, Long, Double)].toDF("change", "vec_id", "v0")
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+          try {
+            IndexedLayout.write(s, corpus, d, kCells = 4)
+            IndexSync.applyBatch(s, Seq(
+              VecEvent("ADD", 1, 9000001L, fixture(3L).map(-_), 0),
+              VecEvent("UPDATE", 2, 17L, fixture(17L).map(-_), 0),
+              VecEvent("DELETE", 3, 23L, Array.empty[Float], 0)),
+              epochId = 1L, layoutDir = d, graphDir = null)
+            IndexSync.applyBatch(s, Seq(
+              VecEvent("DELETE", 4, 9000001L, Array.empty[Float], 0)),
+              epochId = 2L, layoutDir = d, graphDir = null)
+            IndexedLayout.changesBetween(s, d, 0, 2)
+              .select(col("change"), col("vec_id"),
+                r4(element_at(col("embedding"), 1).cast("double")).as("v0"))
+              .orderBy("change", "vec_id")
+              .localCheckpoint()
+          } finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(d))
+        }
+      },
+      Some("""SELECT 'upsert' AS change, CAST(17 AS BIGINT) AS vec_id,
+                     round(-CAST(embedding[1] AS DOUBLE), 4) AS v0
+              FROM embeddings WHERE vec_id = 17
+              UNION ALL
+              SELECT 'delete' AS change, CAST(23 AS BIGINT) AS vec_id,
+                     NULL AS v0
+              FROM embeddings WHERE vec_id = 23
+              ORDER BY change, vec_id"""),
+      bench = false),
+
+    GQuery(
       "q_hybrid_rrf",
       (s, dir) => {
         // HYBRID SEARCH: lexical + vector retrieval fused by Reciprocal

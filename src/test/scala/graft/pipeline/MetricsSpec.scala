@@ -160,6 +160,39 @@ class MetricsSpec extends AnyFunSuite {
     } finally { api.close(); sched.close() }
   }
 
+  test("the materialized-view loop's counters count and are scrapeable") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("metrics_mvsync").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    graft.queries.MatView.bootstrap(spark,
+      Seq((1L, 2.0), (2L, 4.0)).toDF("k", "v"), Seq("k"), Seq("v"), d)
+    val batch = Seq(("INSERT", 3L, 8.0), ("DELETE", 1L, 2.0))
+      .toDF("op", "k", "v")
+    val dd = delta("graft_mvsync_epochs_total",
+      "graft_mvsync_inserts_total", "graft_mvsync_retracts_total",
+      "graft_mvsync_skipped_epochs_total") {
+      MatViewSync.applyBatch(spark, batch, 9L, d)
+      MatViewSync.applyBatch(spark, batch, 9L, d) // hwm ≥ 9 → skipped
+    }
+    assert(dd("graft_mvsync_epochs_total") == 1)
+    assert(dd("graft_mvsync_inserts_total") == 1)
+    assert(dd("graft_mvsync_retracts_total") == 1)
+    assert(dd("graft_mvsync_skipped_epochs_total") == 1)
+    val sched = new ResyncScheduler(intervalMs = 3600000, doResync = () => 0L)
+    val api = new ApiServer(":0", sched).start()
+    try {
+      val conn = new URI(s"http://127.0.0.1:${api.port}/metrics").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect()
+      assert(body.contains("# TYPE graft_mvsync_epochs_total counter"))
+      assert(body.contains("graft_mvsync_inserts_total"))
+      assert(body.contains("graft_mvsync_retracts_total"))
+    } finally { api.close(); sched.close() }
+  }
+
   test("resync runs count; GET /metrics exposes the counters") {
     val sched = new ResyncScheduler(intervalMs = 3600000, doResync = () => 5L)
     val api = new ApiServer(":0", sched).start()

@@ -124,6 +124,9 @@ object SqlParityRewrites {
     // 1-based arr[i] indexing into embeddings inside the cosine lambdas
     """(\w+)\.embedding\[i\]""" -> "element_at($1.embedding, CAST(i AS INT))",
     """(?<![.\w])embedding\[i\]""" -> "element_at(embedding, CAST(i AS INT))",
+    // the CDF row's literal first-component pick (q_index_cdf), same
+    // 1-based shape
+    """(?<![.\w])embedding\[1\]""" -> "element_at(embedding, 1)",
     // the int8-quantized vector picks and the re-ranked embedding aliases
     // (q_sim_topk_sq), same 1-based shape as the embedding rules above
     """(\w+)\.qv\[i\]""" -> "element_at($1.qv, CAST(i AS INT))",
