@@ -40,10 +40,21 @@ object MatViewSync {
     }
     if (batch.isEmpty) return (0L, 0L)
     val pinned = batch.localCheckpoint() // one materialization, three uses
-    val counts = pinned
-      .groupBy((upper(col(opCol)) === "DELETE").as("is_del"))
-      .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val (nIns, nRet) = (counts.getOrElse(false, 0L), counts.getOrElse(true, 0L))
+    // bounded verb histogram (≤ |distinct ops| rows) doubles as the
+    // validation gate: an op outside INSERT/DELETE (or NULL) must fail
+    // LOUDLY here — the applyCdc filters downstream would silently drop
+    // the row while the counters claimed it applied, and the view would
+    // diverge from the base with green metrics
+    val counts = pinned.groupBy(upper(col(opCol)).as("op"))
+      .count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    val unknown = counts.keySet -- Set("INSERT", "DELETE")
+    require(unknown.isEmpty,
+      s"MatViewSync: unsupported op(s) ${unknown.mkString(", ")} in epoch " +
+        s"$epochId — events carry INSERT/DELETE only (an update is " +
+        "DELETE old + INSERT new)")
+    val (nIns, nRet) = (counts.getOrElse("INSERT", 0L),
+      counts.getOrElse("DELETE", 0L))
     MatView.applyCdc(spark, viewDir, pinned, opCol, streamEpoch = epochId)
     Metrics.global.inc("graft_mvsync_epochs_total")
     Metrics.global.inc("graft_mvsync_inserts_total", nIns)

@@ -38,11 +38,7 @@ object IndexedLayout {
   /** Same commit-point discipline as KnnGraphBuild: the marker file, not
     * parquet's committer-dependent `_SUCCESS`, flips an epoch live.
     */
-  private val CommitMarker = "_graft_committed"
-
-  private def fsOf(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+  import EpochStore.{CommitMarker, dirEpoch, fsOf}
 
   private def writeMeta(spark: SparkSession, outDir: String,
       epoch: Int, maxVecId: Long): Unit = {
@@ -422,9 +418,7 @@ object IndexedLayout {
     val td = new org.apache.hadoop.fs.Path(tombDir(outDir))
     if (fs.exists(td))
       fs.listStatus(td).map(_.getPath)
-        .filter(p => p.getName.length > 1 && p.getName.startsWith("e") &&
-          p.getName.drop(1).forall(_.isDigit) &&
-          p.getName.drop(1).toInt > epoch)
+        .filter(p => dirEpoch(p.getName).exists(_ > epoch))
         .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
     def dropTombstones(): Unit =
       (1 to epoch).map(i => new org.apache.hadoop.fs.Path(s"${tombDir(outDir)}/e$i"))

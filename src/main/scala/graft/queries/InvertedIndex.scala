@@ -43,14 +43,10 @@ object InvertedIndex {
     */
   val Buckets = 16
 
-  private val CommitMarker = "_graft_committed"
+  import EpochStore.{CommitMarker, dirEpoch, fsOf}
   private def metaDir(outDir: String) = s"$outDir/_index/meta"
   private def dlDir(outDir: String) = s"$outDir/_index/dl"
   private def delDir(outDir: String) = s"$outDir/_index/deleted"
-
-  private def fsOf(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sessionState.newHadoopConf())
 
   private[queries] def bucketOf(token: Column): Column =
     pmod(hash(token), lit(Buckets))
@@ -61,14 +57,6 @@ object InvertedIndex {
     val m = "^e(\\d+)c?-".r.findFirstMatchIn(name)
     m.map(_.group(1).toInt)
   }
-
-  /** Epoch of a per-epoch DIR name (`e<K>`); None for anything else —
-    * a stray dir named just `e` must be ignored, never crash the parse.
-    */
-  private def dirEpoch(name: String): Option[Int] =
-    if (name.length > 1 && name.startsWith("e") &&
-      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
-    else None
 
   /** Roll back UNCOMMITTED leftovers (bucket files and dl dirs whose
     * epoch exceeds the committed one — a crashed append's promoted files

@@ -49,19 +49,9 @@ import org.apache.spark.sql.types.DecimalType
   * draws.
   */
 object MatView {
-  private val CommitMarker = "_graft_committed"
+  import EpochStore.{CommitMarker, dirEpoch, fsOf}
   private def deltaDir(outDir: String) = s"$outDir/delta"
   private def metaDir(outDir: String) = s"$outDir/_view/meta"
-
-  private def fsOf(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Epoch of a per-epoch dir name (`e<K>`); None for anything else. */
-  private def dirEpoch(name: String): Option[Int] =
-    if (name.length > 1 && name.startsWith("e") &&
-      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toInt)
-    else None
 
   private def writeMeta(spark: SparkSession, outDir: String, epoch: Int,
       floor: Int, keys: Seq[String], vals: Seq[String],
@@ -75,24 +65,18 @@ object MatView {
     fsOf(spark, p).create(marker, true).close()
   }
 
-  /** High-water mark of the CDC stream epochs already folded into the
-    * view (−1 if none): the [[graft.pipeline.MatViewSync]] replay gate.
-    * Living INSIDE the meta commit makes refresh+dedup atomic — there is
-    * no marker-after-commit crash window in which a replayed stream epoch
-    * could double-apply its retractions.
-    */
-  def lastStreamEpoch(spark: SparkSession, outDir: String): Long = {
-    val (epoch, _, _, _) = readMeta(spark, outDir)
-    spark.read.parquet(s"${metaDir(outDir)}/e$epoch").head
-      .getAs[Long]("stream_epoch")
-  }
+  /** One committed meta record. */
+  private final case class Meta(epoch: Int, floor: Int, keys: Seq[String],
+      vals: Seq[String], streamEpoch: Long)
 
-  /** Committed (epoch, floor, keys, vals); `at` pins a past epoch for
-    * time travel — it must still be committed AND at or above the history
-    * floor the compactions have raised.
+  /** Read the committed meta at `at` (default: the newest). ONE parquet
+    * read on the default path — this sits on MatViewSync's per-micro-
+    * batch hot path, so every verb reads meta exactly once per call. For
+    * a pinned past epoch, a second read of the live record enforces the
+    * history-floor contract.
     */
-  def readMeta(spark: SparkSession, outDir: String,
-      at: Option[Int] = None): (Int, Int, Seq[String], Seq[String]) = {
+  private def readMetaFull(spark: SparkSession, outDir: String,
+      at: Option[Int] = None): Meta = {
     val md = new org.apache.hadoop.fs.Path(metaDir(outDir))
     val fs = fsOf(spark, metaDir(outDir))
     require(fs.exists(md), s"no view meta under $md — run bootstrap() first")
@@ -107,15 +91,37 @@ object MatView {
       case None => epochs.max
     }
     val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
-    val live = spark.read.parquet(s"${metaDir(outDir)}/e${epochs.max}").head
-    // a past epoch whose deltas compaction has already dropped is gone —
-    // same history-floor contract as the index stores' time travel
-    require(r.getAs[Int]("floor") >= live.getAs[Int]("floor") || at.isEmpty,
-      s"epoch $e predates the compaction floor ${live.getAs[Int]("floor")}")
-    (e, r.getAs[Int]("floor"),
+    if (at.isDefined && e != epochs.max) {
+      // a past epoch whose deltas compaction has already dropped is gone —
+      // same history-floor contract as the index stores' time travel
+      val live = spark.read.parquet(s"${metaDir(outDir)}/e${epochs.max}").head
+      require(r.getAs[Int]("floor") >= live.getAs[Int]("floor"),
+        s"epoch $e predates the compaction floor ${live.getAs[Int]("floor")}")
+    }
+    Meta(e, r.getAs[Int]("floor"),
       r.getSeq[String](r.fieldIndex("keys")),
-      r.getSeq[String](r.fieldIndex("vals")))
+      r.getSeq[String](r.fieldIndex("vals")),
+      r.getAs[Long]("stream_epoch"))
   }
+
+  /** Committed (epoch, floor, keys, vals); `at` pins a past epoch for
+    * time travel — it must still be committed AND at or above the history
+    * floor the compactions have raised.
+    */
+  def readMeta(spark: SparkSession, outDir: String,
+      at: Option[Int] = None): (Int, Int, Seq[String], Seq[String]) = {
+    val m = readMetaFull(spark, outDir, at)
+    (m.epoch, m.floor, m.keys, m.vals)
+  }
+
+  /** High-water mark of the CDC stream epochs already folded into the
+    * view (−1 if none): the [[graft.pipeline.MatViewSync]] replay gate.
+    * Living INSIDE the meta commit makes refresh+dedup atomic — there is
+    * no marker-after-commit crash window in which a replayed stream epoch
+    * could double-apply its retractions.
+    */
+  def lastStreamEpoch(spark: SparkSession, outDir: String): Long =
+    readMetaFull(spark, outDir).streamEpoch
 
   /** Roll back UNCOMMITTED delta dirs (epoch above the committed one — a
     * crashed refresh/compact wrote data but never its meta marker). Every
@@ -149,6 +155,12 @@ object MatView {
     */
   def bootstrap(spark: SparkSession, base: DataFrame, keys: Seq[String],
       vals: Seq[String], outDir: String): Unit = {
+    // wipe any prior view: overwriting only e0 would leave a previous
+    // incarnation's higher committed epochs live, and readMeta would keep
+    // serving THAT view — the same wipe-on-bootstrap the sibling stores do
+    val fs = fsOf(spark, outDir)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(root)) require(fs.delete(root, true), s"could not clear $root")
     partials(base, keys, vals, 1)
       .write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e0")
     writeMeta(spark, outDir, 0, 0, keys, vals, -1L)
@@ -163,11 +175,11 @@ object MatView {
     */
   def refresh(spark: SparkSession, outDir: String, inserts: DataFrame,
       retracts: DataFrame, streamEpoch: Long = -1L): Int = {
-    val (epoch, floor, keys, vals) = readMeta(spark, outDir)
+    val Meta(epoch, floor, keys, vals, prevHwm) = readMetaFull(spark, outDir)
     clearUncommitted(spark, outDir, epoch)
     // the stream high-water mark only advances (a manual refresh between
     // stream epochs must not reset the replay gate)
-    val hwm = math.max(streamEpoch, lastStreamEpoch(spark, outDir))
+    val hwm = math.max(streamEpoch, prevHwm)
     val next = epoch + 1
     val delta = partials(inserts, keys, vals, 1)
       .unionByName(partials(retracts, keys, vals, -1))
@@ -197,20 +209,30 @@ object MatView {
     * Reads only delta epochs floor..asOf — never the base. `asOf` time-
     * travels to a past committed epoch (at or above the history floor).
     */
-  def serve(spark: SparkSession, outDir: String,
-      asOf: Option[Int] = None): DataFrame = {
-    val (epoch, floor, keys, vals) = readMeta(spark, outDir, asOf)
+  /** The merged partial state floor..asOf, UNFILTERED: groups whose
+    * pending count is zero or negative stay (e.g. a retraction whose
+    * matching insert hasn't streamed in yet under out-of-order CDC) —
+    * this is the frame compaction must persist, or consolidation would
+    * erase in-flight retractions and change later answers.
+    */
+  private def merged(spark: SparkSession, outDir: String,
+      asOf: Option[Int]): (DataFrame, Seq[String]) = {
+    val m = readMetaFull(spark, outDir, asOf)
     val fs = fsOf(spark, outDir)
-    val dirs = (floor to epoch).map(i => s"${deltaDir(outDir)}/e$i")
+    val dirs = (m.floor to m.epoch).map(i => s"${deltaDir(outDir)}/e$i")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    spark.read.parquet(dirs: _*)
-      .groupBy(keys.map(col): _*)
+    val df = spark.read.parquet(dirs: _*)
+      .groupBy(m.keys.map(col): _*)
       .agg(
         sum("mv_cnt").as("mv_cnt"),
-        vals.map(v => sum(s"mv_sum_$v").cast(DecimalType(28, 10))
+        m.vals.map(v => sum(s"mv_sum_$v").cast(DecimalType(28, 10))
           .as(s"mv_sum_$v")): _*)
-      .filter(col("mv_cnt") > 0)
+    (df, m.vals)
   }
+
+  def serve(spark: SparkSession, outDir: String,
+      asOf: Option[Int] = None): DataFrame =
+    merged(spark, outDir, asOf)._1.filter(col("mv_cnt") > 0)
 
   /** Consolidate floor..epoch into ONE delta dir and raise the floor to
     * it, bounding serve-time merge width under sustained churn. Crash-
@@ -220,18 +242,31 @@ object MatView {
     * a retry simply re-drops. Returns (newEpoch, groupsKept).
     */
   def compact(spark: SparkSession, outDir: String): (Int, Long) = {
-    val (epoch, floor, keys, vals) = readMeta(spark, outDir)
+    val Meta(epoch, floor, keys, vals, hwm) = readMetaFull(spark, outDir)
     clearUncommitted(spark, outDir, epoch)
-    val hwm = lastStreamEpoch(spark, outDir) // carried across compactions
     val next = epoch + 1
-    val consolidated = serve(spark, outDir).localCheckpoint()
+    // consolidate the UNFILTERED merge: only exactly-cancelled groups
+    // (zero count AND zero sums) may drop. Persisting the served (cnt>0)
+    // view instead would erase pending retractions — under out-of-order
+    // CDC a DELETE that precedes its INSERT nets negative until the
+    // insert arrives, and dropping it here would let the later insert
+    // resurrect the row.
+    val (mergedDf, _) = merged(spark, outDir, None)
+    val consolidated = mergedDf
+      .filter(col("mv_cnt") =!= 0 ||
+        vals.map(v => col(s"mv_sum_$v") =!= 0).foldLeft(lit(false))(_ || _))
+      .localCheckpoint()
     val kept = consolidated.count()
     consolidated.write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e$next")
     writeMeta(spark, outDir, next, next, keys, vals, hwm)
+    // drop everything below the NEW floor — including sub-`floor` strays
+    // a previous compact left when it crashed between its meta commit and
+    // its drop loop (they are below the old floor, so the ordinary
+    // floor..epoch range would never revisit them)
     val fs = fsOf(spark, outDir)
-    (floor to epoch).map(i =>
-      new org.apache.hadoop.fs.Path(s"${deltaDir(outDir)}/e$i"))
-      .filter(fs.exists)
+    val dd = new org.apache.hadoop.fs.Path(deltaDir(outDir))
+    fs.listStatus(dd).map(_.getPath)
+      .filter(p => dirEpoch(p.getName).exists(_ < next))
       .foreach(p => require(fs.delete(p, true), s"could not drop $p"))
     (next, kept)
   }

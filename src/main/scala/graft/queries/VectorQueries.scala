@@ -1145,7 +1145,8 @@ object VectorQueries {
                 SELECT q.vec_id AS q_id, c.vec_id,
                        round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
                 FROM embeddings q JOIN live c ON q.vec_id <> c.vec_id
-                WHERE q.vec_id < 5),
+                WHERE q.vec_id < 5
+                  AND (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id IN (3, 17, 23)) = 3),
               ranked AS (SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk FROM scored)
               SELECT q_id, rnk, vec_id, round(cos_r, 4) AS cos
@@ -1214,7 +1215,8 @@ object VectorQueries {
                 SELECT q.vec_id AS q_id, c.vec_id,
                        round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
                 FROM embeddings q JOIN live1 c ON q.vec_id <> c.vec_id
-                WHERE q.vec_id < 5),
+                WHERE q.vec_id < 5
+                  AND (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id IN (3, 17, 23)) = 3),
               ranked AS (SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY cos_r DESC, vec_id ASC) AS rnk FROM scored)
               SELECT q_id, rnk, vec_id, round(cos_r, 4) AS cos
@@ -1266,10 +1268,12 @@ object VectorQueries {
       Some("""SELECT 'upsert' AS change, CAST(17 AS BIGINT) AS vec_id,
                      round(-CAST(embedding[1] AS DOUBLE), 4) AS v0
               FROM embeddings WHERE vec_id = 17
+                AND (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id IN (3, 17, 23)) = 3
               UNION ALL
               SELECT 'delete' AS change, CAST(23 AS BIGINT) AS vec_id,
                      NULL AS v0
               FROM embeddings WHERE vec_id = 23
+                AND (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id IN (3, 17, 23)) = 3
               ORDER BY change, vec_id"""),
       bench = false),
 

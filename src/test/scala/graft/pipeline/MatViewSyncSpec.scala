@@ -92,6 +92,33 @@ class MatViewSyncSpec extends SparkSpec {
     assert(canon(MatView.serve(spark, viewDir)) != after)
   }
 
+  test("an op outside INSERT/DELETE (or NULL) fails loudly, never silently drops") {
+    import spark.implicits._
+    val viewDir = tmp("mvsync_badop")
+    MatView.bootstrap(spark, Seq((1L, 5.0)).toDF("k", "v"),
+      Seq("k"), Seq("v"), viewDir)
+    val before = canon(MatView.serve(spark, viewDir))
+    // UPDATE is the index loops' verb, NOT this one's — applying it as an
+    // insert (what the op split would silently do) diverges the view
+    val e = intercept[IllegalArgumentException] {
+      MatViewSync.applyBatch(spark,
+        Seq(("UPDATE", 1L, 9.0)).toDF("op", "k", "v"), epochId = 2L, viewDir)
+    }
+    assert(e.getMessage.contains("UPDATE"), e.getMessage)
+    val eNull = intercept[IllegalArgumentException] {
+      MatViewSync.applyBatch(spark,
+        Seq((null.asInstanceOf[String], 1L, 9.0)).toDF("op", "k", "v"),
+        epochId = 2L, viewDir)
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    // nothing applied, gate not advanced: the view is untouched and a
+    // corrected epoch 2 still lands
+    assert(canon(MatView.serve(spark, viewDir)) == before)
+    assert(MatViewSync.applyBatch(spark,
+      Seq(("INSERT", 2L, 9.0)).toDF("op", "k", "v"), epochId = 2L, viewDir)
+      == ((1L, 0L)))
+  }
+
   test("a manual refresh between stream epochs does not reset the replay gate") {
     import spark.implicits._
     val viewDir = tmp("mvsync_manual")

@@ -137,6 +137,62 @@ class MatViewSpec extends SparkSpec {
         !(col("o_orderkey") % 10 === 7) && !(col("o_orderkey") % 10 === 9))))
   }
 
+  test("compaction preserves pending retractions — out-of-order CDC converges across a compact") {
+    import spark.implicits._
+    val d = tmp("mv_ooo")
+    val base = Seq((10L, 1.25), (20L, 7.75)).toDF("k", "v")
+    MatView.bootstrap(spark, base, Seq("k"), Seq("v"), d)
+    // the DELETE arrives BEFORE its matching INSERT (out-of-order
+    // delivery): key 30 goes count −1 in the log
+    MatView.refresh(spark, d, base.limit(0), Seq((30L, 2.0)).toDF("k", "v"))
+    // compaction fires between the two halves — it must KEEP the pending
+    // negative partial, not serve-filter it away
+    MatView.compact(spark, d)
+    MatView.refresh(spark, d, Seq((30L, 2.0)).toDF("k", "v"), base.limit(0))
+    // net effect: key 30 was never really there — count cancels to zero
+    assert(canon(MatView.serve(spark, d).select("k"))
+      == Seq("10", "20"),
+      "a compact between an early DELETE and its late INSERT must not resurrect the row")
+  }
+
+  test("bootstrap into a previously-used dir replaces the old view entirely") {
+    import spark.implicits._
+    val d = tmp("mv_reboot")
+    MatView.bootstrap(spark, Seq((1L, 2.0), (2L, 4.0)).toDF("k", "v"),
+      Seq("k"), Seq("v"), d)
+    MatView.refresh(spark, d, Seq((3L, 8.0)).toDF("k", "v"),
+      Seq.empty[(Long, Double)].toDF("k", "v")) // old view now at epoch 1
+    MatView.bootstrap(spark, Seq((9L, 1.0)).toDF("k", "v"),
+      Seq("k"), Seq("v"), d)
+    // the fresh bootstrap must serve — not the stale epoch-1 view whose
+    // committed meta would otherwise out-rank the new e0
+    assert(canon(MatView.serve(spark, d).select("k", "mv_cnt")) == Seq("9|1"))
+    assert(MatView.lastStreamEpoch(spark, d) == -1L)
+  }
+
+  test("compact sweeps below-floor strays a crashed drop loop left behind") {
+    val d = tmp("mv_stray")
+    MatView.bootstrap(spark, orders, Seq("o_custkey"), Seq("o_totalprice"), d)
+    MatView.refresh(spark, d, orders.limit(0),
+      orders.filter(col("o_orderkey") % 10 === 3))
+    MatView.compact(spark, d) // floor now 2
+    val before = canon(MatView.serve(spark, d))
+    // simulate the crash window of a PREVIOUS compact: a stale dir below
+    // the floor that its drop loop never reached
+    MatView.serve(spark, d).limit(1).write.mode("overwrite")
+      .parquet(s"$d/delta/e0")
+    assert(canon(MatView.serve(spark, d)) == before,
+      "the floor already hides the stray from serving")
+    MatView.refresh(spark, d, orders.limit(0),
+      orders.filter(col("o_orderkey") % 10 === 7))
+    MatView.compact(spark, d)
+    assert(!new java.io.File(s"$d/delta/e0").exists(),
+      "compact must sweep below-floor strays, not leak them forever")
+    assert(canon(MatView.serve(spark, d)) ==
+      recompute(orders.filter(
+        !(col("o_orderkey") % 10 === 3) && !(col("o_orderkey") % 10 === 7))))
+  }
+
   test("time travel serves any committed epoch at or above the compaction floor") {
     val d = tmp("mv_travel")
     MatView.bootstrap(spark, orders.filter(col("o_orderkey") % 2 === 0),
