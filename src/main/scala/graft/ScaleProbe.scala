@@ -33,13 +33,21 @@ object ScaleProbe {
     "q_sim_topk_lsh", "q_sim_ivf_kmeans", "q_sim_topk_pq", "q_sim_knn_graph",
     "q_sim_knn_graph_ivf",
     // round 12: the new retrieval rows that read the scaled tables
-    // (documents/embeddings; pagerank/anomaly read the symlinked
-    // relational/event tables and are excluded — their probe would time
-    // identical data). bm25's expected shape is ~linear: the postings/df
-    // build is one map-reduce pass over the corpus (the persisted-index
-    // row is the serving path that avoids it); the SQ and diversity scans
-    // are broadcast-query corpus passes like q_sim_topk.
-    "q_rank_bm25", "q_sim_topk_sq", "q_sim_topk_diverse")
+    // (documents/embeddings). bm25's expected shape is ~linear: the
+    // postings/df build is one map-reduce pass over the corpus (the
+    // persisted-index row is the serving path that avoids it); the SQ and
+    // diversity scans are broadcast-query corpus passes like q_sim_topk.
+    "q_rank_bm25", "q_sim_topk_sq", "q_sim_topk_diverse",
+    // round 12 late: orders/lineitem now scale too (offset order keys,
+    // unchanged dimension keys), so the IVM lifecycle and the z-order
+    // clustered write are probed at ×factor. Expected ~linear: matview's
+    // cost is the delta partials' map-side-combined shuffles; zorder's is
+    // the approxQuantile pass + the range-partitioned sort-write.
+    // pagerank/anomaly stay excluded — replicas reuse the same dimension
+    // keys, so their distinct-edge graphs and per-key hourly stats
+    // DEDUPE back to ~the base-size structure (the probe would measure
+    // dedup, not the operator). events is still symlinked.
+    "q_matview_refresh", "q_layout_zorder")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(5)
@@ -165,12 +173,19 @@ object ScaleProbe {
       spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val dir = java.nio.file.Paths.get(out)
     // guard on the LAST artifact written (embeddings) — a build that died
-    // between the two writes must be redone, not silently reused
+    // between the writes must be redone, not silently reused. A dir from
+    // the era when orders/lineitem were symlinked (round ≤ 12) must also
+    // rebuild: probing the fact-table rows against a symlink would time
+    // identical data and record a fake exponent of 0.
     if (java.nio.file.Files.isDirectory(dir) &&
-        java.nio.file.Files.exists(dir.resolve("embeddings.parquet"))) return
+        java.nio.file.Files.exists(dir.resolve("embeddings.parquet"))) {
+      if (!java.nio.file.Files.isSymbolicLink(dir.resolve("orders.parquet")))
+        return
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
     java.nio.file.Files.createDirectories(dir)
     val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+      "events")
     others.foreach { t =>
       val link = dir.resolve(s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
@@ -178,6 +193,21 @@ object ScaleProbe {
           link, java.nio.file.Paths.get(base, s"$t.parquet"))
     }
     val stride = 10000000L
+    // fact tables scale by replica with OFFSET order keys and UNCHANGED
+    // dimension keys (custkey/suppkey/partkey): realistic fact growth —
+    // 5× the rows per group/box, same group space. stride ≡ 0 (mod 10)
+    // keeps every orderkey-mod predicate meaning the same thing per
+    // replica, and the zorder row's floor(max·0.2) bound still selects a
+    // constant ~20% of rows (replica 0 in full).
+    Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
+      case (t, keyCol) =>
+        (0 until factor).map { r =>
+          spark.read.parquet(s"$base/$t.parquet")
+            .withColumn(keyCol, col(keyCol) + lit(r * stride))
+        }.reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     val abc = "abcdefghijklmnopqrstuvwxyz"
     def replicaDocs(r: Int): DataFrame = {
       val d = Tables.documents(spark, base)
