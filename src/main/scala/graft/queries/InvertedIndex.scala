@@ -310,6 +310,55 @@ object InvertedIndex {
       .select("doc_id", "dl")
   }
 
+  /** CHANGE-DATA-FEED between two committed epochs — the lexical twin of
+    * [[IndexedLayout.changesBetween]], derived from the dl store's epoch
+    * history (one row per live doc, stamped with its indexing epoch):
+    * `upsert` rows are doc_ids LIVE at `to` whose current indexing landed
+    * after `from` (new docs and re-indexed updates — net semantics:
+    * within-window churn coalesces, added-then-deleted nets out), with
+    * the new document length as the change payload (the index stores
+    * postings, not text — content itself is upstream's to fetch);
+    * `delete` rows are doc_ids live at `from` and gone at `to`. Each side
+    * is one dl-snapshot read (doc-count-sized, never postings-sized).
+    *
+    * `from` must be at or above [[historyFloor]]: compaction re-stamps
+    * dl rows to its own epoch, so a diff across that boundary would emit
+    * every document as a fake upsert — refused loudly, exactly like the
+    * cell layout's rule.
+    */
+  def changesBetween(spark: SparkSession, outDir: String,
+      from: Int, to: Int): DataFrame = {
+    val (committed, _, _) = readMeta(spark, outDir)
+    val floor = historyFloor(spark, outDir)
+    require(from <= to, s"changesBetween: from=$from > to=$to")
+    require(to <= committed,
+      s"changesBetween: to=$to exceeds committed epoch $committed")
+    require(from >= floor,
+      s"changesBetween: from=$from predates the history floor $floor — " +
+        "compaction dropped the versions this diff would need")
+    def snap(e: Int): DataFrame = {
+      val fs = fsOf(spark, outDir)
+      val dirs = (0 to e).map(i => s"${dlDir(outDir)}/e$i")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          col("id").as("dl"), lit(0).as("epoch"))
+      else liveRows(spark.read.parquet(dirs: _*),
+          readDeleted(spark, outDir, e))
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("dl"), col("epoch")), col("epoch")).as("m"))
+        .select(col("doc_id"), col("m.dl").as("dl"), col("m.epoch").as("epoch"))
+    }
+    val before = snap(from)
+    val after = snap(to)
+    val upserts = after.filter(col("epoch") > from)
+      .select(lit("upsert").as("change"), col("doc_id"), col("dl"))
+    val deletes = before.select("doc_id")
+      .join(after.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(lit("delete").as("change"), col("doc_id"))
+    upserts.unionByName(deletes, allowMissingColumns = true)
+  }
+
   /** Compact the index: rewrite buckets holding tombstone-killed postings
     * down to their live rows, consolidate the document-length store, and
     * drop satisfied tombstones — [[IndexedLayout.compact]]'s LSM verb on

@@ -335,6 +335,51 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.compact(spark, d)._1 > 0)
   }
 
+  test("changesBetween: applying the diff to snapshot(a) yields snapshot(b); floor refuses") {
+    import spark.implicits._
+    val d = tmp("invidx_cdf")
+    InvertedIndex.build(spark, docs, d)
+    // e1: delete a slice; e2: append fresh docs (incl. one that nets out
+    // later); e3: delete the transient + update an existing doc
+    InvertedIndex.delete(spark,
+      docs.select("doc_id").filter(col("doc_id") % 13 === 2), d)
+    InvertedIndex.append(spark,
+      Seq((930001L, "dup transient merge"), (930002L, "dup keeper window"))
+        .toDF("doc_id", "text"), d)
+    InvertedIndex.delete(spark, Seq(930001L, 5L).toDF("doc_id"), d)
+    InvertedIndex.append(spark,
+      Seq((5L, "dup updated body sort")).toDF("doc_id", "text"), d)
+    // epochs: build=0, delete=1, append=2, delete=3, append=4
+    def applyDiff(baseIds: Set[Long], a: Int, b: Int): Set[Long] = {
+      val diff = InvertedIndex.changesBetween(spark, d, a, b)
+        .select("change", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val touched = diff.map(_._2).toSet
+      (baseIds -- touched) ++ diff.filter(_._1 == "upsert").map(_._2)
+    }
+    // ground truth per epoch from the verbs above
+    val d0 = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val d1 = d0.filterNot(_ % 13 == 2)
+    val d2 = d1 ++ Set(930001L, 930002L)
+    val d3 = d2 -- Set(930001L, 5L)
+    val d4 = d3 + 5L
+    val truth = Vector(d0, d1, d2, d3, d4)
+    for (a <- 0 to 4; b <- a to 4)
+      assert(applyDiff(truth(a), a, b) == truth(b), s"diff $a→$b diverged")
+    // net semantics across 0→4: the transient 930001 must not appear
+    val net = InvertedIndex.changesBetween(spark, d, 0, 4)
+      .select("change", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!net.exists(_._2 == 930001L), net.toString)
+    assert(net(("upsert", 5L)) && net(("upsert", 930002L)))
+    // a compact raises the floor: pre-floor diffs refuse loudly
+    InvertedIndex.compact(spark, d)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.changesBetween(spark, d, 0, 5).collect()
+    }
+    assert(InvertedIndex.changesBetween(spark, d, 5, 5).isEmpty)
+  }
+
   test("a crashed append (promoted files, no meta commit) is invisible; the retry converges") {
     val half = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
     val d = tmp("invidx_crash")
