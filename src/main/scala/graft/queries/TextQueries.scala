@@ -500,6 +500,46 @@ object TextQueries {
       }),
 
     GQuery(
+      "q_text_phrase",
+      (s, dir) => {
+        // PHRASE SEARCH (positional adjacency): documents containing the
+        // exact 2-gram "merge sort", with occurrence counts — the IR verb
+        // a bag-of-words index cannot answer (BM25 scores the two terms
+        // anywhere in the doc; a phrase demands CONSECUTIVE positions).
+        // Shape: posexplode gives every token its position, each side
+        // filters to ITS term BEFORE anything joins — so the equi-join on
+        // (doc_id, position+1 = position) is term-frequency-sized, never
+        // corpus-token-sized, and there is no window, no cartesian, no
+        // per-doc state. At 100 TB this is the standard positional-
+        // postings intersection, expressed as a plain co-partitioned
+        // equi-join Catalyst can shuffle on the composite key.
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        // ONE corpus pass: filter to the phrase's terms first, pin the
+        // term-frequency-sized survivors, and let both position sides
+        // read the pinned frame — referencing the raw token stream twice
+        // would scan the 100 TB text column twice
+        val hits = tok.filter(col("token").isin("merge", "sort"))
+          .localCheckpoint()
+        val first = hits.filter(col("token") === "merge")
+          .select(col("doc_id"), (col("pos") + 1).as("nxt"))
+        val second = hits.filter(col("token") === "sort")
+          .select(col("doc_id"), col("pos").as("nxt"))
+        first.join(second, Seq("doc_id", "nxt"))
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, hits FROM (
+               SELECT doc_id,
+                 len(list_filter(generate_series(1, len(t) - 1),
+                   i -> t[i] = 'merge' AND t[i+1] = 'sort')) AS hits
+               FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                     FROM documents))
+             WHERE hits > 0 ORDER BY doc_id""")),
+
+    GQuery(
       "q_text_fingerprint",
       (s, dir) => {
         Tables.documents(s, dir)

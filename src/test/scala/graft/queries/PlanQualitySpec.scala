@@ -238,6 +238,17 @@ class PlanQualitySpec extends SparkSpec {
       .deleteQuietly(new java.io.File(d))
   }
 
+  test("q_text_phrase joins term-frequency-sized sides; one corpus scan, no cartesian") {
+    val p = plan("q_text_phrase")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    // the pinned term-filtered frame feeds both position sides: the text
+    // column is scanned once, and both sides appear as RDD re-reads
+    assert(scans <= 1, s"q_text_phrase reads $scans file scans:\n${p.take(2000)}")
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("the z-ordered layout's serving scan carries the 2-D box as pushed filters") {
     // (q_layout_zorder itself returns a pinned checkpoint, so the guard
     // drives the layout directly — same read path as the catalog row)

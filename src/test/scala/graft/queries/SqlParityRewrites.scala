@@ -58,6 +58,10 @@ object SqlParityRewrites {
     """\blist_sort\(""" -> "array_sort(",
     """(array_sort\(array_distinct\(toks\)\))\[1:5\]""" -> "slice($1, 1, 5)",
     """\blist_filter\(""" -> "filter(",
+    // the phrase row's 1-based adjacent-token picks inside its lambda
+    // (q_text_phrase): t[i+1] first — its text contains "t[i"
+    """(?<![.\w])t\[i\+1\]""" -> "element_at(t, CAST(i + 1 AS INT))",
+    """(?<![.\w])t\[i\]""" -> "element_at(t, CAST(i AS INT))",
     """\barray_to_string\(""" -> "array_join(",
     // DuckDB's [1:3] slice syntax vs Spark's slice()
     """\(split\(lower\(trim\(text\)\), '\\s\+'\)\)\[1:3\]""" ->

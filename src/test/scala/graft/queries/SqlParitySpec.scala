@@ -113,7 +113,9 @@ class SqlParitySpec extends SparkSpec {
     "q_rank_bm25", "q_rank_bm25_idx", "q_sim_topk_diverse", "q_sim_topk_sq",
     "q_events_anomaly", "q_graph_pagerank", "q_index_asof",
     // round 12: the CDF row (1-based embedding[..] indexing rewrite)
-    "q_index_cdf")
+    "q_index_cdf",
+    // round 12: phrase search (split/filter/sequence/1-based rewrites)
+    "q_text_phrase")
 
   /** The two oracle-backed queries that CANNOT round-trip through Spark
     * SQL text: their DuckDB oracles iterate via recursive UNION
