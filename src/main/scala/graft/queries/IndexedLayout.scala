@@ -56,12 +56,47 @@ object IndexedLayout {
     val fs = fsOf(spark, metaDir(outDir))
     require(fs.exists(md), s"no layout meta under $md — run write() first")
     val epochs = fs.listStatus(md).map(_.getPath)
-      .filter(p => p.getName.startsWith("e") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
-      .map(_.getName.drop(1).toInt)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+      .flatMap(p => dirEpoch(p.getName))
     require(epochs.nonEmpty, s"no committed epoch under $md")
     val e = epochs.max
     (e, spark.read.parquet(s"${metaDir(outDir)}/e$e").head.getAs[Long]("max_vec_id"))
+  }
+
+  /** File-name epoch of a cell file: `e<K>-*` (a delta's rows) or
+    * `e<K>c-*` (a compaction's rewrite) — the InvertedIndex naming.
+    */
+  private def fileEpoch(name: String): Option[Int] =
+    "^e(\\d+)c?-".r.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** Roll back UNCOMMITTED leftovers (cell files and tombstone dirs whose
+    * epoch exceeds the committed one — a crashed delta's promoted files,
+    * a crashed compaction's staged copies, a crashed delete's never-
+    * committed tombstones). Every epoch-advancing verb calls this first,
+    * so an abandoned crash can never be resurrected by a LATER commit
+    * reusing its epoch number; a retry of the same verb simply re-stages
+    * what it cleared. Safe by construction: files above the committed
+    * epoch are invisible to readers (the `epoch <= committed` read
+    * filter), and a pre-commit compaction never dropped an original, so
+    * nothing live is ever removed. The [[InvertedIndex.clearUncommitted]]
+    * discipline, verbatim in semantics.
+    */
+  private def clearUncommitted(spark: SparkSession, outDir: String,
+      committed: Int): Unit = {
+    val fs = fsOf(spark, outDir)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("cell=")).foreach { cdir =>
+          fs.listStatus(cdir).map(_.getPath)
+            .filter(f => fileEpoch(f.getName).exists(_ > committed))
+            .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
+        }
+    val td = new org.apache.hadoop.fs.Path(tombDir(outDir))
+    if (fs.exists(td))
+      fs.listStatus(td).map(_.getPath)
+        .filter(p => dirEpoch(p.getName).exists(_ > committed))
+        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
   }
 
   private def tombDir(outDir: String) = s"$outDir/_index/tombstones"
@@ -90,8 +125,7 @@ object IndexedLayout {
     val fs = fsOf(spark, outDir)
     if (!fs.exists(d)) 0
     else {
-      val es = fs.listStatus(d).map(_.getPath.getName)
-        .filter(_.startsWith("e")).map(_.drop(1).toInt)
+      val es = fs.listStatus(d).map(_.getPath.getName).flatMap(dirEpoch)
       if (es.isEmpty) 0 else es.max
     }
   }
@@ -151,10 +185,10 @@ object IndexedLayout {
     * files then move into the live cell dirs under DETERMINISTIC
     * epoch-prefixed names — a retry of the same epoch overwrites the same
     * names instead of duplicating rows (the EventLogSource idempotent-
-    * naming standard) — and the meta epoch commits last. A reader racing
-    * a crashed, not-yet-retried attempt can observe a torn delta (plain
-    * parquet has no manifest to hide multi-file appends behind); the
-    * retry converges the layout exactly.
+    * naming standard) — and the meta epoch commits last. Readers filter
+    * `epoch <= committed` ([[readCorpus]]), so a crashed, not-yet-retried
+    * attempt's promoted files are INVISIBLE — no torn-delta read window —
+    * and the retry converges the layout exactly.
     * Enforces the append-only id contract loudly; a no-op on an empty
     * delta. Returns rows appended.
     */
@@ -197,18 +231,20 @@ object IndexedLayout {
     * pipeline's A16 contract (payload partition) applied to the index
     * itself. Returns (rows upserted, ids tombstoned).
     *
-    * CRASH SAFETY extends the append discipline: tombstones write to their
-    * epoch dir BEFORE the commit (readers resolve tombstones only up to
-    * the committed meta epoch, so a crashed attempt's tombstones are
-    * invisible); data files stage under `_index/` and promote under
-    * deterministic `e<N>-<i>` names, with every pre-existing `e<N>-*` file
-    * in a target cell cleared first — a retry converges even if it stages
-    * a DIFFERENT file count than the crashed attempt (committer/config
-    * drift), instead of index-for-index overwrite leaving stale tails.
-    * The meta epoch commits last. Re-applying an ALREADY-COMMITTED epoch
-    * (a CDC replay that lost its marker) is semantically idempotent too:
-    * the replay's tombstones carry a newer as_of and kill the previous
-    * application's rows, so exactly one live copy survives.
+    * CRASH SAFETY extends the append discipline: every uncommitted
+    * leftover of a crashed earlier attempt (promoted files or tombstone
+    * dirs above the committed epoch) rolls back FIRST
+    * ([[clearUncommitted]]), so committing `next` can never resurrect an
+    * abandoned verb's state; tombstones then write to their epoch dir
+    * BEFORE the commit (invisible — readers resolve tombstones only up to
+    * the committed meta epoch); data files stage under `_index/` and
+    * promote under deterministic `e<N>-<i>` names (equally invisible
+    * until the commit, via the `epoch <= committed` read filter). The
+    * meta epoch commits last and flips tombstones + data live TOGETHER.
+    * Re-applying an ALREADY-COMMITTED epoch (a CDC replay that lost its
+    * marker) is semantically idempotent too: the replay's tombstones
+    * carry a newer as_of and kill the previous application's rows, so
+    * exactly one live copy survives.
     */
   def applyDelta(spark: SparkSession, upserts: DataFrame,
       deleteIds: DataFrame, outDir: String): (Long, Long) = {
@@ -217,6 +253,7 @@ object IndexedLayout {
       .localCheckpoint()
     val nUp = sigs.count()
     val (epoch, hwm) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
     val next = epoch + 1
     // tombstone = explicit deletes ∪ upserts that supersede a stored copy
     val tombs = deleteIds.select("vec_id")
@@ -228,16 +265,6 @@ object IndexedLayout {
     if (nTomb > 0)
       tombs.withColumn("as_of", lit(next))
         .coalesce(1).write.mode("overwrite").parquet(s"${tombDir(outDir)}/e$next")
-    else {
-      // a crashed earlier attempt may have left an UNCOMMITTED tombstone
-      // dir at this epoch (tombstones write before the meta commit);
-      // committing `next` without overwriting it would resurrect those
-      // never-committed deletes against rows they were never meant to
-      // survive into — roll the orphan back instead
-      val orphan = new org.apache.hadoop.fs.Path(s"${tombDir(outDir)}/e$next")
-      if (fs.exists(orphan))
-        require(fs.delete(orphan, true), s"could not clear $orphan")
-    }
     if (nUp > 0) {
       val staging = s"$outDir/_index/staging/e$next"
       val assigned = VectorQueries.ivfAssign(
@@ -248,17 +275,14 @@ object IndexedLayout {
         .write.mode("overwrite").partitionBy("cell").parquet(staging)
       // promote: per cell, staging files (name-sorted — Spark's part
       // numbers, deterministic for a deterministic shuffle) land as
-      // e<N>-<i>.parquet after clearing any e<N>-* survivors of a crashed
-      // attempt
+      // e<N>-<i>.parquet (no e<N>-* survivors can exist — clearUncommitted
+      // above removed any crashed attempt's)
       val stagingPath = new org.apache.hadoop.fs.Path(staging)
       fs.listStatus(stagingPath).map(_.getPath)
         .filter(_.getName.startsWith("cell="))
         .foreach { cellDir =>
           val target = new org.apache.hadoop.fs.Path(outDir, cellDir.getName)
           fs.mkdirs(target)
-          fs.listStatus(target).map(_.getPath)
-            .filter(_.getName.startsWith(s"e$next-"))
-            .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
           fs.listStatus(cellDir).map(_.getPath)
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
@@ -303,10 +327,13 @@ object IndexedLayout {
     * rows written at epoch ≤ asOf, killed only by tombstones with
     * as_of ≤ asOf. Epochs ARE the layout's version history (every CDC
     * verb lands as a new epoch's files + tombstones; nothing before this
-    * needed changing), so a snapshot read is two monotone filters, and
-    * the default asOf = -1 keeps the live read's plan byte-identical
-    * (no extra epoch predicate — PlanQualitySpec's pruning proofs are
-    * untouched). HISTORY FLOOR: `compact` re-stamps survivors to its own
+    * needed changing), so a snapshot read is two monotone filters. The
+    * LIVE read is the same gate at the committed epoch: a crashed
+    * delta's promoted-but-uncommitted rows are INVISIBLE (no phantom
+    * adds, no both-copies-of-an-update window — the
+    * [[InvertedIndex.readPostings]] discipline; the predicate is a
+    * pushed data filter, so the partition-pruning proofs are unchanged).
+    * HISTORY FLOOR: `compact` re-stamps survivors to its own
     * epoch and drops satisfied tombstones, so older snapshots are
     * physically unreconstructable; `asOf` below [[historyFloor]] CLAMPS
     * to the floor (never a silently incomplete view) — exactly the Delta
@@ -316,12 +343,10 @@ object IndexedLayout {
   def readCorpus(spark: SparkSession, outDir: String,
       asOf: Int = -1): DataFrame = {
     val (epoch, _) = readMeta(spark, outDir)
-    // the floor lookup (an fs listing) is paid only on snapshot reads —
-    // the live path stays exactly the pre-time-travel plan
+    // the floor lookup (an fs listing) is paid only on snapshot reads
     val cut = if (asOf < 0 || asOf >= epoch) epoch
       else math.min(epoch, math.max(asOf, historyFloor(spark, outDir)))
-    val raw = spark.read.parquet(outDir)
-    val base = if (cut == epoch) raw else raw.filter(col("epoch") <= cut)
+    val base = spark.read.parquet(outDir).filter(col("epoch") <= cut)
     readTombstones(spark, outDir, cut) match {
       case None => base
       case Some(t) =>
@@ -389,74 +414,83 @@ object IndexedLayout {
     * tombstone dir — original `as_of` values preserved, so reader
     * semantics are unchanged — and only the pre-compaction dirs drop.
     *
-    * CRASH SAFETY, same discipline as [[applyDelta]] plus one wrinkle:
-    * the compacted rows re-stamp their write epoch to the compaction
-    * epoch, and the staging input keeps ONE row per vec_id (max write
-    * epoch) — so a retry converges even from the mid-promote state where
-    * a cell briefly holds both an original row and its compacted copy.
-    * Per cell the order is promote-then-drop-originals; a reader racing
-    * a crashed attempt can observe a torn cell (the documented plain-
-    * parquet append caveat), and the retry converges it. A fully-dead
-    * cell (every row tombstoned) stages nothing and simply drops its
-    * files. Consolidated survivor tombstones write BEFORE the meta
-    * commit (invisible until it — readers resolve only committed
-    * epochs); originals are deleted only AFTER it — and a leftover
-    * original is harmless anyway (the survivors are its subset, and a
-    * satisfied tombstone kills nothing: rows only ever land with epochs
-    * NEWER than any existing as_of). Single-writer, like every other
-    * layout mutation. Returns (cells compacted, live rows rewritten).
+    * CRASH SAFETY — the [[InvertedIndex.compact]] two-phase protocol,
+    * now shared verbatim in semantics (round 12 proved it on the lexical
+    * side; round 13 retired the cell layout's promote-then-drop original):
+    *
+    *   - TWO-PHASE: the meta commit happens BEFORE any original file is
+    *     dropped. Pre-commit, the rewritten copies (named `e<next>c-*`,
+    *     epoch column = next) are invisible to readers (the committed-
+    *     epoch filter) and every original is intact, so a crash there
+    *     loses nothing and [[clearUncommitted]] rolls the copies back;
+    *     post-commit, a crash can only leave superseded originals beside
+    *     their committed copies — readers briefly see duplicates (the
+    *     torn caveat) and the next compact converges them (the staging
+    *     input keeps ONE row per vec_id, max write epoch).
+    *   - The dirty set bypasses `minDeadFrac` for any cell showing
+    *     torn-state evidence: duplicate vec_ids among the LIVE rows —
+    *     the post-commit crash's signature, whose dilution of the dead
+    *     fraction would otherwise let the policy skip the damaged cell
+    *     forever (and prunedTopK serve the same vec_id at two ranks
+    *     indefinitely). An ordinary update's dead-but-on-disk old copy
+    *     is NOT live, so update churn never trips this — the policy knob
+    *     stays meaningful.
+    *
+    * A fully-dead cell (every row tombstoned) stages nothing and simply
+    * drops its files in phase 2. Consolidated survivor tombstones write
+    * BEFORE the meta commit (invisible until it). Single-writer, like
+    * every other layout mutation. Returns (cells compacted, live rows
+    * rewritten).
     */
   def compact(spark: SparkSession, outDir: String,
       minDeadFrac: Double = 0.0): (Int, Long) = {
     val (epoch, hwm) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
     val fs = fsOf(spark, outDir)
-    // roll back UNCOMMITTED tombstone dirs first (a crashed delta writes
-    // tombstones before its meta commit): this pass commits epoch next,
-    // which would otherwise make the orphaned tombstones live and kill
-    // rows whose replacement was never promoted — the abandoned delta's
-    // own retry, not this compaction, is what may re-issue them
-    val td = new org.apache.hadoop.fs.Path(tombDir(outDir))
-    if (fs.exists(td))
-      fs.listStatus(td).map(_.getPath)
-        .filter(p => dirEpoch(p.getName).exists(_ > epoch))
-        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
     def dropTombstones(): Unit =
       (1 to epoch).map(i => new org.apache.hadoop.fs.Path(s"${tombDir(outDir)}/e$i"))
         .filter(fs.exists).foreach(p =>
           require(fs.delete(p, true), s"could not drop satisfied tombstones $p"))
-    val tombs = readTombstones(spark, outDir, epoch) match {
-      case None => return (0, 0L)
-      case Some(t) => t
-    }
+    val tombsOpt = readTombstones(spark, outDir, epoch)
     val raw = spark.read.parquet(outDir)
-    val deadRows = raw.join(tombs, Seq("vec_id"))
-      .filter(col("epoch") < col("as_of"))
-    // per-cell (dead, total, max-epoch) stats — the bounded driver view
-    // the policy decides on (≤ |cells| rows, the centroid-table budget
-    // class). A cell holding rows with epoch > the COMMITTED meta epoch
-    // is a torn cell — evidence of a crashed pass that promoted its
-    // compacted copy but never reached the meta commit, so the cell
-    // briefly holds a live row twice (original + re-stamped copy). Those
-    // duplicates DILUTE the dead fraction (dead/(2·live+dead)), so the
-    // policy threshold alone could skip the damaged cell forever; torn
-    // cells therefore bypass `minDeadFrac` unconditionally — the retry
-    // convergence the crash-safety contract promises is policy-proof.
+    val deadRows = tombsOpt match {
+      case None => raw.limit(0).withColumn("as_of", lit(0))
+      case Some(t) => raw.join(t, Seq("vec_id"))
+        .filter(col("epoch") < col("as_of"))
+    }
+    def liveOf(rows: DataFrame): DataFrame = tombsOpt match {
+      case None => rows
+      case Some(t) => rows.join(t, Seq("vec_id"), "left")
+        .filter(col("as_of").isNull || col("epoch") >= col("as_of"))
+        .drop("as_of")
+    }
+    // per-cell (dead, total, duplicate-evidence) stats — the bounded
+    // driver view the policy decides on (≤ |cells| rows, the centroid-
+    // table budget class). Torn evidence is duplicate vec_ids among the
+    // LIVE rows only (a vec_id lives in exactly one cell under the
+    // pinned quantizer, so live dups can only be a post-commit-crashed
+    // compact's original + committed copy); an update's dead old copy is
+    // exactly the mass minDeadFrac meters, never torn evidence.
+    val liveDups = liveOf(raw)
+      .groupBy("cell")
+      .agg((count(lit(1)) > countDistinct(col("vec_id"))).as("torn"))
     val stats = raw.groupBy("cell")
-      .agg(count(lit(1)).as("total"), max("epoch").as("maxe"))
+      .agg(count(lit(1)).as("total"))
       .join(deadRows.groupBy("cell").agg(count(lit(1)).as("dead")),
         Seq("cell"), "left")
+      .join(liveDups, Seq("cell"), "left")
       .select(col("cell"),
         (coalesce(col("dead"), lit(0L)).cast("double") / col("total")).as("frac"),
-        col("maxe"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
-    val torn = stats.filter(_._3 > epoch).map(_._1).toSet
+        coalesce(col("torn"), lit(false)).as("torn"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2)))
+    val torn = stats.filter(_._3).map(_._1).toSet
     val dirtyStats = stats.filter(s => s._2 > 0.0 || torn(s._1))
     if (dirtyStats.isEmpty) {
       // nothing dead on disk (unknown-id deletes, or a crashed attempt
       // that finished every cell): every tombstone is satisfied — rows
       // only ever land with epochs NEWER than any existing as_of, so a
       // tombstone that kills nothing today can never kill anything again
-      dropTombstones()
+      if (tombsOpt.nonEmpty) dropTombstones()
       return (0, 0L)
     }
     val dirty = dirtyStats
@@ -470,13 +504,13 @@ object IndexedLayout {
     // in a cell the threshold left un-compacted (pinned before any file
     // mutation below)
     val survivorTombs =
-      if (dirty.length == dirtyStats.length) None
+      if (tombsOpt.isEmpty || dirty.length == dirtyStats.length) None
       else Some(deadRows
         .filter(!col("cell").isin(dirty.map(c => c: Any): _*))
         .select("vec_id", "as_of").distinct().localCheckpoint())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("epoch").desc)
-    val input = readCorpus(spark, outDir)
+    val input = liveOf(raw.filter(col("epoch") <= epoch))
       .filter(col("cell").isin(dirty.map(c => c: Any): _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -489,25 +523,18 @@ object IndexedLayout {
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val staged = fs.listStatus(stagingPath).map(_.getPath)
       .filter(_.getName.startsWith("cell=")).map(p => p.getName -> p).toMap
+    // phase 1: promote copies (c-namespace) — originals untouched
     dirty.foreach { cell =>
       val name = s"cell=$cell"
       val target = new org.apache.hadoop.fs.Path(outDir, name)
       staged.get(name).foreach { cellDir =>
-        fs.listStatus(target).map(_.getPath)
-          .filter(_.getName.startsWith(s"e$next-"))
-          .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
         fs.listStatus(cellDir).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
           .zipWithIndex.foreach { case (f, i) =>
-            val dest = new org.apache.hadoop.fs.Path(target, s"e$next-$i.parquet")
+            val dest = new org.apache.hadoop.fs.Path(target, s"e${next}c-$i.parquet")
             require(fs.rename(f, dest), s"could not promote $f to $dest")
           }
       }
-      // drop the superseded originals (for a fully-dead cell: everything)
-      fs.listStatus(target).map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet") &&
-          !p.getName.startsWith(s"e$next-"))
-        .foreach(f => require(fs.delete(f, false), s"could not drop $f"))
     }
     // consolidated survivors land in the compaction epoch's own dir —
     // invisible until the commit below makes epoch `next` current
@@ -518,6 +545,15 @@ object IndexedLayout {
     // this pass is making unreconstructable
     raiseHistoryFloor(spark, outDir, next)
     writeMeta(spark, outDir, next, hwm) // the commit point
+    // phase 2: drop the superseded originals (for a fully-dead cell:
+    // everything), then the satisfied pre-compaction tombstone dirs
+    dirty.foreach { cell =>
+      val target = new org.apache.hadoop.fs.Path(outDir, s"cell=$cell")
+      fs.listStatus(target).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith(s"e${next}c-"))
+        .foreach(f => require(fs.delete(f, false), s"could not drop $f"))
+    }
     dropTombstones() // pre-compaction dirs only (1..epoch); e`next` survives
     fs.delete(stagingPath, true)
     (dirty.length, rewritten)

@@ -182,8 +182,10 @@ class IndexedLayoutCompactSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(snap)
   }
 
-  test("a torn cell (crashed mid-promote duplicates) bypasses minDeadFrac and re-converges") {
-    val d = tmp("ivf_compact_torn")
+  /** (fullest cell, its row count) plus a committed delete of its lowest
+    * vec_id — the shared fixture of the two crash-window tests below.
+    */
+  private def churnedCellFixture(d: String): (Int, Long) = {
     IndexedLayout.write(spark, emb, d, kCells = nc)
     val byCount = spark.read.parquet(d).groupBy("cell").count()
       .orderBy(col("count").desc, col("cell")).collect()
@@ -192,16 +194,15 @@ class IndexedLayoutCompactSpec extends SparkSpec {
     val victim = spark.read.parquet(d).filter(col("cell") === cellA)
       .select("vec_id").orderBy("vec_id").limit(1)
     IndexedLayout.delete(spark, victim, d) // commits meta epoch 1
-    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
-      .select("vec_id", "embedding"))
+    (cellA, byCount(0).getLong(1))
+  }
 
-    // hand-build the mid-promote crash state of a compact pass that died
-    // BEFORE its meta commit: cell A's live rows re-stamped to the
-    // uncommitted epoch 2 land as e2-* files next to the originals;
-    // tombstones and meta untouched — exactly the state the crash-safety
-    // scaladoc calls the torn cell
+  /** Stage cell A's live rows re-stamped to `epoch` as e<epoch>c-* files
+    * next to the originals — the on-disk half of a compact pass's phase 1.
+    */
+  private def plantCopies(d: String, cellA: Int, epoch: Int): Unit = {
     val promoted = IndexedLayout.readCorpus(spark, d)
-      .filter(col("cell") === cellA).withColumn("epoch", lit(2))
+      .filter(col("cell") === cellA).withColumn("epoch", lit(epoch))
     val staging = java.nio.file.Files.createTempDirectory("torn_stage").toString
     promoted.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
@@ -209,27 +210,89 @@ class IndexedLayoutCompactSpec extends SparkSpec {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.move(f.toPath, new java.io.File(
-          new java.io.File(d, s"cell=$cellA"), s"e2-$i.parquet").toPath)
+          new java.io.File(d, s"cell=$cellA"), s"e${epoch}c-$i.parquet").toPath)
       }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+  }
 
-    // the documented torn-reader caveat: live rows in A appear twice
+  test("a compact crash BEFORE its meta commit is invisible and rolls back; originals intact") {
+    val d = tmp("ivf_compact_precommit")
+    val (cellA, _) = churnedCellFixture(d)
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+
+    // hand-build the phase-1 crash state of a compact that died before
+    // its meta commit: copies promoted at the uncommitted epoch 2,
+    // tombstones and meta untouched
+    plantCopies(d, cellA, epoch = 2)
+
+    // the copies are INVISIBLE (epoch 2 > committed 1): no duplicate
+    // reads during the crash window — the committed-epoch gate at work
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    assert(IndexedLayout.readCorpus(spark, d).groupBy("vec_id")
+      .count().filter(col("count") > 1).isEmpty)
+
+    // the next verb rolls the orphaned copies back; below-threshold churn
+    // stays un-compacted (the crash planted no torn LIVE state)
+    assert(IndexedLayout.compact(spark, d, minDeadFrac = 0.9) == ((0, 0L)))
+    val leftovers = new java.io.File(d, s"cell=$cellA").listFiles()
+      .filter(_.getName.startsWith("e2c-"))
+    assert(leftovers.isEmpty, s"orphaned copies not rolled back: ${
+      leftovers.map(_.getName).mkString(",")}")
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+    // the abandoned pass's work re-runs to convergence on the full repair
+    assert(IndexedLayout.compact(spark, d)._1 == 1)
+    assert(canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding")) == liveBefore)
+  }
+
+  test("a compact crash AFTER its meta commit (live duplicates) bypasses minDeadFrac and re-converges") {
+    import spark.implicits._
+    val d = tmp("ivf_compact_postcommit")
+    val (cellA, nA) = churnedCellFixture(d)
+    val liveBefore = canon(IndexedLayout.readCorpus(spark, d)
+      .select("vec_id", "embedding"))
+
+    // hand-build the phase-2 crash state: copies promoted at epoch 2,
+    // history floor raised, META COMMITTED at epoch 2 — but the crash hit
+    // before the superseded originals and the satisfied tombstone dir
+    // were dropped
+    plantCopies(d, cellA, epoch = 2)
+    val hwm = spark.read.parquet(s"$d/_index/meta/e1")
+      .head.getAs[Long]("max_vec_id")
+    Seq((2, hwm)).toDF("epoch", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/_index/meta/e2")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(d, "_index", "meta", "e2", "_graft_committed"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d, "_index", "floor"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(d, "_index", "floor", "e2"))
+
+    // the documented post-commit torn caveat: cell A's live rows appear
+    // twice (original at epoch 0 + committed copy at epoch 2)
     assert(IndexedLayout.readCorpus(spark, d).groupBy("vec_id")
       .count().filter(col("count") > 1).count() > 0,
-      "fixture: the torn cell must show duplicate live rows")
+      "fixture: the post-commit crash must show duplicate live rows")
 
-    // the duplicates DILUTE A's dead fraction far below 0.9, so the
-    // policy threshold alone would skip the damaged cell forever — the
-    // torn detection (rows at epoch > the committed meta epoch) must
-    // force it into the dirty set regardless
-    val (cells, _) = IndexedLayout.compact(spark, d, minDeadFrac = 0.9)
+    // every duplicate's epoch is <= the committed epoch and the one dead
+    // row is diluted to 1/(2n-1) < 0.3 — the IndexSync.start default
+    // policy threshold alone would skip the damaged cell FOREVER; the
+    // live-duplicate torn evidence must force it into the dirty set
+    val frac = 1.0 / (2 * nA - 1)
+    assert(frac < 0.3, s"fixture: diluted dead fraction $frac must sit below the policy knob")
+    val (cells, _) = IndexedLayout.compact(spark, d, minDeadFrac = 0.3)
     assert(cells == 1, s"the torn cell must compact past the threshold, got $cells")
     assert(canon(IndexedLayout.readCorpus(spark, d)
       .select("vec_id", "embedding")) == liveBefore)
     assert(IndexedLayout.readCorpus(spark, d).groupBy("vec_id")
       .count().filter(col("count") > 1).isEmpty, "duplicates must be repaired")
+    assert(!new java.io.File(d, "_index/tombstones").exists() ||
+      new java.io.File(d, "_index/tombstones").listFiles().isEmpty)
     // the repair is stable: a repeat at the same threshold is a no-op
-    assert(IndexedLayout.compact(spark, d, minDeadFrac = 0.9) == ((0, 0L)))
+    assert(IndexedLayout.compact(spark, d, minDeadFrac = 0.3) == ((0, 0L)))
   }
 
   test("a crashed delta's uncommitted tombstones are rolled back, never committed by compact or the next delta") {
