@@ -13,13 +13,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * driver), per-store replay markers written after the index's own meta
   * commit, idempotent re-application when a marker is lost.
   *
-  * Application order per epoch is DELETE-then-APPEND: every touched id is
-  * tombstoned first ([[InvertedIndex.delete]] no-ops on unknown/dead
-  * ids), then the surviving upserts land as a fresh epoch whose postings
-  * outlive the tombstones — so an upsert of an EXISTING document is an
-  * update (delete + append under the liveness rule) and a replayed epoch
-  * converges: the re-applied tombstone kills the earlier copy, the
-  * re-applied append supersedes it. Two index epochs per stream epoch.
+  * Each stream epoch applies as ONE index commit
+  * ([[InvertedIndex.applyDelta]]): touched live ids are tombstoned and
+  * the surviving upserts' postings land in the SAME epoch, so a
+  * concurrent bm25TopK never sees an updated document as absent and a
+  * crash leaves either the old state or the new — never the gap the
+  * earlier delete-then-append application had between its two commits
+  * (the MatViewSync atomicity, now on the lexical loop). A replayed
+  * epoch converges: the re-applied tombstones kill the earlier copy, the
+  * re-applied postings supersede it.
   *
   * Churn-proofing mirrors IndexSync: `compactEvery > 0` runs
   * [[InvertedIndex.compact]] every N applied epochs at
@@ -56,10 +58,9 @@ object LexIndexSync {
     val counts = last.groupBy((col("event_type") === "DELETE").as("is_del"))
       .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     val (nUp, nDel) = (counts.getOrElse(false, 0L), counts.getOrElse(true, 0L))
-    // delete-then-append: tombstone every touched id (no-op for ids that
-    // are not live), then land the fresh texts as the next epoch
-    InvertedIndex.delete(spark, last.select("doc_id"), indexDir)
-    if (nUp > 0) InvertedIndex.append(spark, upDf, indexDir)
+    // one atomic index epoch: tombstone every touched live id and land
+    // the fresh texts under the same commit
+    InvertedIndex.applyDelta(spark, upDf, last.select("doc_id"), indexDir)
     IndexSync.mark(spark, s"$indexDir/_index", epochId)
     Metrics.global.inc("graft_lexsync_epochs_total")
     Metrics.global.inc("graft_lexsync_upserts_total", nUp)

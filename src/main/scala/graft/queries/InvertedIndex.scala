@@ -135,9 +135,8 @@ object InvertedIndex {
     val fs = fsOf(spark, metaDir(outDir))
     require(fs.exists(md), s"no index meta under $md — run build() first")
     val epochs = fs.listStatus(md).map(_.getPath)
-      .filter(p => p.getName.startsWith("e") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
-      .map(_.getName.drop(1).toInt)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+      .flatMap(p => dirEpoch(p.getName))
     require(epochs.nonEmpty, s"no committed epoch under $md")
     val e = epochs.max
     val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
@@ -223,7 +222,24 @@ object InvertedIndex {
     val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
     clearUncommitted(spark, outDir, epoch)
     val next = epoch + 1
-    val (tf, dl) = project(newDocs.select("doc_id", "text"), next)
+    val (n, sdl) = stageAndPromote(spark,
+      newDocs.select("doc_id", "text"), outDir, next)
+    writeMeta(spark, outDir, next, nDocs + n, tokTotal + sdl)
+    fsOf(spark, outDir).delete(
+      new org.apache.hadoop.fs.Path(s"$outDir/_index/staging/e$next"), true)
+    n
+  }
+
+  /** Tokenize `docs`, stage their postings, promote into the bucket dirs
+    * under `e<next>-*` names, and land the epoch's dl rows — everything a
+    * fresh epoch writes EXCEPT the meta commit, which stays with the
+    * caller so [[append]] and [[applyDelta]] share one promote path.
+    * Returns (docs landed, Σdl landed). Idempotent on retry: the caller's
+    * [[clearUncommitted]] removed any crashed attempt's `e<next>` files.
+    */
+  private def stageAndPromote(spark: SparkSession, docs: DataFrame,
+      outDir: String, next: Int): (Long, Long) = {
+    val (tf, dl) = project(docs, next)
     val fs = fsOf(spark, outDir)
     val staging = s"$outDir/_index/staging/e$next"
     tf.repartition(col("bucket"))
@@ -233,10 +249,6 @@ object InvertedIndex {
       .filter(_.getName.startsWith("bucket=")).foreach { bdir =>
         val target = new org.apache.hadoop.fs.Path(outDir, bdir.getName)
         if (!fs.exists(target)) fs.mkdirs(target)
-        // idempotent retry: clear this epoch's own leftovers first
-        fs.listStatus(target).map(_.getPath)
-          .filter(_.getName.startsWith(s"e$next-"))
-          .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
         fs.listStatus(bdir).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
           .zipWithIndex.foreach { case (f, i) =>
@@ -246,9 +258,62 @@ object InvertedIndex {
       }
     dl.write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
     val s = dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("t")).head
-    writeMeta(spark, outDir, next, nDocs + s.getLong(0), tokTotal + s.getLong(1))
-    fs.delete(stagingPath, true)
-    s.getLong(0)
+    (s.getLong(0), s.getLong(1))
+  }
+
+  /** One epoch of CDC against the index — the SINGLE-COMMIT form of
+    * update = delete + append: `deleteIds` plus the superseded copies of
+    * `upserts` are tombstoned, the fresh texts land as postings/dl of the
+    * SAME epoch, the meta stats net out victims and add the new docs, and
+    * ONE meta commit flips all of it live together. This closes the read
+    * anomaly of the two-commit application (delete at N+1, append at N+2:
+    * a concurrent [[bm25TopK]] between the commits saw an updated
+    * document as absent, and a crash between them left it absent until
+    * the epoch replayed) — the [[IndexedLayout.applyDelta]] /
+    * [[MatView.refresh]] atomicity, now on the lexical store.
+    *
+    * Liveness does the sequencing: the tombstones carry as_of = the new
+    * epoch and the fresh postings carry epoch = the same value, so the
+    * old copy dies exactly when the new one becomes visible (`epoch >=
+    * as_of` keeps the fresh rows). Unknown or already-dead delete ids are
+    * harmless no-op records; tombstones are written only for LIVE victims
+    * so tombstone growth stays proportional to churn. Crash-safe by the
+    * usual discipline: every pre-commit artifact (tombstone dir, promoted
+    * postings, dl dir) is invisible until the commit and rolls back via
+    * [[clearUncommitted]] on the next verb. Returns (docs upserted, live
+    * docs tombstoned).
+    */
+  def applyDelta(spark: SparkSession, upserts: DataFrame,
+      deleteIds: DataFrame, outDir: String): (Long, Long) = {
+    val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    clearUncommitted(spark, outDir, epoch)
+    val next = epoch + 1
+    val up = upserts.select("doc_id", "text").localCheckpoint()
+    val nUp = up.count()
+    val touched = deleteIds.select("doc_id")
+      .union(up.select("doc_id")).distinct()
+    // victims = LIVE indexed docs among the touched ids (already-dead and
+    // unknown ids must not re-subtract from the stats)
+    val victims = readDl(spark, outDir, epoch,
+        readDeleted(spark, outDir, epoch))
+      .join(touched, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val vs = victims.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("t")).head
+    val (k, sdl) = (vs.getLong(0), vs.getLong(1))
+    if (nUp == 0 && k == 0) return (0L, 0L)
+    if (k > 0)
+      victims.select(col("doc_id"), lit(next).as("as_of"))
+        .write.mode("overwrite").parquet(s"${delDir(outDir)}/e$next")
+    if (nUp > 0) {
+      val (n, t) = stageAndPromote(spark, up, outDir, next)
+      writeMeta(spark, outDir, next, nDocs - k + n, tokTotal - sdl + t)
+      fsOf(spark, outDir).delete(
+        new org.apache.hadoop.fs.Path(s"$outDir/_index/staging/e$next"), true)
+    } else {
+      writeMeta(spark, outDir, next, nDocs - k, tokTotal - sdl)
+    }
+    (nUp, k)
   }
 
   /** The (doc_id, as_of) tombstone frame of committed deletes, max as_of

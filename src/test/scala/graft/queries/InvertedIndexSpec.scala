@@ -167,6 +167,61 @@ class InvertedIndexSpec extends SparkSpec {
     assert(statsAfter._2 == statsBefore._2 && statsAfter._3 == statsBefore._3)
   }
 
+  test("applyDelta: update + delete + add land under ONE meta commit; crash shows the full old state") {
+    import spark.implicits._
+    val d = tmp("invidx_applydelta")
+    InvertedIndex.build(spark, docs.select("doc_id", "text"), d)
+    def serve() = canon(InvertedIndex.bm25TopK(spark, d, queries, k = 10,
+      excludeQueryDoc = true))
+    // one CDC epoch: update doc 7, add a brand-new doc, delete doc 11
+    val ups = Seq((7L, "dup sort sort merge"),
+      (900001L, "dup spark merge window")).toDF("doc_id", "text")
+    val dels = Seq(11L).toDF("doc_id")
+    assert(InvertedIndex.applyDelta(spark, ups, dels, d) == ((2L, 2L)))
+    // exactly ONE epoch advanced — the single-commit evidence
+    assert(InvertedIndex.readMeta(spark, d)._1 == 1)
+    // ≡ a rebuild of the live corpus, serving and stats
+    val dRef = tmp("invidx_applydelta_ref")
+    InvertedIndex.build(spark,
+      docs.select("doc_id", "text").filter(!col("doc_id").isin(7L, 11L))
+        .unionByName(ups), dRef)
+    assert(serve() == canon(InvertedIndex.bm25TopK(spark, dRef, queries,
+      k = 10, excludeQueryDoc = true)))
+    assert(InvertedIndex.readMeta(spark, d)._2 ==
+      InvertedIndex.readMeta(spark, dRef)._2)
+    assert(InvertedIndex.readMeta(spark, d)._3 ==
+      InvertedIndex.readMeta(spark, dRef)._3)
+    // an all-unknown delta is a no-op: no epoch burned
+    assert(InvertedIndex.applyDelta(spark, ups.limit(0),
+      Seq(999999902L).toDF("doc_id"), d) == ((0L, 0L)))
+    assert(InvertedIndex.readMeta(spark, d)._1 == 1)
+
+    // the anomaly the single commit closes: a second update crashes AT
+    // the commit (marker lost) — a reader sees the FULL epoch-1 state,
+    // the updated doc still answering with its epoch-1 text, never the
+    // absent-document gap of the old delete-then-append application
+    val served1 = serve()
+    val ups2 = Seq((7L, "dup hash join")).toDF("doc_id", "text")
+    assert(InvertedIndex.applyDelta(spark, ups2,
+      ups2.limit(0).select("doc_id"), d) == ((1L, 1L)))
+    val marker = java.nio.file.Paths.get(d,
+      "_index", "meta", "e2", "_graft_committed")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    assert(InvertedIndex.readMeta(spark, d)._1 == 1)
+    assert(serve() == served1,
+      "a crashed delta must leave the old state fully visible")
+    // the retry converges to the new state
+    assert(InvertedIndex.applyDelta(spark, ups2,
+      ups2.limit(0).select("doc_id"), d) == ((1L, 1L)))
+    val dRef2 = tmp("invidx_applydelta_ref2")
+    InvertedIndex.build(spark,
+      docs.select("doc_id", "text").filter(!col("doc_id").isin(7L, 11L))
+        .unionByName(Seq((900001L, "dup spark merge window"),
+          (7L, "dup hash join")).toDF("doc_id", "text")), dRef2)
+    assert(serve() == canon(InvertedIndex.bm25TopK(spark, dRef2, queries,
+      k = 10, excludeQueryDoc = true)))
+  }
+
   test("bm25TopK(asOf) reconstructs every epoch's serving state; compact raises the floor") {
     val half = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0).toLong
     val d = tmp("invidx_asof")
