@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * the already-scored set) get scored against their query, and the
   * top-`beam` survivors per query form the next frontier. Scores are
   * computed ONCE per (query, vertex) — the scored set is carried, never
-  * recomputed. Entry points are the `entrySeeds` lowest vec_ids
-  * (deterministic; on a navigable graph any spread set works, and ids
-  * carry no geometry). The graph is made UNDIRECTED for navigability
+  * recomputed. Entry points default to the `entrySeeds` lowest vec_ids
+  * (deterministic, but GEOMETRY-FREE: on a clustered corpus where id
+  * order correlates with content locality — at 100 TB the lowest ids are
+  * one ingest shard — they can all land in one cluster, and a walk can
+  * only find vertices connected to its seeds); pass [[centroidSeeds]] to
+  * spread the entries by the quantizer's own geometry instead, one seed
+  * per centroid (the kmeansCentroids seeding lesson applied to serving).
+  * The graph is made UNDIRECTED for navigability
   * (k-NN edges alone are poorly navigable out-of-neighborhood; the
   * reverse edges are the cheap half of HNSW's bidirectional linking).
   *
@@ -37,10 +42,13 @@ object GraphSearch {
     * (q_id, rnk, vec_id, cos) shape of [[KnnGraphBuild.readGraph]] /
     * the q_sim_knn_graph pipeline). `embeddings` supplies the vectors to
     * score; `queries` is (q_id, q_emb), broadcast-contract small.
+    * `seeds` (optional, a vec_id frame — [[centroidSeeds]] is the
+    * principled choice) overrides the id-ordered default entry points.
     */
   def beamTopK(spark: SparkSession, rankedGraph: DataFrame,
       embeddings: DataFrame, queries: DataFrame, k: Int,
-      beam: Int = 32, iters: Int = 4, entrySeeds: Int = 16): DataFrame = {
+      beam: Int = 32, iters: Int = 4, entrySeeds: Int = 16,
+      seeds: DataFrame = null): DataFrame = {
     val adj = rankedGraph
       .select(col("q_id").as("src"), col("vec_id").as("dst"))
       .unionByName(rankedGraph
@@ -64,8 +72,10 @@ object GraphSearch {
       .withColumn("__r", row_number().over(wBeam))
       .filter(col("__r") <= beam).drop("__r")
     // all queries start at the same deterministic seed set
-    val seeds = e.orderBy("vec_id").limit(entrySeeds).select("vec_id")
-    var scoredAll = score(q.select("q_id").crossJoin(seeds))
+    val seedFrame =
+      if (seeds != null) seeds.select("vec_id")
+      else e.orderBy("vec_id").limit(entrySeeds).select("vec_id")
+    var scoredAll = score(q.select("q_id").crossJoin(seedFrame))
       .localCheckpoint() // every (q, v) ever scored — dedup authority
     // the frontier stays LAZY over the checkpointed score set: one
     // materialization per round (the growing scoredAll), not two — the
@@ -97,6 +107,42 @@ object GraphSearch {
       embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame =
     beamTopK(spark, KnnGraphBuild.readGraph(spark, graphDir),
       embeddings, queries, k)
+
+  /** Centroid-spread entry seeds: the nearest live vector to each
+    * quantizer centroid — one bounded assign pass (the broadcast-centroid
+    * [[VectorQueries.ivfAssign]]) plus a |centroids|-group argmax, so the
+    * cost class is the quantizer's own. On a clustered corpus id-ordered
+    * seeds can all land in one cluster and strand the walk there (a walk
+    * only reaches vertices CONNECTED to its seeds); centroids sit one per
+    * discovered cluster by construction, so every cluster gets an entry
+    * point. Deterministic: ties break on (round-6 sim desc, vec_id asc).
+    * Pass the PERSISTED quantizer ([[IndexedLayout.readCentroids]]) when
+    * a layout exists — the seeds are then pinned index state, free at
+    * serving time.
+    */
+  def centroidSeeds(spark: SparkSession, centroids: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val sigs = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
+    val w = Window.partitionBy("cell")
+      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
+    VectorQueries.ivfAssign(sigs, centroids, nprobe = 1)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).select("vec_id")
+  }
+
+  /** Train-and-spread convenience when no quantizer is persisted: kmeans
+    * at `nSeeds` cells over the (budget-capped) training sample, then one
+    * seed per centroid.
+    */
+  def centroidSeeds(spark: SparkSession, embeddings: DataFrame,
+      nSeeds: Int): DataFrame = {
+    import graft.functions.VectorIndex
+    val sigs = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
+      .localCheckpoint()
+    val cents = VectorIndex.kmeansCentroids(spark,
+      VectorQueries.trainFrame(sigs, sigs.count(), nSeeds), nSeeds, iters = 2)
+    centroidSeeds(spark, cents, sigs)
+  }
 
   /** One shortlist candidate row for the MMR re-rank. */
   final case class MmrCand(q_id: Long, vec_id: Long, cos_r: Double,
