@@ -157,10 +157,20 @@ object MatView {
       vals: Seq[String], outDir: String): Unit = {
     // wipe any prior view: overwriting only e0 would leave a previous
     // incarnation's higher committed epochs live, and readMeta would keep
-    // serving THAT view — the same wipe-on-bootstrap the sibling stores do
+    // serving THAT view. But only a dir that IS a prior view (its
+    // `_view/meta` exists) or is empty may be wiped — a caller pointing
+    // bootstrap at a populated non-view path must fail loudly, not lose
+    // unrelated data (the sibling stores wipe via Spark's overwrite of
+    // their own layout only, which has the same containment).
     val fs = fsOf(spark, outDir)
     val root = new org.apache.hadoop.fs.Path(outDir)
-    if (fs.exists(root)) require(fs.delete(root, true), s"could not clear $root")
+    if (fs.exists(root)) {
+      require(fs.listStatus(root).isEmpty ||
+        fs.exists(new org.apache.hadoop.fs.Path(metaDir(outDir))),
+        s"bootstrap target $outDir is non-empty and not a prior MatView " +
+          "(no _view/meta) — refusing to delete unrelated data")
+      require(fs.delete(root, true), s"could not clear $root")
+    }
     partials(base, keys, vals, 1)
       .write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e0")
     writeMeta(spark, outDir, 0, 0, keys, vals, -1L)

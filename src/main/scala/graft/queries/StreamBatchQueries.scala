@@ -324,7 +324,12 @@ object StreamBatchQueries {
         // while BIGINT would overflow. Two narrow shuffles (type×hour
         // pre-agg, then the per-type stats rollup over the already
         // hour-granular frame) and a stats join back that broadcasts at
-        // |event_types| rows.
+        // |event_types| rows. The ~1e15 envelope is ENFORCED, not assumed:
+        // past it (or on an upstream DECIMAL overflow surfacing as null),
+        // dev² would overflow precision 38 and non-ANSI semantics would
+        // null the product — silently DROPPING a genuine anomaly — so the
+        // filter raises instead of answering wrong (|dev| ≤ 1e18 keeps
+        // dev² ≤ 1e36; varn ≤ 1e37 keeps 9·varn < 1e38).
         import org.apache.spark.sql.types.DecimalType
         val hourly = Tables.events(s, dir)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
@@ -335,8 +340,16 @@ object StreamBatchQueries {
         val nD = col("n").cast(DecimalType(38, 0))
         val dev = nD * col("cnt") - col("s")
         val varn = nD * col("s2") - col("s").cast(DecimalType(38, 0)) * col("s")
+        val devLim = lit(new java.math.BigDecimal("1000000000000000000"))
+        val varLim = lit(new java.math.BigDecimal("1" + "0" * 37))
         hourly.join(broadcast(stats), "event_type")
-          .filter(dev > 0 && dev * dev > varn * 9)
+          .filter(
+            when(dev.isNull || varn.isNull ||
+                abs(dev) > devLim || varn > varLim,
+              raise_error(lit("q_events_anomaly: z-score inputs exceed " +
+                "the exact DECIMAL(38,0) envelope — the integer test " +
+                "would silently null out")))
+            .otherwise(dev > 0 && dev * dev > varn * 9))
           .select(col("event_type"),
             date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
             col("cnt"), col("n"), col("s"))
