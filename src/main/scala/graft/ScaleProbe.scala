@@ -43,11 +43,21 @@ object ScaleProbe {
     // clustered write are probed at ×factor. Expected ~linear: matview's
     // cost is the delta partials' map-side-combined shuffles; zorder's is
     // the approxQuantile pass + the range-partitioned sort-write.
-    // pagerank/anomaly stay excluded — replicas reuse the same dimension
-    // keys, so their distinct-edge graphs and per-key hourly stats
-    // DEDUPE back to ~the base-size structure (the probe would measure
-    // dedup, not the operator). events is still symlinked.
-    "q_matview_refresh", "q_layout_zorder")
+    // anomaly stays excluded — replicas reuse the same dimension keys, so
+    // its per-key hourly stats DEDUPE back to ~the base-size structure
+    // (the probe would measure dedup, not the operator); pagerank gets a
+    // DISJOINT-replica probe below instead, for the same reason. events
+    // is still symlinked.
+    "q_matview_refresh", "q_layout_zorder",
+    // round 13: the MMR re-rank (constant 10-query broadcast scan over
+    // the ×factor corpus — expected ~linear) and phrase search (term-
+    // frequency-sized positional join off one corpus pass — ~linear)
+    "q_sim_mmr", "q_text_phrase")
+
+  /** Replica id offset of the synthesized corpus — shared by
+    * [[buildScaled]] and the disjoint-replica pagerank probe.
+    */
+  private val Stride = 10000000L
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(5)
@@ -156,9 +166,104 @@ object ScaleProbe {
         s""""switched_exponent":$switchedExp,""" +
         s""""switched_recall_x$factor":${recallOfRows(rowsScaled)}}}"""
     }
+    // round 13: the newest SERVING paths, priced as serving — the index
+    // fixture builds run untimed per dir, only the query path is timed
+    // (the catalog rows for these either build inline, hiding the serve
+    // cost behind the build's exponent, or are bench=false fixture rows).
+    val servingJson = {
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // fixtures (untimed): persisted k-NN graph + inverted index per dir
+      val fx = Seq(base, scaled).map { dir =>
+        val tag = if (dir == base) "base" else s"x$factor"
+        val graphDir = s"/tmp/graft_probe_graph_$tag"
+        val idxDir = s"/tmp/graft_probe_invidx_$tag"
+        Seq(graphDir, idxDir).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        graft.queries.KnnGraphBuild.build(spark,
+          Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+          graphDir, k = 5)
+        graft.queries.InvertedIndex.build(spark,
+          Tables.documents(spark, dir).select("doc_id", "text"), idxDir)
+        // centroid-spread entry seeds: pinned serving state, built once
+        // (32 centroids — the walk-tune sweep showed seeds cheap and
+        // mildly helpful: 0.707 vs 0.609 at the old fixed params)
+        val seeds = graft.queries.GraphSearch.centroidSeeds(spark,
+          Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+          nSeeds = 32).localCheckpoint()
+        dir -> (graphDir, idxDir, seeds)
+      }.toMap
+      // fixed work per query set: replica-0 ids/texts exist identically in
+      // both dirs, so the exponent isolates corpus-size effects
+      def walkOnce(dir: String): Unit = {
+        val (graphDir, _, seeds) = fx(dir)
+        val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.queries.GraphSearch.beamTopK(spark,
+          graft.queries.KnnGraphBuild.readGraph(spark, graphDir),
+          e, q, k = 5, seeds = seeds).count()
+      }
+      def bm25Once(dir: String): Unit = {
+        val (_, idxDir, _) = fx(dir)
+        val q = Tables.documents(spark, dir).filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"), col("text"))
+        graft.queries.InvertedIndex.bm25TopK(spark, idxDir, q, k = 10,
+          excludeQueryDoc = true).count()
+      }
+      // pagerank over DISJOINT replicas: node keys offset per replica, so
+      // the ×factor corpus yields ×factor nodes and edges instead of
+      // deduping back to the base graph (identity at base: one replica)
+      def pagerankOnce(dir: String): Unit =
+        graft.queries.GraphQueries.pageRank(spark,
+          graft.queries.GraphQueries.fulfillmentEdges(spark, dir,
+            replicaStride = Stride)).count()
+      val servingProbes: Seq[(String, String => Unit)] = Seq(
+        "graph_walk_serve" -> walkOnce,
+        "bm25_idx_serve" -> bm25Once,
+        "pagerank_disjoint" -> pagerankOnce)
+      // warm, then interleaved min-of-passes like the Probed loop
+      servingProbes.foreach { case (_, f) => Seq(base, scaled).foreach(f) }
+      val t = scala.collection.mutable.Map[(String, String), Double]()
+      (1 to passes).foreach { _ =>
+        servingProbes.foreach { case (name, f) =>
+          Seq(base, scaled).foreach { dir =>
+            val k = (name, dir)
+            t(k) = math.min(t.getOrElse(k, Double.MaxValue), timed(f(dir)))
+          }
+        }
+      }
+      val rows = servingProbes.map { case (name, _) =>
+        val (t1, t2) = (t((name, base)), t((name, scaled)))
+        val exp = math.log(t2 / t1) / math.log(factor.toDouble)
+        f""""$name":{"sec_sf01":${math.rint(t1 * 1000) / 1000},"sec_x$factor":${
+          math.rint(t2 * 1000) / 1000},"exponent":${math.rint(exp * 100) / 100}}"""
+      }
+      // the walk's recall floor ON THE SCALED CORPUS (GraphSearchSpec
+      // asserts it at sf0.001 only): beam search over the persisted ×N
+      // graph, sampled-oracle query vertices, hard floor — a silent
+      // recall collapse at scale must fail the probe, not hide in a
+      // timing row. The adaptive (beam, rounds) defaults exist BECAUSE
+      // this probe caught the fixed (32, 4) walk at 0.609 recall on the
+      // ×2 corpus (the walk-tune sweep in GraphSearch.adaptiveWalkParams'
+      // scaladoc); the ceiling is the LSH graph's own edge recall
+      // (knn_recall_x5 ≈ 0.955).
+      val (graphDirX, _, seedsX) = fx(scaled)
+      val eX = Tables.embeddings(spark, scaled).select("vec_id", "embedding")
+      val qX = eX.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val walkRecallX = recallOfRows(
+        graft.queries.GraphSearch.beamTopK(spark,
+          graft.queries.KnnGraphBuild.readGraph(spark, graphDirX),
+          eX, qX, k = 5, seeds = seedsX).collect())
+      require(walkRecallX >= 0.8,
+        f"beam-walk recall collapsed at x$factor: $walkRecallX%.3f < 0.8")
+      (rows :+ s""""graph_walk_recall_x$factor":$walkRecallX""").mkString(",")
+    }
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
       s""""knn_recall_x$factor":$knnRecallX,""" +
-      s""""knn_ivf_recall_x$factor":$knnIvfRecallX,$autoJson,""" +
+      s""""knn_ivf_recall_x$factor":$knnIvfRecallX,$autoJson,$servingJson,""" +
       s""""stat":"min","queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_scale.json"), (json + "\n").getBytes("UTF-8"))
@@ -192,7 +297,7 @@ object ScaleProbe {
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(base, s"$t.parquet"))
     }
-    val stride = 10000000L
+    val stride = Stride
     // fact tables scale by replica with OFFSET order keys and UNCHANGED
     // dimension keys (custkey/suppkey/partkey): realistic fact growth —
     // 5× the rows per group/box, same group space. stride ≡ 0 (mod 10)

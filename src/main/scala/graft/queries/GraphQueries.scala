@@ -23,20 +23,88 @@ object GraphQueries {
     * lineitem, distinct pairs), node ids arithmetically disambiguated
     * (cust → 2k, supp → 2k+1) so the shuffle path carries no strings.
     * Materialized once per query — every iterative round consumes it.
+    *
+    * `replicaStride > 0` is the ScaleProbe hook: node keys offset by
+    * `(orderkey div stride) · stride`, so the ×N probe corpus (whose
+    * replicas offset ORDER keys but reuse dimension keys — realistic fact
+    * growth that would otherwise DEDUPE the distinct edge set back to the
+    * base graph) yields N disjoint copies of the graph and the probe
+    * times the operator, not the dedup. Identity on a single-replica dir
+    * (every orderkey div stride = 0).
     */
-  private def fulfillmentEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def fulfillmentEdges(s: org.apache.spark.sql.SparkSession,
       dir: String,
-      edgePred: org.apache.spark.sql.Column = lit(true)): org.apache.spark.sql.DataFrame = {
+      edgePred: org.apache.spark.sql.Column = lit(true),
+      replicaStride: Long = 0L): org.apache.spark.sql.DataFrame = {
     val eo = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir).filter(edgePred)
       .select("l_orderkey", "l_suppkey")
+    val off =
+      if (replicaStride <= 0) lit(0L)
+      else expr(s"(o_orderkey DIV ${replicaStride}L) * ${replicaStride}L")
     val cs = li.join(eo, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("sn"))
+      .select(((col("o_custkey") + off) * 2).as("c"),
+        ((col("l_suppkey") + off) * 2 + 1).as("sn"))
       .distinct()
     cs.select(col("c").as("src"), col("sn").as("dst"))
       .unionByName(cs.select(col("sn").as("src"), col("c").as("dst")))
       .localCheckpoint()
+  }
+
+  /** PageRank d = 0.85 over an undirected edge frame — the body of
+    * q_graph_pagerank, exposed so ScaleProbe can price the operator on a
+    * properly-scaled edge set. Every node has out-degree ≥ 1 by the
+    * undirected construction, so no dangling-mass correction is needed.
+    */
+  private[graft] def pageRank(s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame,
+      iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint() // the census feeds every round's left join
+    // the node COUNT is a bounded driver scalar (the probe-cell /
+    // quota-table class): hoisting it to a literal removes a broadcast
+    // stage from every round — the teleport term is the same double
+    val nn = nodes.count()
+    if (nn == 0) {
+      // zero-row contract (EmptyInputSpec): an empty graph ranks
+      // nothing — and guards the 1/N teleport against ANSI ÷0
+      import s.implicits._
+      Seq.empty[(Long, String, Long, Double)]
+        .toDF("node", "kind", "key", "rank")
+    } else {
+      // the rank and contribution vectors are NODE-CENSUS-sized — the
+      // dimension class (customer + supplier key spaces), orders of
+      // magnitude under the edge set — so they ride BROADCASTS into
+      // the edge join and the census join: each round is one map-side
+      // pass over the cached edges plus a partial-aggregated 16k-row
+      // shuffle, no edge-set sort. (A graph whose census outgrows the
+      // broadcast budget swaps these hints for co-partitioned SMJs —
+      // the shape is otherwise identical.) Rounds materialize so each
+      // broadcast builds from a computed frame, not a re-derivation.
+      var ranks = nodes
+        .select(col("node"), col("deg"),
+          round(lit(1.0) / lit(nn), 12).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = broadcast(ranks)
+          .join(edges, col("node") === col("src"))
+          .withColumn("cb",
+            round(col("r") / col("deg"), 12).cast(DecimalType(28, 12)))
+          .groupBy("dst").agg(sum("cb").as("s"))
+        ranks = nodes
+          .join(broadcast(contrib), col("node") === col("dst"), "left")
+          .select(col("node"), col("deg"),
+            round(lit(0.15) / lit(nn) + lit(0.85) *
+              coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+          .localCheckpoint()
+      }
+      ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("cust"))
+            .otherwise(lit("supp")).as("kind"),
+          expr("node DIV 2").as("key"),
+          round(col("r"), 8).as("rank"))
+    }
   }
 
   val qs: Seq[GQuery] = Seq(
@@ -57,54 +125,10 @@ object GraphQueries {
         // Fixed iteration count (not convergence-tested) keeps the result
         // closed-form checkable; at 100 TB each iteration is one shuffle
         // pair on the node key and the edge frame is reused from cache.
-        val edges = fulfillmentEdges(s, dir)
-        val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .select(col("src").as("node"), col("deg"))
-          .localCheckpoint() // the census feeds every round's left join
-        // the node COUNT is a bounded driver scalar (the probe-cell /
-        // quota-table class): hoisting it to a literal removes a
-        // broadcast stage from every round — the teleport term is the
-        // same double either way
-        val nn = nodes.count()
-        if (nn == 0) {
-          // zero-row contract (EmptyInputSpec): an empty graph ranks
-          // nothing — and guards the 1/N teleport against ANSI ÷0
-          import s.implicits._
-          Seq.empty[(Long, String, Long, Double)]
-            .toDF("node", "kind", "key", "rank")
-        } else {
-          // the rank and contribution vectors are NODE-CENSUS-sized — the
-          // dimension class (customer + supplier key spaces), orders of
-          // magnitude under the edge set — so they ride BROADCASTS into
-          // the edge join and the census join: each round is one map-side
-          // pass over the cached edges plus a partial-aggregated 16k-row
-          // shuffle, no edge-set sort. (A graph whose census outgrows the
-          // broadcast budget swaps these hints for co-partitioned SMJs —
-          // the shape is otherwise identical.) Rounds materialize so each
-          // broadcast builds from a computed frame, not a re-derivation.
-          var ranks = nodes
-            .select(col("node"), col("deg"),
-              round(lit(1.0) / lit(nn), 12).as("r"))
-          for (_ <- 1 to 3) {
-            val contrib = broadcast(ranks)
-              .join(edges, col("node") === col("src"))
-              .withColumn("cb",
-                round(col("r") / col("deg"), 12).cast(DecimalType(28, 12)))
-              .groupBy("dst").agg(sum("cb").as("s"))
-            ranks = nodes
-              .join(broadcast(contrib), col("node") === col("dst"), "left")
-              .select(col("node"), col("deg"),
-                round(lit(0.15) / lit(nn) + lit(0.85) *
-                  coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
-              .localCheckpoint()
-          }
-          ranks.orderBy(col("r").desc, col("node").asc).limit(20)
-            .select(col("node"),
-              when(col("node") % 2 === 0, lit("cust"))
-                .otherwise(lit("supp")).as("kind"),
-              expr("node DIV 2").as("key"),
-              round(col("r"), 8).as("rank"))
-        }
+        // Census-sized broadcasts, materialized rounds, and the empty-
+        // graph contract live in [[pageRank]] (shared with ScaleProbe's
+        // disjoint-replica probe).
+        pageRank(s, fulfillmentEdges(s, dir))
       },
       Some("""WITH cs AS (
                 SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sn

@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
 /** GRAPH-TRAVERSAL ANN search — the HNSW/DiskANN-family serving path over
   * the engine's persisted k-NN graph ([[KnnGraphBuild]]): queries walk
   * the neighborhood structure instead of scanning cells, so per-query
-  * cost is beam × degree × iters candidate scorings, INDEPENDENT of
-  * corpus size — the third search regime beside the brute broadcast scan
-  * (q_sim_topk) and the IVF pruned scan (prunedTopK).
+  * cost is beam × degree × iters candidate scorings — POLYLOGARITHMIC in
+  * corpus size, because holding a recall floor requires beam and rounds
+  * to grow with the graph's diameter (~log n, the HNSW ef/hop rule;
+  * [[adaptiveWalkParams]] has the measured operating points) — the third
+  * search regime beside the brute broadcast scan (q_sim_topk) and the
+  * IVF pruned scan (prunedTopK).
   *
   * The walk is the standard greedy beam search, batched across queries
   * as dataframe rounds (the Pregel shape again): the current beam joins
@@ -38,16 +41,38 @@ import org.apache.spark.sql.functions._
   */
 object GraphSearch {
 
+  /** Walk parameters that HOLD a recall floor as the corpus grows —
+    * fixed (beam, rounds) do not: the walk must cross the graph's
+    * diameter (~log n) and carry enough frontier width to survive the
+    * per-round truncation. Measured on the ×2 ScaleProbe corpus (LSH
+    * graph, its own edge recall ≈ 0.95 the ceiling): at n = 4,000 the
+    * old fixed (32, 4) held only 0.609 recall@5 where (64, 6) holds
+    * 0.945 ≈ the ceiling; at n = 500 (32, 4) held 0.990. Both points pin
+    * the O(log n) rule below — per-query scoring work stays
+    * polylogarithmic, the honest price of a constant recall target
+    * (exactly LSH's n^ρ lesson, but logarithmic).
+    */
+  def adaptiveWalkParams(n: Long): (Int, Int) = {
+    if (n <= 1) (32, 4)
+    else {
+      val lg = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+      (math.max(32, 8 * lg - 32), math.max(4, math.ceil(lg / 2.0).toInt))
+    }
+  }
+
   /** Beam-search top-`k` over a RANKED adjacency frame (the
     * (q_id, rnk, vec_id, cos) shape of [[KnnGraphBuild.readGraph]] /
     * the q_sim_knn_graph pipeline). `embeddings` supplies the vectors to
     * score; `queries` is (q_id, q_emb), broadcast-contract small.
     * `seeds` (optional, a vec_id frame — [[centroidSeeds]] is the
     * principled choice) overrides the id-ordered default entry points.
+    * `beam`/`iters` default to -1 = [[adaptiveWalkParams]] at the
+    * corpus's count (one bounded count job against the pinned frame);
+    * pass explicit values to pin a cost envelope instead.
     */
   def beamTopK(spark: SparkSession, rankedGraph: DataFrame,
       embeddings: DataFrame, queries: DataFrame, k: Int,
-      beam: Int = 32, iters: Int = 4, entrySeeds: Int = 16,
+      beam: Int = -1, iters: Int = -1, entrySeeds: Int = 16,
       seeds: DataFrame = null): DataFrame = {
     val adj = rankedGraph
       .select(col("q_id").as("src"), col("vec_id").as("dst"))
@@ -56,6 +81,12 @@ object GraphSearch {
       .distinct().localCheckpoint() // consumed every round
     val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
       .localCheckpoint()
+    val (beamN, itersN) =
+      if (beam > 0 && iters >= 0) (beam, iters)
+      else {
+        val (ab, ai) = adaptiveWalkParams(e.count())
+        (if (beam > 0) beam else ab, if (iters >= 0) iters else ai)
+      }
     val q = broadcast(queries
       .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n")))
     // the candidate frame is QUERY-BOUNDED by construction (≤ queries ×
@@ -70,7 +101,7 @@ object GraphSearch {
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     def topBeam(scored: DataFrame): DataFrame = scored
       .withColumn("__r", row_number().over(wBeam))
-      .filter(col("__r") <= beam).drop("__r")
+      .filter(col("__r") <= beamN).drop("__r")
     // all queries start at the same deterministic seed set
     val seedFrame =
       if (seeds != null) seeds.select("vec_id")
@@ -81,7 +112,7 @@ object GraphSearch {
     // materialization per round (the growing scoredAll), not two — the
     // beam window re-derives inside the round's own job
     var frontier = topBeam(scoredAll)
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to itersN) {
       // the beam-bounded frontier broadcasts into the adjacency scan
       val fresh = broadcast(frontier.select("q_id", "vec_id"))
         .join(adj, col("vec_id") === col("src"))
@@ -176,6 +207,30 @@ object GraphSearch {
       }
       .toDF("q_id", "rnk", "vec_id", "mmr")
       .orderBy("q_id", "rnk")
+  }
+
+  /** MMR over the PHYSICAL index: the shortlist comes from
+    * [[IndexedLayout.prunedTopK]] (planning-time cell pruning) instead of
+    * the brute broadcast scan, so the diversity re-rank demonstrably
+    * rides the layout — at 100 TB the shortlist read touches nprobe cells
+    * and the greedy selection's input stays shortK-bounded per query
+    * exactly as in the brute form. Embeddings for the redundancy term
+    * join back from the layout's own live corpus (vec_id-keyed,
+    * shortlist-sized left side). With nprobe = all cells the shortlist is
+    * exact and the result equals the brute-shortlist MMR row for row
+    * (MmrSpec's parity case).
+    */
+  def mmrOverPruned(spark: SparkSession, layoutDir: String,
+      queries: DataFrame, k: Int, shortK: Int, nprobe: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val short = IndexedLayout.prunedTopK(spark, layoutDir, queries,
+      shortK, nprobe)
+    val emb = IndexedLayout.readCorpus(spark, layoutDir)
+      .select("vec_id", "embedding")
+    val shortlist = short.join(emb, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cos").as("cos_r"),
+        col("embedding"))
+    mmrRerank(spark, shortlist, k, lambda)
   }
 
   /** The greedy selection itself — shared verbatim with MmrSpec's

@@ -947,8 +947,9 @@ object VectorQueries {
         // greedy beam search over the k-NN graph — the HNSW/DiskANN-family
         // serving regime beside brute (q_sim_topk) and IVF
         // (q_sim_topk_ivf): per-query cost is beam × degree × iters
-        // candidate scorings, independent of corpus size, with scores
-        // computed once per (query, vertex). The row builds the graph via
+        // candidate scorings with (beam, iters) growing O(log n) to hold
+        // the recall floor (adaptiveWalkParams — measured, not assumed),
+        // scores computed once per (query, vertex). The row builds the graph via
         // the shared LSH pipeline and then walks it; in production the
         // graph is the PERSISTED, IndexSync-maintained KnnGraphBuild
         // state and only the walk runs (GraphSearchSpec's disk-serving
