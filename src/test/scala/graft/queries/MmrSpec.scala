@@ -73,6 +73,44 @@ class MmrSpec extends SparkSpec {
     assert(rel.map(_._1.vec_id) == Seq(11L, 12L))
   }
 
+  test("MMR over the pruned physical index ≡ MMR over the brute shortlist when the probe is exact") {
+    import graft.functions.VectorFunctions._
+    val d = java.nio.file.Files.createTempDirectory("mmr_pruned").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    val nc = 8
+    IndexedLayout.write(spark,
+      graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding"),
+      d, kCells = nc)
+    val q = graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // the layout serving path emits round-4 cos (the Canon contract), so
+    // the brute reference shortlist rounds identically — parity then
+    // proves the re-rank rides the physical index without changing the
+    // selection
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").withColumn("nrm", l2Norm(col("embedding")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos_r6").desc, col("vec_id").asc)
+    val brute = broadcast(q.withColumn("q_n", l2Norm(col("q_emb"))))
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r6", round(cosineWithNorms(
+        col("q_emb").cast("array<double>"), col("embedding").cast("array<double>"),
+        col("q_n"), col("nrm")), 6))
+      .withColumn("srnk", row_number().over(w))
+      .filter(col("srnk") <= 30)
+      .select(col("q_id"), col("vec_id"),
+        graft.Canon.r4(col("cos_r6")).cast("double").as("cos_r"), col("embedding"))
+    val want = GraphSearch.mmrRerank(spark, brute, k = 5).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    // nprobe = all cells ⇒ the pruned shortlist is exact
+    val got = GraphSearch.mmrOverPruned(spark, d, q, k = 5,
+      shortK = 30, nprobe = nc).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("on real data the MMR list is less self-similar than the plain top-k") {
     import spark.implicits._
     val sl = shortlist(30).localCheckpoint()
