@@ -38,7 +38,8 @@ object IndexedLayout {
   /** Same commit-point discipline as KnnGraphBuild: the marker file, not
     * parquet's committer-dependent `_SUCCESS`, flips an epoch live.
     */
-  import EpochStore.{CommitMarker, dirEpoch, fsOf}
+  import EpochStore.{CommitMarker, clearDirsAbove, committedEpochs,
+    dropEpochDirs, fsOf}
 
   private def writeMeta(spark: SparkSession, outDir: String,
       epoch: Int, maxVecId: Long): Unit = {
@@ -52,14 +53,7 @@ object IndexedLayout {
 
   /** (epoch, high-water vec_id) of the newest COMMITTED epoch. */
   private def readMeta(spark: SparkSession, outDir: String): (Int, Long) = {
-    val md = new org.apache.hadoop.fs.Path(metaDir(outDir))
-    val fs = fsOf(spark, metaDir(outDir))
-    require(fs.exists(md), s"no layout meta under $md — run write() first")
-    val epochs = fs.listStatus(md).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
-      .flatMap(p => dirEpoch(p.getName))
-    require(epochs.nonEmpty, s"no committed epoch under $md")
-    val e = epochs.max
+    val e = committedEpochs(spark, metaDir(outDir), "layout").max
     (e, spark.read.parquet(s"${metaDir(outDir)}/e$e").head.getAs[Long]("max_vec_id"))
   }
 
@@ -92,43 +86,21 @@ object IndexedLayout {
             .filter(f => fileEpoch(f.getName).exists(_ > committed))
             .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
         }
-    val td = new org.apache.hadoop.fs.Path(tombDir(outDir))
-    if (fs.exists(td))
-      fs.listStatus(td).map(_.getPath)
-        .filter(p => dirEpoch(p.getName).exists(_ > committed))
-        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
+    clearDirsAbove(spark, tombDir(outDir), committed)
   }
 
   private def tombDir(outDir: String) = s"$outDir/_index/tombstones"
 
   private def floorDir(outDir: String) = s"$outDir/_index/floor"
 
-  /** Raise the time-travel history floor to `floor` — an empty marker
-    * file per raise, highest wins (atomic create; no read-modify-write).
-    * Written by [[compact]] BEFORE its meta commit, so a crash can only
-    * over-clamp (snapshots temporarily unavailable), never expose a
-    * snapshot the compaction is about to make unreconstructable.
-    */
-  private def raiseHistoryFloor(spark: SparkSession, outDir: String,
-      floor: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${floorDir(outDir)}/e$floor")
-    fsOf(spark, outDir).create(p, true).close()
-  }
-
   /** Oldest epoch a time-travel read can faithfully reconstruct: 0 for a
     * never-compacted layout, else the newest compaction epoch —
     * compaction re-stamps survivors and drops satisfied tombstones, so
     * older snapshots are physically gone (the Delta VACUUM contract).
+    * Raise/read mechanics are [[EpochStore]]'s shared floor walk.
     */
-  def historyFloor(spark: SparkSession, outDir: String): Int = {
-    val d = new org.apache.hadoop.fs.Path(floorDir(outDir))
-    val fs = fsOf(spark, outDir)
-    if (!fs.exists(d)) 0
-    else {
-      val es = fs.listStatus(d).map(_.getPath.getName).flatMap(dirEpoch)
-      if (es.isEmpty) 0 else es.max
-    }
-  }
+  def historyFloor(spark: SparkSession, outDir: String): Int =
+    EpochStore.historyFloor(spark, floorDir(outDir))
 
   /** Train (or accept) the quantizer, assign one cell per vector, write
     * the cell-partitioned corpus + the pinned centroid table. Returns the
@@ -448,9 +420,7 @@ object IndexedLayout {
     clearUncommitted(spark, outDir, epoch)
     val fs = fsOf(spark, outDir)
     def dropTombstones(): Unit =
-      (1 to epoch).map(i => new org.apache.hadoop.fs.Path(s"${tombDir(outDir)}/e$i"))
-        .filter(fs.exists).foreach(p =>
-          require(fs.delete(p, true), s"could not drop satisfied tombstones $p"))
+      dropEpochDirs(spark, tombDir(outDir), 1, epoch)
     val tombsOpt = readTombstones(spark, outDir, epoch)
     val raw = spark.read.parquet(outDir)
     val deadRows = tombsOpt match {
@@ -543,7 +513,7 @@ object IndexedLayout {
     // floor BEFORE the commit: a crash between the two over-clamps time
     // travel (snapshots < next unavailable) but never exposes a snapshot
     // this pass is making unreconstructable
-    raiseHistoryFloor(spark, outDir, next)
+    EpochStore.raiseFloor(spark, floorDir(outDir), next)
     writeMeta(spark, outDir, next, hwm) // the commit point
     // phase 2: drop the superseded originals (for a fully-dead cell:
     // everything), then the satisfied pre-compaction tombstone dirs

@@ -43,7 +43,8 @@ object InvertedIndex {
     */
   val Buckets = 16
 
-  import EpochStore.{CommitMarker, dirEpoch, fsOf}
+  import EpochStore.{CommitMarker, clearDirsAbove, committedEpochs,
+    dropEpochDirs, fsOf}
   private def metaDir(outDir: String) = s"$outDir/_index/meta"
   private def dlDir(outDir: String) = s"$outDir/_index/dl"
   private def delDir(outDir: String) = s"$outDir/_index/deleted"
@@ -83,13 +84,8 @@ object InvertedIndex {
     // crashed delete's never-committed tombstones must not go live when
     // a later verb commits the same epoch number (its stats never netted
     // the victims, so resurrection would also corrupt N/avgdl)
-    Seq(dlDir(outDir), delDir(outDir)).foreach { root =>
-      val rp = new org.apache.hadoop.fs.Path(root)
-      if (fs.exists(rp))
-        fs.listStatus(rp).map(_.getPath)
-          .filter(p => dirEpoch(p.getName).exists(_ > committed))
-          .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
-    }
+    clearDirsAbove(spark, dlDir(outDir), committed)
+    clearDirsAbove(spark, delDir(outDir), committed)
   }
 
   /** Robertson/Lucene idf, never negative: ln(1 + (N−df+0.5)/(df+0.5)),
@@ -131,14 +127,7 @@ object InvertedIndex {
 
   /** (epoch, n_docs, Σdl) of the newest COMMITTED epoch. */
   def readMeta(spark: SparkSession, outDir: String): (Int, Long, Long) = {
-    val md = new org.apache.hadoop.fs.Path(metaDir(outDir))
-    val fs = fsOf(spark, metaDir(outDir))
-    require(fs.exists(md), s"no index meta under $md — run build() first")
-    val epochs = fs.listStatus(md).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
-      .flatMap(p => dirEpoch(p.getName))
-    require(epochs.nonEmpty, s"no committed epoch under $md")
-    val e = epochs.max
+    val e = committedEpochs(spark, metaDir(outDir), "index").max
     val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
     (e, r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"))
   }
@@ -159,30 +148,14 @@ object InvertedIndex {
 
   private def floorDir(outDir: String) = s"$outDir/_index/floor"
 
-  /** Raise the time-travel history floor — the [[IndexedLayout]] marker
-    * discipline: an empty file per raise, highest wins, written by
-    * [[compact]] BEFORE its meta commit so a crash only over-clamps.
-    */
-  private def raiseHistoryFloor(spark: SparkSession, outDir: String,
-      floor: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${floorDir(outDir)}/e$floor")
-    fsOf(spark, outDir).create(p, true).close()
-  }
-
   /** Oldest epoch a time-travel read can faithfully reconstruct: 0 for a
     * never-compacted index, else the newest compaction epoch (compaction
     * re-stamps postings/dl and drops satisfied tombstones — the history
     * behind it is physically gone, the Delta VACUUM contract).
+    * Raise/read mechanics are [[EpochStore]]'s shared floor walk.
     */
-  def historyFloor(spark: SparkSession, outDir: String): Int = {
-    val d = new org.apache.hadoop.fs.Path(floorDir(outDir))
-    val fs = fsOf(spark, outDir)
-    if (!fs.exists(d)) 0
-    else {
-      val es = fs.listStatus(d).map(_.getPath.getName).flatMap(dirEpoch)
-      if (es.isEmpty) 0 else es.max
-    }
-  }
+  def historyFloor(spark: SparkSession, outDir: String): Int =
+    EpochStore.historyFloor(spark, floorDir(outDir))
 
   /** Tokenize once; returns (postings tf frame, per-doc dl frame). */
   private def project(docs: DataFrame, epoch: Int): (DataFrame, DataFrame) = {
@@ -462,9 +435,7 @@ object InvertedIndex {
     val fs = fsOf(spark, outDir)
     val next = epoch + 1
     def dropOldDirs(root: String, lo: Int): Unit =
-      (lo to epoch).map(i => new org.apache.hadoop.fs.Path(s"$root/e$i"))
-        .filter(fs.exists).foreach(p =>
-          require(fs.delete(p, true), s"could not drop $p"))
+      dropEpochDirs(spark, root, lo, epoch)
     val tombsOpt = readDeleted(spark, outDir, epoch)
     val raw = spark.read.parquet(outDir).filter(col("epoch") <= epoch)
     val deadRows = tombsOpt match {
@@ -503,7 +474,7 @@ object InvertedIndex {
       // live, commit, and only then drop the tombstones
       readDl(spark, outDir, epoch, tombsOpt).withColumn("epoch", lit(next))
         .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
-      raiseHistoryFloor(spark, outDir, next) // before the commit: crashes over-clamp only
+      EpochStore.raiseFloor(spark, floorDir(outDir), next) // before the commit: crashes over-clamp only
       writeMeta(spark, outDir, next, nDocs, tokTotal)
       dropOldDirs(delDir(outDir), 1)
       dropOldDirs(dlDir(outDir), 0)
@@ -554,7 +525,7 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"${dlDir(outDir)}/e$next")
     survivorTombs.filter(st => !st.isEmpty).foreach(_.coalesce(1)
       .write.mode("overwrite").parquet(s"${delDir(outDir)}/e$next"))
-    raiseHistoryFloor(spark, outDir, next) // before the commit: crashes over-clamp only
+    EpochStore.raiseFloor(spark, floorDir(outDir), next) // before the commit: crashes over-clamp only
     writeMeta(spark, outDir, next, nDocs, tokTotal) // the commit point
     // phase 2: drop the superseded originals + prior-epoch side dirs
     dirty.foreach { bucket =>

@@ -49,7 +49,7 @@ import org.apache.spark.sql.types.DecimalType
   * draws.
   */
 object MatView {
-  import EpochStore.{CommitMarker, dirEpoch, fsOf}
+  import EpochStore.{clearDirsAbove, committedEpochs, CommitMarker, dirEpoch, fsOf}
   private def deltaDir(outDir: String) = s"$outDir/delta"
   private def metaDir(outDir: String) = s"$outDir/_view/meta"
 
@@ -78,12 +78,7 @@ object MatView {
   private def readMetaFull(spark: SparkSession, outDir: String,
       at: Option[Int] = None): Meta = {
     val md = new org.apache.hadoop.fs.Path(metaDir(outDir))
-    val fs = fsOf(spark, metaDir(outDir))
-    require(fs.exists(md), s"no view meta under $md — run bootstrap() first")
-    val epochs = fs.listStatus(md).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
-      .flatMap(p => dirEpoch(p.getName))
-    require(epochs.nonEmpty, s"no committed epoch under $md")
+    val epochs = committedEpochs(spark, metaDir(outDir), "view")
     val e = at match {
       case Some(k) =>
         require(epochs.contains(k), s"epoch $k was never committed under $md")
@@ -129,14 +124,8 @@ object MatView {
     * the same epoch number can never make a crashed pass's partials live.
     */
   private def clearUncommitted(spark: SparkSession, outDir: String,
-      committed: Int): Unit = {
-    val fs = fsOf(spark, outDir)
-    val dd = new org.apache.hadoop.fs.Path(deltaDir(outDir))
-    if (fs.exists(dd))
-      fs.listStatus(dd).map(_.getPath)
-        .filter(p => dirEpoch(p.getName).exists(_ > committed))
-        .foreach(p => require(fs.delete(p, true), s"could not clear $p"))
-  }
+      committed: Int): Unit =
+    clearDirsAbove(spark, deltaDir(outDir), committed)
 
   /** Signed per-key partials of one delta: mv_cnt = ±count(*), one exact
     * decimal mv_sum per value column. One map-side-combined shuffle of
