@@ -648,4 +648,50 @@ object InvertedIndex {
         round(col("bm25").cast("double"), 4).as("bm25"))
       .orderBy("q_id", "rnk")
   }
+
+  /** Plain idf-sum top-`k` over the index — the LEXICAL side of the RRF
+    * hybrid (q_hybrid_rrf) served from the pruned posting buckets instead
+    * of a corpus scan: same planning-time bucket pruning as [[bm25TopK]],
+    * same scoring tree as the direct row (idf = round(ln(N/df), 6) in
+    * exact DECIMAL, the df·2 ≤ N stop-word cap), so the rank list — and
+    * therefore the fused hybrid — is oracle-exact against the identical
+    * SQL. A document's rank counts each distinct matching query token
+    * once (the postings hold one row per (doc, token); tf is ignored
+    * here, exactly like the direct form's distinct-token join).
+    */
+  def idfTopK(spark: SparkSession, outDir: String, queries: DataFrame,
+      k: Int, excludeQueryDoc: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val (epoch, nDocs, _) = readMeta(spark, outDir)
+    val qTok = queries
+      .select(col("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .localCheckpoint()
+    val bucketSet = qTok.select(bucketOf(col("token")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (bucketSet.isEmpty)
+      return spark.range(0).select(col("id").as("q_id"),
+        lit(0).as("rnk"), col("id").as("doc_id"))
+    val tombs = readDeleted(spark, outDir, epoch).map(_.localCheckpoint())
+    val post = readPostings(spark, outDir, epoch, bucketSet.toIndexedSeq,
+      qTok.select("token").distinct(), tombs)
+      .localCheckpoint() // feeds df AND the candidate join — scan once
+    val tokIdf = post.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 <= nDocs) // the hybrid row's stop-word cap
+      .withColumn("idf", round(log(lit(nDocs).cast("double") /
+        col("df")), 6).cast(DecimalType(18, 6)))
+      .select("token", "idf")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("lex").desc, col("doc_id").asc)
+    val cand0 = qTok.join(post.select("token", "doc_id"), "token")
+    val cand = if (excludeQueryDoc) cand0.filter(col("doc_id") =!= col("q_id"))
+               else cand0
+    cand
+      .join(tokIdf, "token")
+      .groupBy("q_id", "doc_id").agg(sum("idf").as("lex"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id")
+      .orderBy("q_id", "rnk")
+  }
 }

@@ -476,6 +476,55 @@ object VectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** The hybrid RRF oracle SQL — shared verbatim by q_hybrid_rrf (scan
+    * form) and q_hybrid_rrf_idx (persisted-index form): identical answers
+    * from both serving shapes IS the indexed row's claim.
+    */
+  private val hybridRrfOracle = s"""WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(${TextQueries.duckToks})) AS token
+                FROM documents),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              idf AS (
+                SELECT token,
+                       CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 6)
+                            AS DECIMAL(18,6)) AS idf
+                FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
+                WHERE df * 2 <= (SELECT n_docs FROM n)),
+              lex0 AS (
+                SELECT q.q_id, t.doc_id, sum(i.idf) AS lex
+                FROM (SELECT doc_id AS q_id, token FROM tok WHERE doc_id < 3) q
+                JOIN tok t USING (token)
+                JOIN idf i USING (token)
+                WHERE t.doc_id <> q.q_id
+                GROUP BY q.q_id, t.doc_id),
+              lex AS (
+                SELECT q_id, doc_id, lrank FROM (
+                  SELECT q_id, doc_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY lex DESC, doc_id ASC) AS lrank
+                  FROM lex0)
+                WHERE lrank <= 10),
+              vec0 AS (
+                SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 3),
+              vec AS (
+                SELECT q_id, doc_id, vrank FROM (
+                  SELECT q_id, doc_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos_r DESC, doc_id ASC) AS vrank
+                  FROM vec0)
+                WHERE vrank <= 10),
+              fused AS (
+                SELECT q_id, doc_id,
+                       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lrank), 0) +
+                             coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0), 6) AS rrf
+                FROM lex FULL JOIN vec USING (q_id, doc_id))
+              SELECT q_id, rnk, doc_id, rrf FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+                FROM fused)
+              WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   val qs: Seq[GQuery] = Seq(
     GQuery(
       "q_sim_pairs",
@@ -1345,50 +1394,74 @@ object VectorQueries {
           .select("q_id", "rnk", "doc_id", "rrf")
           .orderBy("q_id", "rnk")
       },
-      Some(s"""WITH tok AS (
-                SELECT doc_id, unnest(list_distinct(${TextQueries.duckToks})) AS token
-                FROM documents),
-              n AS (SELECT count(*) AS n_docs FROM documents),
-              idf AS (
-                SELECT token,
-                       CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 6)
-                            AS DECIMAL(18,6)) AS idf
-                FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)
-                WHERE df * 2 <= (SELECT n_docs FROM n)),
-              lex0 AS (
-                SELECT q.q_id, t.doc_id, sum(i.idf) AS lex
-                FROM (SELECT doc_id AS q_id, token FROM tok WHERE doc_id < 3) q
-                JOIN tok t USING (token)
-                JOIN idf i USING (token)
-                WHERE t.doc_id <> q.q_id
-                GROUP BY q.q_id, t.doc_id),
-              lex AS (
-                SELECT q_id, doc_id, lrank FROM (
-                  SELECT q_id, doc_id, row_number() OVER (
-                    PARTITION BY q_id ORDER BY lex DESC, doc_id ASC) AS lrank
-                  FROM lex0)
-                WHERE lrank <= 10),
-              vec0 AS (
-                SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
-                       round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_r
-                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-                WHERE q.vec_id < 3),
-              vec AS (
-                SELECT q_id, doc_id, vrank FROM (
-                  SELECT q_id, doc_id, row_number() OVER (
-                    PARTITION BY q_id ORDER BY cos_r DESC, doc_id ASC) AS vrank
-                  FROM vec0)
-                WHERE vrank <= 10),
-              fused AS (
-                SELECT q_id, doc_id,
-                       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lrank), 0) +
-                             coalesce(CAST(1.0 AS DOUBLE) / (60 + vrank), 0), 6) AS rrf
-                FROM lex FULL JOIN vec USING (q_id, doc_id))
-              SELECT q_id, rnk, doc_id, rrf FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rnk
-                FROM fused)
-              WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+      Some(hybridRrfOracle)),
+
+    GQuery(
+      "q_hybrid_rrf_idx",
+      (s, dir) => {
+        // The SAME hybrid RRF search SERVED FROM THE PERSISTED INDEXES —
+        // the production shape of q_hybrid_rrf: the lexical rank list
+        // comes from the inverted index's pruned posting buckets
+        // (InvertedIndex.idfTopK — planning-time bucket pruning, at 100 TB
+        // a k-token query reads ≤ k/Buckets of the index) and the vector
+        // rank list from the cell-partitioned layout
+        // (IndexedLayout.prunedTopK, nprobe = all cells here so the list
+        // is exact and the row stays ORACLE-CHECKABLE; production trades
+        // nprobe for recall). Scoring trees are shared with the direct
+        // row, so the fused result is oracle-exact against the IDENTICAL
+        // SQL — the evidence that a user can swap the scan-based hybrid
+        // for the index-based one without an answer change. Fusion
+        // touches only the two k-bounded rank lists.
+        val docs = Tables.documents(s, dir)
+        val embs = Tables.embeddings(s, dir)
+        if (docs.limit(1).isEmpty || embs.limit(1).isEmpty) {
+          // zero-row contract (EmptyInputSpec): nothing to index
+          import s.implicits._
+          Seq.empty[(Long, Int, Long, Double)]
+            .toDF("q_id", "rnk", "doc_id", "rrf")
+        } else {
+          val dLex = java.nio.file.Files
+            .createTempDirectory("graft_hyb_lex").toString
+          val dVec = java.nio.file.Files
+            .createTempDirectory("graft_hyb_vec").toString
+          try {
+            InvertedIndex.build(s, docs.select("doc_id", "text"), dLex)
+            val nc = IndexedLayout.write(s,
+              embs.select("vec_id", "embedding"), dVec, kCells = 8)
+            val lex = InvertedIndex.idfTopK(s, dLex,
+                docs.filter(col("doc_id") < 3)
+                  .select(col("doc_id").as("q_id"), col("text")),
+                k = 10, excludeQueryDoc = true)
+              .select(col("q_id"), col("doc_id"), col("rnk").as("lrank"))
+            val vec = IndexedLayout.prunedTopK(s, dVec,
+                embs.filter(col("vec_id") < 3)
+                  .select(col("vec_id").as("q_id"),
+                    col("embedding").as("q_emb")),
+                k = 10, nprobe = nc)
+              .select(col("q_id"), col("vec_id").as("doc_id"),
+                col("rnk").as("vrank"))
+            val wf = Window.partitionBy("q_id")
+              .orderBy(col("rrf").desc, col("doc_id").asc)
+            lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+              .withColumn("rrf", round(
+                coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+                  coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)), 6))
+              .withColumn("rnk", row_number().over(wf))
+              .filter(col("rnk") <= 5)
+              .select("q_id", "rnk", "doc_id", "rrf")
+              .orderBy("q_id", "rnk")
+              .localCheckpoint()
+          } finally {
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dLex))
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dVec))
+          }
+        }
+      },
+      // the IDENTICAL oracle as q_hybrid_rrf — that is the point
+      Some(hybridRrfOracle),
+      // fixture-bound fs work (the q_rank_bm25_idx convention):
+      // correctness-gated, excluded from the timed catalog
+      bench = false),
 
     GQuery(
       "q_sim_topk_diverse",

@@ -115,7 +115,10 @@ class SqlParitySpec extends SparkSpec {
     // round 12: the CDF row (1-based embedding[..] indexing rewrite)
     "q_index_cdf",
     // round 12: phrase search (split/filter/sequence/1-based rewrites)
-    "q_text_phrase")
+    "q_text_phrase",
+    // round 13: the hybrid served from the persisted indexes — same
+    // oracle text as q_hybrid_rrf by construction
+    "q_hybrid_rrf_idx")
 
   /** The two oracle-backed queries that CANNOT round-trip through Spark
     * SQL text: their DuckDB oracles iterate via recursive UNION
