@@ -261,10 +261,14 @@ object InvertedIndex {
     val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
     clearUncommitted(spark, outDir, epoch)
     val next = epoch + 1
-    val up = upserts.select("doc_id", "text").localCheckpoint()
-    val nUp = up.count()
-    val touched = deleteIds.select("doc_id")
-      .union(up.select("doc_id")).distinct()
+    // job economy matters here: this sits on the sync loop's per-micro-
+    // batch hot path (callers pass a pinned frame — LexIndexSync's
+    // checkpointed last-state-wins), so the delta is NOT re-materialized
+    // and the touched-id union is NOT deduped (a left_semi probe side
+    // tolerates duplicates) — each avoided job is latency every epoch
+    val up = upserts.select("doc_id", "text")
+    val hasUp = !up.isEmpty
+    val touched = deleteIds.select("doc_id").union(up.select("doc_id"))
     // victims = LIVE indexed docs among the touched ids (already-dead and
     // unknown ids must not re-subtract from the stats)
     val victims = readDl(spark, outDir, epoch,
@@ -274,19 +278,20 @@ object InvertedIndex {
     val vs = victims.agg(count(lit(1)).as("n"),
       coalesce(sum("dl"), lit(0L)).as("t")).head
     val (k, sdl) = (vs.getLong(0), vs.getLong(1))
-    if (nUp == 0 && k == 0) return (0L, 0L)
+    if (!hasUp && k == 0) return (0L, 0L)
     if (k > 0)
       victims.select(col("doc_id"), lit(next).as("as_of"))
         .write.mode("overwrite").parquet(s"${delDir(outDir)}/e$next")
-    if (nUp > 0) {
+    if (hasUp) {
       val (n, t) = stageAndPromote(spark, up, outDir, next)
       writeMeta(spark, outDir, next, nDocs - k + n, tokTotal - sdl + t)
       fsOf(spark, outDir).delete(
         new org.apache.hadoop.fs.Path(s"$outDir/_index/staging/e$next"), true)
+      (n, k)
     } else {
       writeMeta(spark, outDir, next, nDocs - k, tokTotal - sdl)
+      (0L, k)
     }
-    (nUp, k)
   }
 
   /** The (doc_id, as_of) tombstone frame of committed deletes, max as_of
