@@ -1428,28 +1428,13 @@ object VectorQueries {
             InvertedIndex.build(s, docs.select("doc_id", "text"), dLex)
             val nc = IndexedLayout.write(s,
               embs.select("vec_id", "embedding"), dVec, kCells = 8)
-            val lex = InvertedIndex.idfTopK(s, dLex,
-                docs.filter(col("doc_id") < 3)
-                  .select(col("doc_id").as("q_id"), col("text")),
-                k = 10, excludeQueryDoc = true)
-              .select(col("q_id"), col("doc_id"), col("rnk").as("lrank"))
-            val vec = IndexedLayout.prunedTopK(s, dVec,
-                embs.filter(col("vec_id") < 3)
-                  .select(col("vec_id").as("q_id"),
-                    col("embedding").as("q_emb")),
-                k = 10, nprobe = nc)
-              .select(col("q_id"), col("vec_id").as("doc_id"),
-                col("rnk").as("vrank"))
-            val wf = Window.partitionBy("q_id")
-              .orderBy(col("rrf").desc, col("doc_id").asc)
-            lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
-              .withColumn("rrf", round(
-                coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
-                  coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)), 6))
-              .withColumn("rnk", row_number().over(wf))
-              .filter(col("rnk") <= 5)
-              .select("q_id", "rnk", "doc_id", "rrf")
-              .orderBy("q_id", "rnk")
+            HybridSearch.fromIndexes(s, dLex, dVec,
+              docs.filter(col("doc_id") < 3)
+                .select(col("doc_id").as("q_id"), col("text")),
+              embs.filter(col("vec_id") < 3)
+                .select(col("vec_id").as("q_id"),
+                  col("embedding").as("q_emb")),
+              k = 5, shortK = 10, nprobe = nc, excludeQueryDoc = true)
               .localCheckpoint()
           } finally {
             org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dLex))
