@@ -529,6 +529,28 @@ object IndexedLayout {
     (dirty.length, rewritten)
   }
 
+  /** Store-level statistics of a layout — the introspection surface an
+    * index store exposes (FAISS's ntotal / Lucene's segment stats): all
+    * fields are bounded aggregations (count jobs with scalar outputs),
+    * never row dumps. `deadRows` > 0 quantifies the reclaimable space
+    * [[compact]]'s `minDeadFrac` policy meters.
+    */
+  final case class LayoutStats(epoch: Int, floor: Int, maxVecId: Long,
+      cells: Long, rowsOnDisk: Long, liveRows: Long, deadRows: Long,
+      tombstonedIds: Long)
+
+  def describe(spark: SparkSession, outDir: String): LayoutStats = {
+    val (epoch, hwm) = readMeta(spark, outDir)
+    val raw = spark.read.parquet(outDir).filter(col("epoch") <= epoch)
+    val r = raw.agg(count(lit(1)).as("n"),
+      countDistinct(col("cell")).as("c")).head
+    val live = readCorpus(spark, outDir).count()
+    val tombs = readTombstones(spark, outDir, epoch)
+      .map(_.count()).getOrElse(0L)
+    LayoutStats(epoch, historyFloor(spark, outDir), hwm,
+      r.getLong(1), r.getLong(0), live, r.getLong(0) - live, tombs)
+  }
+
   /** The (q_id, cell) probe set for a query frame (q_id, q_emb): each
     * query's top-`nprobe` cells by centroid cosine. Deterministic in the
     * centroid table (ties → lowest cell).

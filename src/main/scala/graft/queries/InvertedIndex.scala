@@ -654,6 +654,28 @@ object InvertedIndex {
       .orderBy("q_id", "rnk")
   }
 
+  /** Store-level statistics of an index — the [[IndexedLayout.describe]]
+    * twin: bounded aggregations only. `deadPostings` quantifies the
+    * reclaimable space [[compact]]'s `minDeadFrac` meters; `nDocs` and
+    * `tokTotal` are the committed meta's scoring constants (already
+    * netted for deletes), re-exposed here beside the physical counts.
+    */
+  final case class IndexStats(epoch: Int, floor: Int, nDocs: Long,
+      tokTotal: Long, buckets: Long, postingsOnDisk: Long,
+      livePostings: Long, deadPostings: Long, tombstonedDocs: Long)
+
+  def describe(spark: SparkSession, outDir: String): IndexStats = {
+    val (epoch, nDocs, tokTotal) = readMeta(spark, outDir)
+    val raw = spark.read.parquet(outDir).filter(col("epoch") <= epoch)
+    val r = raw.agg(count(lit(1)).as("n"),
+      countDistinct(col("bucket")).as("b")).head
+    val tombs = readDeleted(spark, outDir, epoch)
+    val live = liveRows(raw, tombs).count()
+    IndexStats(epoch, historyFloor(spark, outDir), nDocs, tokTotal,
+      r.getLong(1), r.getLong(0), live, r.getLong(0) - live,
+      tombs.map(_.count()).getOrElse(0L))
+  }
+
   /** Plain idf-sum top-`k` over the index — the LEXICAL side of the RRF
     * hybrid (q_hybrid_rrf) served from the pruned posting buckets instead
     * of a corpus scan: same planning-time bucket pruning as [[bm25TopK]],

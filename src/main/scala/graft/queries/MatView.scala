@@ -233,6 +233,28 @@ object MatView {
       asOf: Option[Int] = None): DataFrame =
     merged(spark, outDir, asOf)._1.filter(col("mv_cnt") > 0)
 
+  /** Store-level statistics of a view — the [[IndexedLayout.describe]]
+    * family's aggregate member: `deltaDirs` is the serve-time merge width
+    * [[compact]] exists to bound, `groupsPending` counts groups whose
+    * merged count is ≤ 0 (in-flight retractions under out-of-order CDC —
+    * present but not served), and `streamEpoch` is the replay gate's
+    * high-water mark.
+    */
+  final case class ViewStats(epoch: Int, floor: Int, streamEpoch: Long,
+      deltaDirs: Int, groupsServed: Long, groupsPending: Long)
+
+  def describe(spark: SparkSession, outDir: String): ViewStats = {
+    val m = readMetaFull(spark, outDir)
+    val fs = fsOf(spark, outDir)
+    val dirs = (m.floor to m.epoch).count(i =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"${deltaDir(outDir)}/e$i")))
+    val g = merged(spark, outDir, None)._1
+      .agg(count(lit(1)).as("all"),
+        count(when(col("mv_cnt") > 0, 1)).as("served")).head
+    ViewStats(m.epoch, m.floor, m.streamEpoch, dirs,
+      g.getLong(1), g.getLong(0) - g.getLong(1))
+  }
+
   /** Consolidate floor..epoch into ONE delta dir and raise the floor to
     * it, bounding serve-time merge width under sustained churn. Crash-
     * safe at every cut: the consolidated dir is invisible until the meta
