@@ -59,11 +59,79 @@ object ZOrderLayout {
     Double.NegativeInfinity +: cuts :+ Double.PositiveInfinity
   }
 
+  import EpochStore.{clearDirsAbove, committedEpochs, CommitMarker, fsOf}
+  private def metaRoot(outDir: String) = s"$outDir/_layout/meta"
+
+  /** (committed epoch, bits, colX, colY, splitsX, splitsY) — the layout's
+    * PINNED clustering quantizer, persisted at [[write]] so [[append]]
+    * buckets deltas identically across sessions (the IndexedLayout
+    * pinned-centroid discipline on the data-layout family). Empty splits
+    * = the base was empty; the first non-empty append trains and pins
+    * them.
+    */
+  private final case class LayoutMeta(epoch: Int, bits: Int, colX: String,
+      colY: String, splitsX: Array[Double], splitsY: Array[Double])
+
+  private def writeMeta(spark: SparkSession, outDir: String,
+      m: LayoutMeta): Unit = {
+    import spark.implicits._
+    val p = s"${metaRoot(outDir)}/e${m.epoch}"
+    Seq((m.epoch, m.bits, m.colX, m.colY, m.splitsX.toSeq, m.splitsY.toSeq))
+      .toDF("epoch", "bits", "col_x", "col_y", "splits_x", "splits_y")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    fsOf(spark, p).create(
+      new org.apache.hadoop.fs.Path(p, CommitMarker), true).close()
+  }
+
+  private def readMeta(spark: SparkSession, outDir: String): LayoutMeta = {
+    val e = committedEpochs(spark, metaRoot(outDir), "z-order layout").max
+    val r = spark.read.parquet(s"${metaRoot(outDir)}/e$e").head
+    LayoutMeta(e, r.getAs[Int]("bits"),
+      r.getAs[String]("col_x"), r.getAs[String]("col_y"),
+      r.getSeq[Double](r.fieldIndex("splits_x")).toArray,
+      r.getSeq[Double](r.fieldIndex("splits_y")).toArray)
+  }
+
+  /** The one clustering pipeline both [[write]] and [[append]] run: pinned
+    * splits in, Morton-range-partitioned sorted frame out.
+    */
+  private def clustered(df: DataFrame, splitsX: Array[Double],
+      splitsY: Array[Double], bits: Int, numFiles: Int,
+      colX: String, colY: String): DataFrame = {
+    val nb = 1 << bits
+    val buck = new org.apache.spark.ml.feature.Bucketizer()
+      .setInputCols(Array("_zx", "_zy"))
+      .setOutputCols(Array("_bx", "_by"))
+      .setSplitsArray(Array(splitsX, splitsY))
+      .setHandleInvalid("keep") // nulls land in the extra top bucket …
+    def clamp(c: Column) = // … and clamp back into [0, 2^bits)
+      greatest(lit(0L), least(lit(nb - 1L), c.cast("long")))
+    buck.transform(df
+        .withColumn("_zx", col(colX).cast("double"))
+        .withColumn("_zy", col(colY).cast("double")))
+      .withColumn("_zv", zvalue(clamp(col("_bx")), clamp(col("_by")), bits))
+      .repartitionByRange(numFiles, col("_zv"))
+      .sortWithinPartitions("_zv")
+      .drop("_zx", "_zy", "_bx", "_by", "_zv")
+  }
+
+  /** Quantile boundaries of (colX, colY) over `df` — one approxQuantile
+    * (Greenwald–Khanna) pass; empty arrays on an empty frame.
+    */
+  private def trainBounds(df: DataFrame, colX: String, colY: String,
+      bits: Int): (Array[Double], Array[Double]) = {
+    val probes = (0 to (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val Array(bx, by) = df.na.drop(Seq(colX, colY))
+      .stat.approxQuantile(Array(colX, colY), probes, 0.001)
+    (bx, by)
+  }
+
   /** Write `df` z-order-clustered on (colX, colY) into `outDir` as
     * `numFiles` range-partitioned parquet files, each internally sorted
-    * by the Morton key. The helper columns are dropped before the write
-    * (projection preserves the sort), so the layout is invisible in the
-    * schema — only in the row-group statistics.
+    * by the Morton key, plus the pinned quantizer under `_layout/`
+    * (invisible to plain readers). The helper columns are dropped before
+    * the write (projection preserves the sort), so the layout is
+    * invisible in the schema — only in the row-group statistics.
     *
     * Bucket assignment is Spark ML's [[Bucketizer]] — a COMPILED binary
     * search (O(bits) compares/row). The obvious alternative, a
@@ -75,29 +143,96 @@ object ZOrderLayout {
     */
   def write(spark: SparkSession, df: DataFrame, outDir: String,
       colX: String, colY: String, bits: Int = 8, numFiles: Int = 16): Unit = {
-    val probes = (0 to (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-    val Array(bx, by) =
-      df.na.drop(Seq(colX, colY))
-        .stat.approxQuantile(Array(colX, colY), probes, 0.001)
+    val (bx, by) = trainBounds(df, colX, colY, bits)
     if (bx.isEmpty || by.isEmpty) { // empty input: nothing to cluster
-      df.write.mode("overwrite").parquet(outDir); return
+      df.write.mode("overwrite").parquet(outDir)
+      writeMeta(spark, outDir, LayoutMeta(0, bits, colX, colY,
+        Array.empty, Array.empty))
+      return
     }
-    val nb = 1 << bits
-    val buck = new org.apache.spark.ml.feature.Bucketizer()
-      .setInputCols(Array("_zx", "_zy"))
-      .setOutputCols(Array("_bx", "_by"))
-      .setSplitsArray(Array(splitsOf(bx), splitsOf(by)))
-      .setHandleInvalid("keep") // nulls land in the extra top bucket …
-    def clamp(c: Column) = // … and clamp back into [0, 2^bits)
-      greatest(lit(0L), least(lit(nb - 1L), c.cast("long")))
-    buck.transform(df
-        .withColumn("_zx", col(colX).cast("double"))
-        .withColumn("_zy", col(colY).cast("double")))
-      .withColumn("_zv", zvalue(clamp(col("_bx")), clamp(col("_by")), bits))
-      .repartitionByRange(numFiles, col("_zv"))
-      .sortWithinPartitions("_zv")
-      .drop("_zx", "_zy", "_bx", "_by", "_zv")
+    clustered(df, splitsOf(bx), splitsOf(by), bits, numFiles, colX, colY)
       .write.mode("overwrite").parquet(outDir)
+    writeMeta(spark, outDir,
+      LayoutMeta(0, bits, colX, colY, splitsOf(bx), splitsOf(by)))
+  }
+
+  /** Append `df` to a z-ordered layout as `numFiles` NEW files clustered
+    * under the PINNED quantizer — the steady-state ingest of a clustered
+    * fact table: existing files are never rewritten, the delta's files
+    * carry the same per-file Morton rectangles (so box pruning keeps
+    * working across base + delta), and only boundary DRIFT degrades the
+    * equal-mass property — [[recluster]] is the periodic answer, exactly
+    * Delta Lake's append + OPTIMIZE ZORDER division of labor. An empty
+    * base's first non-empty append trains and pins the quantizer.
+    *
+    * CRASH SAFETY, honestly bounded: the delta stages under `_layout/`
+    * and promotes under deterministic `d<K>-<i>` names with the meta
+    * marker committed LAST; a crashed attempt is rolled back by the next
+    * verb's [[clearUncommittedFiles]] and the RETRY converges to the same
+    * names. Unlike the epoch-gated stores, plain-parquet readers have no
+    * committed-epoch column to filter by — a reader racing a crashed,
+    * not-yet-retried append can see a torn delta (the manifest-less
+    * plain-parquet reality; a table format's manifest is exactly what
+    * removes this window). Single-writer, like every layout mutation.
+    * Returns rows appended.
+    */
+  def append(spark: SparkSession, df: DataFrame, outDir: String,
+      numFiles: Int = 4): Long = {
+    val m = readMeta(spark, outDir)
+    clearUncommittedFiles(spark, outDir, m.epoch)
+    clearDirsAbove(spark, metaRoot(outDir), m.epoch)
+    if (df.isEmpty) return 0L
+    val next = m.epoch + 1
+    val (sx, sy) =
+      if (m.splitsX.nonEmpty) (m.splitsX, m.splitsY)
+      else { // empty base: this delta trains the quantizer
+        val (bx, by) = trainBounds(df, m.colX, m.colY, m.bits)
+        (splitsOf(bx), splitsOf(by))
+      }
+    val staging = s"$outDir/_layout/staging/e$next"
+    clustered(df, sx, sy, m.bits, numFiles, m.colX, m.colY)
+      .write.mode("overwrite").parquet(staging)
+    val fs = fsOf(spark, outDir)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val staged = fs.listStatus(stagingPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    staged.zipWithIndex.foreach { case (f, i) =>
+      val dest = new org.apache.hadoop.fs.Path(outDir, s"d$next-$i.parquet")
+      require(fs.rename(f, dest), s"could not promote $f to $dest")
+    }
+    writeMeta(spark, outDir, m.copy(epoch = next, splitsX = sx, splitsY = sy))
+    fs.delete(stagingPath, true)
+    spark.read.parquet((0 until staged.length)
+      .map(i => s"$outDir/d$next-$i.parquet"): _*).count()
+  }
+
+  /** Delta files (`d<K>-*`) above the committed epoch — a crashed
+    * append's leftovers, removed before any verb commits a reused epoch
+    * number.
+    */
+  private def clearUncommittedFiles(spark: SparkSession, outDir: String,
+      committed: Int): Unit = {
+    val fs = fsOf(spark, outDir)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => "^d(\\d+)-".r.findFirstMatchIn(p.getName)
+          .exists(_.group(1).toInt > committed))
+        .foreach(f => require(fs.delete(f, false), s"could not clear $f"))
+  }
+
+  /** OPTIMIZE: rewrite the whole table into `destDir` as a fresh
+    * [[write]] — new boundaries absorb the appended deltas' distribution
+    * drift and the file count re-bounds. The result is a NEW table
+    * version; making it current is the caller's metastore pointer swap
+    * (the only atomic multi-file replace plain parquet offers — exactly
+    * how table formats run OPTIMIZE into fresh files + a manifest flip).
+    */
+  def recluster(spark: SparkSession, srcDir: String, destDir: String,
+      bits: Int = 8, numFiles: Int = 16): Unit = {
+    val m = readMeta(spark, srcDir)
+    write(spark, spark.read.parquet(srcDir), destDir, m.colX, m.colY,
+      bits, numFiles)
   }
 
   /** Baseline for the pruning comparison: the SAME data linear-sorted by

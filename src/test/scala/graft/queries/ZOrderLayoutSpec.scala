@@ -105,6 +105,67 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(zBox * 3 <= total, s"box surfaced $zBox of $total rows")
   }
 
+  test("append lands a pinned-quantizer delta; answers + pruning survive; recluster re-bounds") {
+    val d = tmp("zorder_append")
+    val base = li.filter(col("l_orderkey") % 2 === 0)
+    val delta = li.filter(col("l_orderkey") % 2 === 1).localCheckpoint()
+    ZOrderLayout.write(spark, base, d, "l_extendedprice", "l_orderkey",
+      numFiles = 32)
+    assert(ZOrderLayout.append(spark, delta, d, numFiles = 8) == delta.count())
+    // answers ≡ the full original table, exactly
+    val pred = col("l_extendedprice").between(10000, 20000) &&
+      col("l_orderkey") <= 300
+    assert(spark.read.parquet(d).count() == li.count())
+    assert(canon(spark.read.parquet(d).filter(pred)) == canon(li.filter(pred)))
+    // the delta landed as its own epoch-named files; the base's untouched
+    val names = new java.io.File(d).list().filter(_.endsWith(".parquet"))
+    assert(names.count(_.startsWith("d1-")) > 0 &&
+      names.count(_.startsWith("part-")) > 0)
+    // pruning still works across base + delta: the appended z-layout
+    // skips most row groups for a non-sort-column predicate where a
+    // linear layout of the same full table surfaces everything
+    val ld = tmp("zorder_append_linear")
+    ZOrderLayout.writeLinear(spark, li, ld, "l_extendedprice", numFiles = 40)
+    val yOnly = col("l_orderkey") <= 150
+    assert(scannedRows(ld, yOnly) == li.count())
+    assert(scannedRows(d, yOnly) * 2 <= li.count(),
+      s"appended layout surfaced ${scannedRows(d, yOnly)} of ${li.count()}")
+    // a crashed append (promoted files, lost marker) retries to the same
+    // names — no duplicates
+    val delta2 = delta.withColumn("l_orderkey", col("l_orderkey") + 100000L)
+      .localCheckpoint()
+    ZOrderLayout.append(spark, delta2, d)
+    val marker = java.nio.file.Paths.get(d,
+      "_layout", "meta", "e2", "_graft_committed")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    assert(ZOrderLayout.append(spark, delta2, d) == delta2.count())
+    assert(spark.read.parquet(d).count() == li.count() + delta2.count())
+    // OPTIMIZE: recluster into a fresh table version — identical answers,
+    // re-bounded file count
+    val rd = tmp("zorder_reclustered")
+    ZOrderLayout.recluster(spark, d, rd, numFiles = 16)
+    assert(canon(spark.read.parquet(rd).filter(pred)) ==
+      canon(spark.read.parquet(d).filter(pred)))
+    assert(spark.read.parquet(rd).count() == li.count() + delta2.count())
+    assert(new java.io.File(rd).list()
+      .count(_.endsWith(".parquet")) <= 16)
+  }
+
+  test("an empty base's first non-empty append trains and pins the quantizer") {
+    val d = tmp("zorder_empty_base")
+    ZOrderLayout.write(spark, li.limit(0), d, "l_extendedprice", "l_orderkey")
+    assert(ZOrderLayout.append(spark, li.limit(0), d) == 0L) // still empty: no-op
+    assert(ZOrderLayout.append(spark, li, d, numFiles = 16) == li.count())
+    val pred = col("l_extendedprice").between(10000, 20000) &&
+      col("l_orderkey") <= 300
+    assert(canon(spark.read.parquet(d).filter(pred)) == canon(li.filter(pred)))
+    // and the now-pinned quantizer takes further deltas
+    val more = li.limit(50)
+      .withColumn("l_orderkey", col("l_orderkey") + 200000L).localCheckpoint()
+    assert(ZOrderLayout.append(spark, more, d) == 50L)
+    assert(spark.read.parquet(d).count() == li.count() + 50L)
+  }
+
   test("empty and single-row inputs write without clustering machinery") {
     val d = tmp("zorder_empty")
     ZOrderLayout.write(spark, li.limit(0), d, "l_extendedprice", "l_orderkey")
