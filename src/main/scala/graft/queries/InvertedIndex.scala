@@ -620,9 +620,11 @@ object InvertedIndex {
     val bucketSet = qTok.select(bucketOf(col("token")).as("bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
     if (bucketSet.isEmpty)
-      return spark.range(0).select(col("id").as("q_id"),
-        lit(0).as("rnk"), col("id").as("doc_id"),
-        lit(0.0d).as("bm25"))
+      // derive the empty result from the INPUTS so q_id keeps the caller's
+      // type — a spark.range-built frame pinned it to Long, which would
+      // schema-mismatch a downstream union/join only in this rare branch
+      return queries.limit(0).select(col("q_id"), lit(0).as("rnk"),
+        lit(0L).as("doc_id"), lit(0.0d).as("bm25"))
     // one tombstone resolution per call, pinned and shared by the
     // postings scan AND the dl join (each would otherwise re-list and
     // re-read every per-epoch delete dir)
@@ -697,8 +699,10 @@ object InvertedIndex {
     val bucketSet = qTok.select(bucketOf(col("token")).as("bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
     if (bucketSet.isEmpty)
-      return spark.range(0).select(col("id").as("q_id"),
-        lit(0).as("rnk"), col("id").as("doc_id"))
+      // same-schema-as-main-path rule (see bm25TopK): rrfFuse full-outer-
+      // joins this frame on q_id, so the branch must keep the caller's type
+      return queries.limit(0).select(col("q_id"), lit(0).as("rnk"),
+        lit(0L).as("doc_id"))
     val tombs = readDeleted(spark, outDir, epoch).map(_.localCheckpoint())
     val post = readPostings(spark, outDir, epoch, bucketSet.toIndexedSeq,
       qTok.select("token").distinct(), tombs)

@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * rectangle bound — and therefore the pruning guarantee — survives
   * skewed columns.
   *
-  * Serving needs NO custom reader: `spark.read.parquet(dir).filter(box)`
+  * Serving needs NO custom format: `spark.read.parquet(dir).filter(box)`
   * pushes the box to parquet, whose row-group stats do the skipping —
-  * the layout is an organization contract, not a new format.
+  * the layout is an organization contract, not a new format. The engine's
+  * own verbs and catalog row read through [[read]], the committed-epoch
+  * file-list gate that hides a crashed [[append]]'s torn delta until its
+  * retry commits (what a table format's manifest provides).
   */
 object ZOrderLayout {
 
@@ -165,16 +168,17 @@ object ZOrderLayout {
     * Delta Lake's append + OPTIMIZE ZORDER division of labor. An empty
     * base's first non-empty append trains and pins the quantizer.
     *
-    * CRASH SAFETY, honestly bounded: the delta stages under `_layout/`
-    * and promotes under deterministic `d<K>-<i>` names with the meta
-    * marker committed LAST; a crashed attempt is rolled back by the next
-    * verb's [[clearUncommittedFiles]] and the RETRY converges to the same
-    * names. Unlike the epoch-gated stores, plain-parquet readers have no
-    * committed-epoch column to filter by — a reader racing a crashed,
-    * not-yet-retried append can see a torn delta (the manifest-less
-    * plain-parquet reality; a table format's manifest is exactly what
-    * removes this window). Single-writer, like every layout mutation.
-    * Returns rows appended.
+    * CRASH SAFETY: the delta stages under `_layout/` and promotes under
+    * deterministic `d<K>-<i>` names with the meta marker committed LAST;
+    * a crashed attempt is rolled back by the next verb's
+    * [[clearUncommittedFiles]] and the RETRY converges to the same names.
+    * The committed-epoch read gate is [[read]] — it keeps only base files
+    * plus `d<K ≤ committed>` deltas, so a crashed append is INVISIBLE to
+    * it until the commit (spec-pinned). A plain `spark.read.parquet`
+    * reader bypasses the gate and keeps the torn window (the
+    * manifest-less plain-parquet reality — a table format's manifest is
+    * this same file-list gate made universal). Single-writer, like every
+    * layout mutation. Returns rows appended.
     */
   def append(spark: SparkSession, df: DataFrame, outDir: String,
       numFiles: Int = 4): Long = {
@@ -206,6 +210,58 @@ object ZOrderLayout {
       .map(i => s"$outDir/d$next-$i.parquet"): _*).count()
   }
 
+  /** The COMMITTED-EPOCH read gate — the EpochStore discipline the other
+    * stores' readers already have, closing the documented torn-append
+    * window: list the table's files and keep the base (`part-*`) plus
+    * delta files `d<K>-*` whose epoch K is at or below the committed meta
+    * epoch, so a reader can never see a crashed, not-yet-retried append's
+    * partial delta. Plain `spark.read.parquet(dir)` remains available for
+    * engines that cannot run this gate (the manifest-less plain-parquet
+    * caveat stands for THEM); this reader is what the engine's own verbs
+    * and catalog row use. The explicit file list still prunes: parquet
+    * row-group stats per file are untouched, and the listing is one
+    * driver-side directory scan (file-count-sized, never row-sized).
+    */
+  def read(spark: SparkSession, outDir: String): DataFrame = {
+    val committed = readMeta(spark, outDir).epoch
+    val fs = fsOf(spark, outDir)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.endsWith(".parquet") &&
+          ("^d(\\d+)-".r.findFirstMatchIn(p.getName) match {
+            case Some(m) => m.group(1).toInt <= committed // committed deltas
+            case None => true // base files — epoch 0 by construction
+          })
+      }
+      .map(_.toString).sorted
+    if (files.isEmpty)
+      spark.read.parquet(outDir).limit(0) // empty base: schema from the dir
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Store-level statistics — the [[IndexedLayout.describe]] twin for the
+    * layout family: committed epoch, file counts by lineage (base vs
+    * committed deltas vs uncommitted leftovers a crashed append left), and
+    * the pinned quantizer's shape. Bounded work: one directory listing, no
+    * data read.
+    */
+  final case class LayoutStats(epoch: Int, baseFiles: Int,
+      deltaFiles: Int, uncommittedFiles: Int, bits: Int,
+      colX: String, colY: String, trained: Boolean)
+
+  def describe(spark: SparkSession, outDir: String): LayoutStats = {
+    val m = readMeta(spark, outDir)
+    val fs = fsOf(spark, outDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    val (delta, base) = names.partition(n => "^d(\\d+)-".r.findFirstMatchIn(n).nonEmpty)
+    val (live, orphan) = delta.partition(n =>
+      "^d(\\d+)-".r.findFirstMatchIn(n).exists(_.group(1).toInt <= m.epoch))
+    LayoutStats(m.epoch, base.length, live.length, orphan.length,
+      m.bits, m.colX, m.colY, m.splitsX.nonEmpty)
+  }
+
   /** Delta files (`d<K>-*`) above the committed epoch — a crashed
     * append's leftovers, removed before any verb commits a reused epoch
     * number.
@@ -231,7 +287,13 @@ object ZOrderLayout {
   def recluster(spark: SparkSession, srcDir: String, destDir: String,
       bits: Int = 8, numFiles: Int = 16): Unit = {
     val m = readMeta(spark, srcDir)
-    write(spark, spark.read.parquet(srcDir), destDir, m.colX, m.colY,
+    // roll back a crashed append's uncommitted d<K>-* leftovers BEFORE the
+    // full-table read — every epoch-advancing verb does; without it a torn
+    // delta would be baked permanently into the new table version instead
+    // of being cleared by the append's retry
+    clearUncommittedFiles(spark, srcDir, m.epoch)
+    clearDirsAbove(spark, metaRoot(srcDir), m.epoch)
+    write(spark, read(spark, srcDir), destDir, m.colX, m.colY,
       bits, numFiles)
   }
 
@@ -272,7 +334,7 @@ object ZOrderLayout {
           val mr = li.agg(max("l_orderkey")).head
           val okBound =
             if (mr.isNullAt(0)) 0L else math.floor(mr.getLong(0) * 0.2).toLong
-          s.read.parquet(d)
+          read(s, d) // the committed-epoch gate (≡ plain read here: epoch 0)
             .filter(col("l_extendedprice").between(10000, 20000) &&
               col("l_orderkey") <= okBound)
             .groupBy("l_suppkey")

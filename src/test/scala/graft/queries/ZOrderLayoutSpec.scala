@@ -166,6 +166,39 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(d).count() == li.count() + 50L)
   }
 
+  test("a crashed append is invisible to the committed-epoch reader; retry makes it visible; recluster rolls it back") {
+    val d = tmp("zorder_gate")
+    val base = li.filter(col("l_orderkey") % 2 === 0)
+    ZOrderLayout.write(spark, base, d, "l_extendedprice", "l_orderkey",
+      numFiles = 8)
+    val delta = li.filter(col("l_orderkey") % 2 === 1).localCheckpoint()
+    // crash the append AFTER file promotion: land the delta, then lose the
+    // epoch-1 commit marker — promoted d1-* files exist, commit does not
+    ZOrderLayout.append(spark, delta, d, numFiles = 4)
+    val marker = java.nio.file.Paths.get(d,
+      "_layout", "meta", "e1", "_graft_committed")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    // a PLAIN reader sees the torn delta (the manifest-less caveat) …
+    assert(spark.read.parquet(d).count() == li.count())
+    // … the gated reader does not: base rows only, exactly
+    assert(ZOrderLayout.read(spark, d).count() == base.count())
+    assert(canon(ZOrderLayout.read(spark, d)) == canon(base))
+    // describe() surfaces the orphan files for an operator to see
+    val st = ZOrderLayout.describe(spark, d)
+    assert(st.epoch == 0 && st.uncommittedFiles > 0 && st.deltaFiles == 0)
+    // recluster from the crashed state rolls the orphans back FIRST — the
+    // torn delta must not be baked into the new table version
+    val rd = tmp("zorder_gate_recluster")
+    ZOrderLayout.recluster(spark, d, rd, numFiles = 8)
+    assert(spark.read.parquet(rd).count() == base.count())
+    // the rollback also cleared the source's orphans; the RETRY converges
+    assert(ZOrderLayout.append(spark, delta, d, numFiles = 4) == delta.count())
+    assert(ZOrderLayout.read(spark, d).count() == li.count())
+    assert(canon(ZOrderLayout.read(spark, d)) == canon(li))
+    val st2 = ZOrderLayout.describe(spark, d)
+    assert(st2.epoch == 1 && st2.uncommittedFiles == 0 && st2.deltaFiles == 4)
+  }
+
   test("empty and single-row inputs write without clustering machinery") {
     val d = tmp("zorder_empty")
     ZOrderLayout.write(spark, li.limit(0), d, "l_extendedprice", "l_orderkey")
