@@ -419,40 +419,44 @@ object Bench {
     if (committed() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
   }
 
-  /** The graph-walk serving rate: queries/s answered by
-    * [[graft.queries.GraphSearch.beamTopK]] over a persisted
-    * [[graft.queries.KnnGraphBuild]] graph with centroid-spread entry
-    * seeds. The graph, the seed set, and the adjacency read are FIXTURE
-    * state (IndexSync maintains them in production — per-query work is
-    * the walk alone), built once untimed; the walk itself runs
-    * `passes`×, best kept (the throughput noise treatment). Relating the
-    * regimes: brute touches the whole corpus per batch, IVF reads nprobe
-    * cells, the walk scores beam×degree×iters candidates per query — the
-    * serving cost a user actually compares when picking a regime.
+  /** The graph-walk serving rate: queries/s answered by a warm
+    * [[graft.queries.GraphServing.Handle]] over a persisted
+    * [[graft.queries.KnnGraphBuild]] graph — the index-regime serving
+    * path (bucket-pruned adjacency + vector point lookups, pinned
+    * centroid seeds and walk parameters). The graph and its serving pack
+    * are FIXTURE state built once untimed and the handle opens once
+    * untimed (IndexSync + a pack refresh maintain them in production),
+    * so the timed region is EXACTLY the walk rounds — previously the
+    * per-call corpus-sized setup (adjacency closure, norm frame, count)
+    * sat inside the timer and overstated the walk's cost. Runs `passes`×,
+    * best kept (the throughput noise treatment). Relating the regimes:
+    * brute touches the whole corpus per batch, IVF reads nprobe cells,
+    * the walk reads its frontier's buckets and scores beam×degree×iters
+    * candidates per query — the serving cost a user actually compares.
     */
   private def graphsearchThroughput(spark: SparkSession, sfDir: String,
       passes: Int): Double = {
     import org.apache.spark.sql.functions.col
     val graphDir =
       java.nio.file.Files.createTempDirectory("bench_gsearch").toString
+    val packDir =
+      java.nio.file.Files.createTempDirectory("bench_gsearch_pack").toString
     val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
       .localCheckpoint()
     graft.queries.KnnGraphBuild.build(spark, e, graphDir, k = 5)
-    val seeds = graft.queries.GraphSearch.centroidSeeds(spark, e, nSeeds = 16)
-      .localCheckpoint()
-    val g = graft.queries.KnnGraphBuild.readGraph(spark, graphDir)
-      .localCheckpoint()
+    graft.queries.GraphServing.build(spark, graphDir, e, packDir)
+    val h = graft.queries.GraphServing.open(spark, packDir)
     val nQ = 200
     val q = e.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint()
     val best = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
-      val n = graft.queries.GraphSearch.beamTopK(spark, g, e, q, k = 5,
-        seeds = seeds).count()
+      val n = h.topK(q, k = 5).count()
       if (n <= 0) Double.MaxValue else (System.nanoTime() - t0) / 1e9
     }.min
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(graphDir))
+    Seq(graphDir, packDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     if (best == Double.MaxValue) -1.0 else math.round(nQ / best * 10.0) / 10.0
   }
 

@@ -174,36 +174,39 @@ object ScaleProbe {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      // fixtures (untimed): persisted k-NN graph + inverted index per dir
+      // fixtures (untimed): persisted k-NN graph + its serving pack
+      // (bucketed adjacency/vectors, pinned seeds + walk params, warm
+      // handle — the GraphServing index-regime path) + inverted index
       val fx = Seq(base, scaled).map { dir =>
         val tag = if (dir == base) "base" else s"x$factor"
         val graphDir = s"/tmp/graft_probe_graph_$tag"
+        val packDir = s"/tmp/graft_probe_gpack_$tag"
         val idxDir = s"/tmp/graft_probe_invidx_$tag"
-        Seq(graphDir, idxDir).foreach(p =>
+        Seq(graphDir, packDir, idxDir).foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
         graft.queries.KnnGraphBuild.build(spark,
           Tables.embeddings(spark, dir).select("vec_id", "embedding"),
           graphDir, k = 5)
+        graft.queries.GraphServing.build(spark, graphDir,
+          Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+          packDir, nSeeds = 32)
         graft.queries.InvertedIndex.build(spark,
           Tables.documents(spark, dir).select("doc_id", "text"), idxDir)
-        // centroid-spread entry seeds: pinned serving state, built once
-        // (32 centroids — the walk-tune sweep showed seeds cheap and
-        // mildly helpful: 0.707 vs 0.609 at the old fixed params)
-        val seeds = graft.queries.GraphSearch.centroidSeeds(spark,
-          Tables.embeddings(spark, dir).select("vec_id", "embedding"),
-          nSeeds = 32).localCheckpoint()
-        dir -> (graphDir, idxDir, seeds)
+        dir -> (graphDir, idxDir,
+          graft.queries.GraphServing.open(spark, packDir))
       }.toMap
       // fixed work per query set: replica-0 ids/texts exist identically in
-      // both dirs, so the exponent isolates corpus-size effects
+      // both dirs, so the exponent isolates corpus-size effects. The timed
+      // region is the WALK ROUNDS alone — build/open are maintenance state
+      // (the r13 form re-derived the adjacency closure + corpus norms per
+      // call and measured exponent 0.86; the pack moves that to build time
+      // and prunes each round's reads to the frontier's buckets)
       def walkOnce(dir: String): Unit = {
-        val (graphDir, _, seeds) = fx(dir)
+        val (_, _, handle) = fx(dir)
         val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
         val q = e.filter(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        graft.queries.GraphSearch.beamTopK(spark,
-          graft.queries.KnnGraphBuild.readGraph(spark, graphDir),
-          e, q, k = 5, seeds = seeds).count()
+        handle.topK(q, k = 5).count()
       }
       def bm25Once(dir: String): Unit = {
         val (_, idxDir, _) = fx(dir)
@@ -249,14 +252,11 @@ object ScaleProbe {
       // ×2 corpus (the walk-tune sweep in GraphSearch.adaptiveWalkParams'
       // scaladoc); the ceiling is the LSH graph's own edge recall
       // (knn_recall_x5 ≈ 0.955).
-      val (graphDirX, _, seedsX) = fx(scaled)
+      val (_, _, handleX) = fx(scaled)
       val eX = Tables.embeddings(spark, scaled).select("vec_id", "embedding")
       val qX = eX.filter(col("vec_id") % mod === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val walkRecallX = recallOfRows(
-        graft.queries.GraphSearch.beamTopK(spark,
-          graft.queries.KnnGraphBuild.readGraph(spark, graphDirX),
-          eX, qX, k = 5, seeds = seedsX).collect())
+      val walkRecallX = recallOfRows(handleX.topK(qX, k = 5).collect())
       require(walkRecallX >= 0.8,
         f"beam-walk recall collapsed at x$factor: $walkRecallX%.3f < 0.8")
       (rows :+ s""""graph_walk_recall_x$factor":$walkRecallX""").mkString(",")

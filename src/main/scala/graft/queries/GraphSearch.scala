@@ -7,13 +7,26 @@ import org.apache.spark.sql.functions._
 
 /** GRAPH-TRAVERSAL ANN search — the HNSW/DiskANN-family serving path over
   * the engine's persisted k-NN graph ([[KnnGraphBuild]]): queries walk
-  * the neighborhood structure instead of scanning cells, so per-query
-  * cost is beam × degree × iters candidate scorings — POLYLOGARITHMIC in
-  * corpus size, because holding a recall floor requires beam and rounds
-  * to grow with the graph's diameter (~log n, the HNSW ef/hop rule;
-  * [[adaptiveWalkParams]] has the measured operating points) — the third
-  * search regime beside the brute broadcast scan (q_sim_topk) and the
-  * IVF pruned scan (prunedTopK).
+  * the neighborhood structure instead of scanning cells. The honest cost
+  * model has TWO terms, and they scale differently:
+  *
+  *   - per-query SCORINGS: beam × degree × iters — polylogarithmic in
+  *     corpus size, because holding a recall floor requires beam and
+  *     rounds to grow with the graph's diameter (~log n, the HNSW ef/hop
+  *     rule; [[adaptiveWalkParams]] has the measured operating points);
+  *   - per-round I/O: THIS frame-based form joins the frontier into the
+  *     caller's in-memory adjacency and vector frames, and its one-shot
+  *     setup (undirected closure + norms + count) is corpus-sized — fine
+  *     for a single catalog query, WRONG for a serving deployment
+  *     (BENCH_scale measured the per-call form near-linear, exponent
+  *     0.86 at ×5). [[GraphServing]] is the index-regime fix: the
+  *     closure/norms/seeds/params are PERSISTED once per graph epoch,
+  *     and each round's reads prune to the frontier's hash buckets at
+  *     planning time — the [[InvertedIndex]] posting-bucket discipline
+  *     on the adjacency.
+  *
+  * This is the third search regime beside the brute broadcast scan
+  * (q_sim_topk) and the IVF pruned scan (prunedTopK).
   *
   * The walk is the standard greedy beam search, batched across queries
   * as dataframe rounds (the Pregel shape again): the current beam joins
@@ -50,7 +63,12 @@ object GraphSearch {
     * 0.945 ≈ the ceiling; at n = 500 (32, 4) held 0.990. Both points pin
     * the O(log n) rule below — per-query scoring work stays
     * polylogarithmic, the honest price of a constant recall target
-    * (exactly LSH's n^ρ lesson, but logarithmic).
+    * (exactly LSH's n^ρ lesson, but logarithmic). The rule DELIBERATELY
+    * overshoots at small n — at n = 500 it returns (40, 5) where the
+    * measured (32, 4) already sufficed: the fitted line passes through
+    * the ×2 failure point, and below ~n = 2,000 the extra ~25 % scoring
+    * work is the safe direction (recall can only gain), so the floors
+    * are not tuned down to graze the small-n measurement.
     */
   def adaptiveWalkParams(n: Long): (Int, Int) = {
     if (n <= 1) (32, 4)
@@ -97,27 +115,47 @@ object GraphSearch {
         .withColumn("cos_r", round(cosineWithNorms(
           col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
         .select("q_id", "vec_id", "cos_r")
+    // all queries start at the same deterministic seed set
+    val seedFrame =
+      if (seeds != null) seeds.select("vec_id")
+      else e.orderBy("vec_id").limit(entrySeeds).select("vec_id")
+    def neighbors(frontier: DataFrame): DataFrame =
+      // the beam-bounded frontier broadcasts into the adjacency scan
+      broadcast(frontier.select("q_id", "vec_id"))
+        .join(adj, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+        .distinct()
+    walk(score(q.select("q_id").crossJoin(seedFrame)),
+      neighbors, score, beamN, itersN, k)
+  }
+
+  /** The beam-walk round structure, shared by the frame-based
+    * [[beamTopK]] and the index-regime [[GraphServing.Handle.topK]] — one
+    * copy of the frontier/anti-join/truncation logic, so the two serving
+    * forms cannot drift. `seedScored` is the round-0 (q_id, vec_id,
+    * cos_r) frame; `neighbors` expands a frontier to its (q_id, vec_id)
+    * out-edges (distinct); `score` scores a (q_id, vec_id) candidate
+    * frame. Scores are computed ONCE per (query, vertex): the carried
+    * `scoredAll` checkpoint is the dedup authority, one materialization
+    * per round. Ranking keys are (round-6 cos desc, vec_id) everywhere,
+    * so the walk is deterministic across runs and partitionings.
+    */
+  private[queries] def walk(seedScored: DataFrame,
+      neighbors: DataFrame => DataFrame, score: DataFrame => DataFrame,
+      beamN: Int, itersN: Int, k: Int): DataFrame = {
     val wBeam = Window.partitionBy("q_id")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     def topBeam(scored: DataFrame): DataFrame = scored
       .withColumn("__r", row_number().over(wBeam))
       .filter(col("__r") <= beamN).drop("__r")
-    // all queries start at the same deterministic seed set
-    val seedFrame =
-      if (seeds != null) seeds.select("vec_id")
-      else e.orderBy("vec_id").limit(entrySeeds).select("vec_id")
-    var scoredAll = score(q.select("q_id").crossJoin(seedFrame))
+    var scoredAll = seedScored
       .localCheckpoint() // every (q, v) ever scored — dedup authority
     // the frontier stays LAZY over the checkpointed score set: one
     // materialization per round (the growing scoredAll), not two — the
     // beam window re-derives inside the round's own job
     var frontier = topBeam(scoredAll)
     for (_ <- 1 to itersN) {
-      // the beam-bounded frontier broadcasts into the adjacency scan
-      val fresh = broadcast(frontier.select("q_id", "vec_id"))
-        .join(adj, col("vec_id") === col("src"))
-        .select(col("q_id"), col("dst").as("vec_id"))
-        .distinct()
+      val fresh = neighbors(frontier)
         .join(scoredAll.select("q_id", "vec_id"),
           Seq("q_id", "vec_id"), "left_anti") // score once per (q, v)
       scoredAll = scoredAll.unionByName(score(fresh)).localCheckpoint()

@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INDEX-REGIME graph-walk serving — the persisted "serving pack" that
+  * turns [[GraphSearch]]'s beam walk from a scan-regime operator (the
+  * frame-based form re-derives the undirected closure, corpus norms and
+  * walk parameters per CALL, and every round joins the frontier into
+  * corpus-sized frames — measured near-linear, exponent 0.86 at ×5) into
+  * the shape the engine's other serving paths already have
+  * ([[InvertedIndex.bm25TopK]]'s pruned posting buckets, exponent −0.2;
+  * [[IndexedLayout.prunedTopK]]'s pruned cells):
+  *
+  *   - the UNDIRECTED adjacency is persisted ONCE per graph epoch,
+  *     Hive-partitioned by `hash(src) % Buckets` and sorted by `src`
+  *     inside each bucket file, WITH THE DESTINATION VECTOR COLLOCATED
+  *     ON THE EDGE ROW — the DiskANN layout (Subramanya et al., NeurIPS
+  *     2019: vectors live beside the adjacency list precisely so one hop
+  *     costs one read). A beam round is then ONE pruned scan: it reads
+  *     only the frontier's buckets (planning-time partition pruning, the
+  *     bounded driver bucket-list collect of the bm25TopK idiom) and the
+  *     candidates arrive already carrying everything scoring needs — no
+  *     second lookup, no corpus `nrmFrame`;
+  *   - entry seeds ([[GraphSearch.centroidSeeds]] — one per quantizer
+  *     centroid, reusing the graph's own pinned IVF quantizer when it
+  *     has one) are persisted WITH their vectors, and the measured
+  *     adaptive (beam, iters) operating point is pinned at build — a
+  *     serving call does no corpus count and no kmeans. [[open]] returns
+  *     a warm [[Handle]] that answers repeated query batches, the shape
+  *     a real deployment runs.
+  *
+  * Per-query cost at 100 TB: scorings stay beam × degree × iters
+  * (polylogarithmic — [[GraphSearch.adaptiveWalkParams]]); per-round I/O
+  * is the frontier's buckets of the pack — frontier-proportional, never
+  * corpus-proportional ([[Buckets]] is pinned at 16 for the fixture
+  * scale; a production pack sizes it O(corpus partitions) so a batch's
+  * frontier touches a vanishing fraction, and the src-sorted files let
+  * parquet's row-group min/max prune WITHIN a bucket too). The DiskANN
+  * collocation costs ~2k vector copies per vertex (undirected degree) —
+  * deliberate write/space amplification buying one-read hops, the same
+  * trade the paper makes on SSD.
+  *
+  * The pack is DERIVED state (rebuildable from the graph + corpus at any
+  * time); it records the graph epoch it was built from, so staleness is
+  * one [[isFresh]] check and refresh is a rebuild under the next pack
+  * epoch — the committed-epoch commit protocol of [[EpochStore]],
+  * single-writer like every store.
+  */
+object GraphServing {
+
+  /** Src-hash fan-out of the adjacency store. Fixed at write time (the
+    * pinned-quantizer analog): serving computes the same bucket with the
+    * same expression, so pruning is correct across sessions.
+    */
+  val Buckets = 16
+
+  import EpochStore.{CommitMarker, clearDirsAbove, committedEpochs, fsOf}
+
+  private def metaDir(d: String) = s"$d/meta"
+  private def adjDir(d: String, e: Int) = s"$d/adj/e$e"
+  private def seedsDir(d: String, e: Int) = s"$d/seeds/e$e"
+
+  private[queries] def bucketOfId(id: Column): Column =
+    pmod(hash(id), lit(Buckets))
+
+  /** (pack epoch, graph epoch built from, corpus size, pinned beam,
+    * pinned iters).
+    */
+  final case class ServeMeta(epoch: Int, graphEpoch: Int, n: Long,
+      beam: Int, iters: Int)
+
+  /** Build (or refresh) the serving pack for the [[KnnGraphBuild]] state
+    * at `graphDir` over its corpus `embeddings` — one corpus-sized pass
+    * per graph epoch, paid at BUILD time so serving never pays it. A new
+    * pack epoch lands under fresh dirs and flips live at the meta commit;
+    * a crashed build's leftovers roll back on the next verb (the shared
+    * [[EpochStore]] discipline). Returns the committed pack epoch.
+    */
+  def build(spark: SparkSession, graphDir: String, embeddings: DataFrame,
+      outDir: String, nSeeds: Int = 32): Int = {
+    import spark.implicits._
+    val committed =
+      if (fsOf(spark, outDir).exists(
+        new org.apache.hadoop.fs.Path(metaDir(outDir))))
+        committedEpochs(spark, metaDir(outDir), "serving pack").max
+      else -1
+    Seq(s"$outDir/adj", s"$outDir/seeds", metaDir(outDir))
+      .foreach(clearDirsAbove(spark, _, committed))
+    val next = committed + 1
+    val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
+      .localCheckpoint() // normalized once; feeds adjacency AND seeds
+    // the undirected closure — the build-time half of HNSW's
+    // bidirectional linking, computed once per graph epoch instead of
+    // once per serving call — with the DST vector collocated on the edge
+    val ranked = KnnGraphBuild.readGraph(spark, graphDir)
+    val adj = ranked
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+      .unionByName(ranked
+        .select(col("vec_id").as("src"), col("q_id").as("dst")))
+      .distinct()
+      .join(e.select(col("vec_id").as("dst"), col("embedding"), col("nrm")),
+        "dst")
+    // src-sorted inside each bucket file: at 100 TB parquet's row-group
+    // min/max on src prunes WITHIN the bucket too — a frontier id's
+    // adjacency list is a point lookup, not a bucket scan
+    adj.withColumn("bucket", bucketOfId(col("src")))
+      .repartition(Buckets, col("bucket"))
+      .sortWithinPartitions("src", "dst")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(adjDir(outDir, next))
+    // centroid-spread entry seeds, pinned WITH their vectors: the
+    // graph's own IVF quantizer when it has one (free — assignment
+    // geometry is already index state), else a fresh bounded kmeans
+    val seedIds =
+      if (KnnGraphBuild.methodOf(spark, graphDir) == "ivf")
+        GraphSearch.centroidSeeds(spark,
+          KnnGraphBuild.readCentroids(spark, graphDir), e)
+      else GraphSearch.centroidSeeds(spark, e, nSeeds)
+    e.join(seedIds.select("vec_id"), Seq("vec_id"), "left_semi")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(seedsDir(outDir, next))
+    val n = e.count()
+    val (beam, iters) = GraphSearch.adaptiveWalkParams(n)
+    val mp = s"${metaDir(outDir)}/e$next"
+    Seq((next, KnnGraphBuild.epochOf(spark, graphDir), n, beam, iters))
+      .toDF("epoch", "graph_epoch", "n", "beam", "iters")
+      .coalesce(1).write.mode("overwrite").parquet(mp)
+    fsOf(spark, mp).create(
+      new org.apache.hadoop.fs.Path(mp, CommitMarker), true).close()
+    next
+  }
+
+  def readMeta(spark: SparkSession, outDir: String): ServeMeta = {
+    val e = committedEpochs(spark, metaDir(outDir), "serving pack").max
+    val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
+    ServeMeta(r.getAs[Int]("epoch"), r.getAs[Int]("graph_epoch"),
+      r.getAs[Long]("n"), r.getAs[Int]("beam"), r.getAs[Int]("iters"))
+  }
+
+  /** The pinned entry seeds (vec_id, embedding, nrm) of the committed
+    * pack epoch.
+    */
+  def readSeeds(spark: SparkSession, outDir: String): DataFrame = {
+    val m = readMeta(spark, outDir)
+    spark.read.parquet(seedsDir(outDir, m.epoch))
+  }
+
+  /** Is the pack current against the live graph state? False after any
+    * graph delta/delete committed past the pack's build point — the
+    * maintainer's cue to [[build]] again.
+    */
+  def isFresh(spark: SparkSession, graphDir: String,
+      outDir: String): Boolean =
+    readMeta(spark, outDir).graphEpoch == KnnGraphBuild.epochOf(spark, graphDir)
+
+  /** Drop pack epochs superseded by the committed one. Returns dirs
+    * removed.
+    */
+  def vacuum(spark: SparkSession, outDir: String): Int = {
+    val cur = readMeta(spark, outDir).epoch
+    Seq(s"$outDir/adj", s"$outDir/seeds", metaDir(outDir))
+      .map { root =>
+        val fs = fsOf(spark, root)
+        (0 until cur).map(i => new org.apache.hadoop.fs.Path(s"$root/e$i"))
+          .count(p => fs.exists(p) && {
+            require(fs.delete(p, true), s"could not vacuum $p"); true
+          })
+      }.sum
+  }
+
+  /** Open the committed pack as a warm serving handle: the bucketed
+    * adjacency reader's file listing resolves once, the seed vectors
+    * (|seeds| rows) pin in memory, and every pinned parameter is in
+    * hand — repeated [[Handle.topK]] calls pay ONLY the walk rounds.
+    */
+  def open(spark: SparkSession, outDir: String): Handle = {
+    val m = readMeta(spark, outDir)
+    val adj = spark.read.parquet(adjDir(outDir, m.epoch))
+    val seedVecs = readSeeds(spark, outDir).localCheckpoint()
+    new Handle(spark, m, adj, seedVecs)
+  }
+
+  /** A warm serving session over one committed pack epoch. */
+  final class Handle private[queries] (spark: SparkSession, val meta: ServeMeta,
+      adj: DataFrame, seedVecs: DataFrame) {
+
+    /** The frontier's out-edges — candidates WITH their collocated
+      * vectors — read through the bucket-pruned adjacency: the frontier's
+      * distinct buckets are a bounded driver collect (≤ [[Buckets]] ints,
+      * the bm25TopK probeCells idiom), so the partition filter reaches
+      * the scan at PLANNING time. One pruned scan per round is the whole
+      * round's I/O. Exposed for the pruning spec (numFiles-asserted
+      * there; the serving plan hides scan metrics behind the walk's
+      * checkpoints).
+      */
+    private[queries] def prunedAdj(frontier: DataFrame): DataFrame = {
+      val bs = frontier.select(bucketOfId(col("vec_id")).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+      if (bs.isEmpty)
+        adj.limit(0).select(lit(0L).as("q_id"), col("dst").as("vec_id"),
+          col("embedding"), col("nrm"))
+      else adj.filter(col("bucket").isin(bs.map(b => b: Any): _*))
+        .join(broadcast(frontier
+          .select(col("q_id"), col("vec_id").as("src"))), "src")
+        .select(col("q_id"), col("dst").as("vec_id"),
+          col("embedding"), col("nrm"))
+        // one copy per (q, candidate): duplicates arrive via multiple
+        // frontier vertices, identical payload either way
+        .dropDuplicates("q_id", "vec_id")
+    }
+
+    /** Beam-search top-`k` — [[GraphSearch.beamTopK]]'s walk (the shared
+      * [[GraphSearch.walk]] core, so results are row-identical to the
+      * frame-based form under the pack's seeds and parameters), with
+      * each round's one read pruned to the frontier's buckets and
+      * scoring fed entirely from the collocated vectors. `beam`/`iters`
+      * default to the pack's pinned measured operating point.
+      */
+    def topK(queries: DataFrame, k: Int, beam: Int = -1,
+        iters: Int = -1): DataFrame = {
+      val beamN = if (beam > 0) beam else meta.beam
+      val itersN = if (iters >= 0) iters else meta.iters
+      val q = broadcast(queries
+        .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n")))
+      // candidates arrive as (q_id, vec_id, embedding, nrm) — scoring is
+      // a broadcast join against the query batch, no read
+      def score(cand: DataFrame): DataFrame = cand.join(q, "q_id")
+        .withColumn("cos_r", round(cosineWithNorms(
+          col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+        .select("q_id", "vec_id", "cos_r")
+      // round 0: every query scores the pinned seed vectors — no reads
+      val seedScored = score(q.select("q_id").crossJoin(
+        seedVecs.select("vec_id", "embedding", "nrm")))
+      GraphSearch.walk(seedScored, prunedAdj, score, beamN, itersN, k)
+    }
+  }
+
+  /** Store-level statistics: pinned parameters plus file counts — one
+    * listing, no data read.
+    */
+  final case class ServeStats(epoch: Int, graphEpoch: Int, n: Long,
+      beam: Int, iters: Int, adjFiles: Int, seeds: Long)
+
+  def describe(spark: SparkSession, outDir: String): ServeStats = {
+    val m = readMeta(spark, outDir)
+    val p = adjDir(outDir, m.epoch)
+    val fs = fsOf(spark, p)
+    val adjFiles = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .map(b => fs.listStatus(b).count(_.getPath.getName.endsWith(".parquet")))
+      .sum
+    ServeStats(m.epoch, m.graphEpoch, m.n, m.beam, m.iters, adjFiles,
+      readSeeds(spark, outDir).count())
+  }
+}

@@ -145,6 +145,13 @@ object KnnGraphBuild {
   def readCentroids(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(centroidsPath(stateDir(outDir)))
 
+  /** The committed epoch of the persisted graph state — what a DERIVED
+    * artifact ([[GraphServing]]'s pack) records at build time so its
+    * staleness against the live graph is checkable.
+    */
+  def epochOf(spark: SparkSession, outDir: String): Int =
+    currentEpoch(spark, stateDir(outDir))
+
   /** The persisted-build face of [[VectorQueries.knnGraphAuto]]'s
     * crossover: LSH while the adaptive bit width has headroom, IVF past
     * the clamp (recall-first constant — GraphAutoIvfThreshold's scaladoc

@@ -1011,7 +1011,13 @@ object VectorQueries {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         GraphSearch.beamTopK(s, g, e, q, k = 5)
       },
-      None),
+      None,
+      // correctness row only: ~60 % of its time is the inline LSH graph
+      // build, which q_sim_knn_graph already prices — the walk itself is
+      // priced by graphsearch_queries_per_s (warm GraphServing handle)
+      // and the graph_walk_serve scale probe, so timing this row would
+      // double-charge the catalog total for a fixture build
+      bench = false),
 
     GQuery(
       "q_sim_mmr",
