@@ -571,6 +571,46 @@ object TextQueries {
               FROM documents ORDER BY doc_id""")),
 
     GQuery(
+      "q_token_bpe",
+      (s, dir) => {
+        // SUBWORD (BPE) token counting — the unit real training-data
+        // budgets are denominated in; whitespace counts diverge from it
+        // systematically (code, rare words, agglutination), which is why
+        // q_token_count alone misprices a curriculum. The FROZEN merge
+        // table (graft.functions.BpeTokenizer.Merges — trained once on
+        // the fixture corpus, the production frozen-tokenizer shape) is
+        // applied as a literal replace chain, provably ≡ the reference
+        // Sennrich encoder (BpeTokenizerSpec, full-vocabulary pin). Scale
+        // shape: the chain runs over DISTINCT words (vocabulary-sized)
+        // and hash-joins back to the exploded corpus — per-doc work is
+        // embarrassingly parallel, the only shuffles are the distinct
+        // and the final group-by. ORACLE-EXACT: the DuckDB side replays
+        // the SAME generated replace chain (BpeTokenizer.bpeCountSql),
+        // byte-for-byte, rather than trusting the Spark encode.
+        import graft.functions.BpeTokenizer
+        val words = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        val vocab = words.select("word").distinct()
+          .withColumn("n_bpe_w", BpeTokenizer.bpeCountCol(col("word")))
+        words.join(vocab, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("ws_tokens"),
+            sum("n_bpe_w").cast("long").as("bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+                SELECT doc_id, unnest($duckToks) AS word FROM documents),
+              v AS (
+                SELECT word,
+                  ${graft.functions.BpeTokenizer.bpeCountSql("word")} AS n_bpe_w
+                FROM (SELECT DISTINCT word FROM w))
+              SELECT w.doc_id,
+                count(*) AS ws_tokens,
+                CAST(sum(v.n_bpe_w) AS BIGINT) AS bpe_tokens
+              FROM w JOIN v USING (word)
+              GROUP BY w.doc_id ORDER BY w.doc_id""")),
+
+    GQuery(
       "q_text_pii",
       (s, dir) => {
         // PII detection + redaction — the scrubbing stage every training-
