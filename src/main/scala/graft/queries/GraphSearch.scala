@@ -155,8 +155,12 @@ object GraphSearch {
     // beam window re-derives inside the round's own job
     var frontier = topBeam(scoredAll)
     for (_ <- 1 to itersN) {
+      // the scored set is queries × beam × degree × rounds-bounded (the
+      // broadcast-small query contract times polylog walk factors), so
+      // it BROADCASTS into the anti-join — the candidate side, which in
+      // the serving form carries collocated vectors, never shuffles
       val fresh = neighbors(frontier)
-        .join(scoredAll.select("q_id", "vec_id"),
+        .join(broadcast(scoredAll.select("q_id", "vec_id")),
           Seq("q_id", "vec_id"), "left_anti") // score once per (q, v)
       scoredAll = scoredAll.unionByName(score(fresh)).localCheckpoint()
       frontier = topBeam(scoredAll)

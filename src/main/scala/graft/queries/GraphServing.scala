@@ -65,6 +65,18 @@ object GraphServing {
   private[queries] def bucketOfId(id: Column): Column =
     pmod(hash(id), lit(Buckets))
 
+  /** Driver-side twin of [[bucketOfId]]: Spark's `hash()` over one LONG
+    * column is Murmur3 (x86_32) of the value with seed 42 — pinned Spark
+    * semantics (partitioned-table layouts depend on `hash()` stability),
+    * and pinned HERE by GraphServingSpec asserting driver ≡ column over
+    * the whole fixture id set. Lets a round derive its bucket list from
+    * the already-collected frontier without a second Spark job.
+    */
+  private[queries] def bucketOfIdDriver(id: Long): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+    ((h % Buckets) + Buckets) % Buckets
+  }
+
   /** (pack epoch, graph epoch built from, corpus size, pinned beam,
     * pinned iters).
     */
@@ -174,49 +186,83 @@ object GraphServing {
     * adjacency reader's file listing resolves once, the seed vectors
     * (|seeds| rows) pin in memory, and every pinned parameter is in
     * hand — repeated [[Handle.topK]] calls pay ONLY the walk rounds.
+    *
+    * `pin = true` is the RAM serving tier: the adjacency loads into
+    * cluster memory ONCE at open (the HNSW-in-RAM deployment shape —
+    * a k·n edge list with collocated vectors is cluster-cacheable far
+    * past the corpus sizes that force the disk tier), and rounds scan
+    * memory with no file I/O at all. `pin = false` (default) is the
+    * disk tier — the DiskANN shape: rounds read the frontier's buckets
+    * from the pack, pruned at planning time when the frontier is small
+    * enough for pruning to bite (see [[Handle.topK]]).
     */
-  def open(spark: SparkSession, outDir: String): Handle = {
+  def open(spark: SparkSession, outDir: String, pin: Boolean = false): Handle = {
     val m = readMeta(spark, outDir)
-    val adj = spark.read.parquet(adjDir(outDir, m.epoch))
+    val raw = spark.read.parquet(adjDir(outDir, m.epoch))
+    val adj = if (pin) raw.localCheckpoint() else raw
     val seedVecs = readSeeds(spark, outDir).localCheckpoint()
-    new Handle(spark, m, adj, seedVecs)
+    new Handle(spark, m, adj, seedVecs, pin)
   }
 
   /** A warm serving session over one committed pack epoch. */
   final class Handle private[queries] (spark: SparkSession, val meta: ServeMeta,
-      adj: DataFrame, seedVecs: DataFrame) {
+      adj: DataFrame, seedVecs: DataFrame, pinned: Boolean) {
 
     /** The frontier's out-edges — candidates WITH their collocated
-      * vectors — read through the bucket-pruned adjacency: the frontier's
-      * distinct buckets are a bounded driver collect (≤ [[Buckets]] ints,
-      * the bm25TopK probeCells idiom), so the partition filter reaches
-      * the scan at PLANNING time. One pruned scan per round is the whole
-      * round's I/O. Exposed for the pruning spec (numFiles-asserted
-      * there; the serving plan hides scan metrics behind the walk's
-      * checkpoints).
+      * vectors — read through the bucket-pruned adjacency. The frontier
+      * is COLLECTED once per round (≤ queries × beam (q_id, vec_id)
+      * pairs — both factors bounded by contract: the query batch is
+      * broadcast-small, beam is O(log n); the probeCells idiom one rung
+      * up): one job materializes it, the bucket list derives driver-side
+      * ([[bucketOfIdDriver]]) so the partition filter reaches the scan
+      * at PLANNING time with no second job, and the collected rows
+      * re-enter as a local relation for the broadcast join. One pruned
+      * scan per round is the whole round's I/O. Exposed for the pruning
+      * spec (numFiles-asserted there; the serving plan hides scan
+      * metrics behind the walk's checkpoints).
       */
     private[queries] def prunedAdj(frontier: DataFrame): DataFrame = {
-      val bs = frontier.select(bucketOfId(col("vec_id")).as("b"))
-        .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
-      if (bs.isEmpty)
+      import spark.implicits._
+      val f = frontier.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (f.isEmpty)
         adj.limit(0).select(lit(0L).as("q_id"), col("dst").as("vec_id"),
           col("embedding"), col("nrm"))
-      else adj.filter(col("bucket").isin(bs.map(b => b: Any): _*))
-        .join(broadcast(frontier
-          .select(col("q_id"), col("vec_id").as("src"))), "src")
+      else {
+        val bs = f.map(p => bucketOfIdDriver(p._2)).distinct.sorted
+        val fLocal = f.toSeq.toDF("q_id", "src")
+        adj.filter(col("bucket").isin(bs.map(b => b: Any): _*))
+          .join(broadcast(fLocal), "src")
+          .select(col("q_id"), col("dst").as("vec_id"),
+            col("embedding"), col("nrm"))
+        // duplicates (one per frontier vertex naming the candidate) ride
+        // through scoring and dedup THERE — see topK's score
+      }
+    }
+
+    /** The lazy (non-collecting) round read: the frontier broadcasts
+      * into the adjacency with NO driver materialization — the shape for
+      * a frontier that would cover (nearly) every bucket anyway, where a
+      * pruning collect would pay a job to discover it prunes nothing,
+      * and for the pinned RAM tier, where there is no file I/O to prune.
+      */
+    private def lazyAdj(frontier: DataFrame): DataFrame =
+      broadcast(frontier.select(col("q_id"), col("vec_id").as("src")))
+        .join(adj, "src")
         .select(col("q_id"), col("dst").as("vec_id"),
           col("embedding"), col("nrm"))
-        // one copy per (q, candidate): duplicates arrive via multiple
-        // frontier vertices, identical payload either way
-        .dropDuplicates("q_id", "vec_id")
-    }
 
     /** Beam-search top-`k` — [[GraphSearch.beamTopK]]'s walk (the shared
       * [[GraphSearch.walk]] core, so results are row-identical to the
       * frame-based form under the pack's seeds and parameters), with
-      * each round's one read pruned to the frontier's buckets and
-      * scoring fed entirely from the collocated vectors. `beam`/`iters`
-      * default to the pack's pinned measured operating point.
+      * scoring fed entirely from the collocated vectors and each round's
+      * one read bucket-pruned WHEN PRUNING CAN BITE: a frontier of
+      * queries × beam ids covers ~every bucket once it exceeds a few
+      * multiples of [[Buckets]], so the pruning collect runs only below
+      * that bound (a production pack sets Buckets O(corpus partitions),
+      * putting realistic query batches under it; the fixture's 16 keeps
+      * single-query batches pruned). `beam`/`iters` default to the
+      * pack's pinned measured operating point.
       */
     def topK(queries: DataFrame, k: Int, beam: Int = -1,
         iters: Int = -1): DataFrame = {
@@ -224,16 +270,26 @@ object GraphServing {
       val itersN = if (iters >= 0) iters else meta.iters
       val q = broadcast(queries
         .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n")))
+      val nQ = queries.count() // bounded by the broadcast-small contract
+      val prune = !pinned && nQ * beamN <= 4L * Buckets
       // candidates arrive as (q_id, vec_id, embedding, nrm) — scoring is
-      // a broadcast join against the query batch, no read
+      // a broadcast join against the query batch, no read. Duplicate
+      // candidate rows (one per frontier vertex naming the neighbor) are
+      // SCORED redundantly and deduped after: the cosine is cheap codegen
+      // math, and a post-score max-aggregate dedups on three scalars —
+      // where a pre-score dropDuplicates would shuffle the collocated
+      // vector arrays (measured: the array shuffle dominated the round)
       def score(cand: DataFrame): DataFrame = cand.join(q, "q_id")
         .withColumn("cos_r", round(cosineWithNorms(
           col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+        .groupBy("q_id", "vec_id")
+        .agg(max("cos_r").as("cos_r")) // duplicates carry identical cos
         .select("q_id", "vec_id", "cos_r")
       // round 0: every query scores the pinned seed vectors — no reads
       val seedScored = score(q.select("q_id").crossJoin(
         seedVecs.select("vec_id", "embedding", "nrm")))
-      GraphSearch.walk(seedScored, prunedAdj, score, beamN, itersN, k)
+      GraphSearch.walk(seedScored,
+        if (prune) prunedAdj else lazyAdj, score, beamN, itersN, k)
     }
   }
 

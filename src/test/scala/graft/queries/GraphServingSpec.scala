@@ -78,10 +78,16 @@ class GraphServingSpec extends SparkSpec {
     val adjRoot = new java.io.File(s"$sd/adj/e${m.epoch}")
     val allBuckets = adjRoot.list().count(_.startsWith("bucket="))
     assert(allBuckets == GraphServing.Buckets)
+    // the driver-side bucket function must agree with the column
+    // expression the WRITE used, for every fixture id — the coupling the
+    // collected-frontier fast path rides on
+    val idBuckets = emb.select(col("vec_id"),
+        GraphServing.bucketOfId(col("vec_id")).as("b")).collect()
+    idBuckets.foreach(r => assert(
+      GraphServing.bucketOfIdDriver(r.getLong(0)) == r.getInt(1),
+      s"driver/column bucket mismatch for id ${r.getLong(0)}"))
     // pick frontier ids that all hash into ONE bucket
-    val byBucket = emb.select(col("vec_id"),
-        GraphServing.bucketOfId(col("vec_id")).as("b"))
-      .collect().groupBy(_.getInt(1))
+    val byBucket = idBuckets.groupBy(_.getInt(1))
     val (b, ids) = byBucket.toSeq.minBy(_._1)
     import spark.implicits._
     val frontier = ids.take(2).map(r => (0L, r.getLong(0))).toSeq
