@@ -4,7 +4,7 @@ import graft.pipeline.VectorSync.VecEvent
 import graft.queries.{IndexedLayout, KnnGraphBuild}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The engine's NAMESAKE loop, end to end: a streaming CDC of vector
   * upserts/deletes keeps the PHYSICAL ANN state fresh — the cell-partitioned
@@ -159,9 +159,10 @@ object IndexSync {
   }
 
   /** Maintain the physical index state from a CDC stream — the streaming
-    * face of [[applyBatch]]. Same exactly-once shape as [[VectorSync]]:
-    * checkpointed offsets + idempotent epoch application. `compactEvery`
-    * > 0 turns on the scheduled self-repair documented above.
+    * face of [[applyBatch]] on the shared [[SyncLoop]] driver. Same
+    * exactly-once shape as [[VectorSync]]: checkpointed offsets +
+    * idempotent epoch application. `compactEvery` > 0 turns on the
+    * scheduled self-repair documented above.
     */
   def start(
       events: Dataset[VecEvent],
@@ -171,24 +172,14 @@ object IndexSync {
       triggerMs: Long = 100,
       compactEvery: Int = 0,
       compactMinDeadFrac: Double = 0.3)(
-      implicit spark: SparkSession): StreamingQuery = {
-    val applied = new java.util.concurrent.atomic.AtomicLong
-    events.writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(triggerMs))
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[VecEvent], epochId: Long) =>
-        val (nUp, nDel) = applyBatch(spark, batch, epochId, layoutDir, graphDir)
-        if (compactEvery > 0 && (nUp > 0 || nDel > 0) &&
-            applied.incrementAndGet() % compactEvery == 0) {
-          if (layoutDir != null) {
-            IndexedLayout.compact(spark, layoutDir, compactMinDeadFrac)
-            Metrics.global.inc("graft_indexsync_compactions_total")
-          }
-          if (graphDir != null) KnnGraphBuild.vacuum(spark, graphDir)
-        }
-        ()
+      implicit spark: SparkSession): StreamingQuery =
+    SyncLoop.start(events, checkpointDir, triggerMs, compactEvery)(
+      (batch, epochId) => applyBatch(spark, batch, epochId, layoutDir, graphDir)
+    ) { () =>
+      if (layoutDir != null) {
+        IndexedLayout.compact(spark, layoutDir, compactMinDeadFrac)
+        Metrics.global.inc("graft_indexsync_compactions_total")
       }
-      .start()
-  }
+      if (graphDir != null) KnnGraphBuild.vacuum(spark, graphDir)
+    }
 }

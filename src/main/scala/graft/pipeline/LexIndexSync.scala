@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.queries.InvertedIndex
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The namesake sync→index loop on the LEXICAL side: a streaming CDC of
   * document upserts/deletes keeps the persisted [[InvertedIndex]] fresh,
@@ -77,7 +77,7 @@ object LexIndexSync {
   }
 
   /** Maintain the index from a CDC stream — checkpointed offsets +
-    * idempotent epoch application, the [[IndexSync.start]] shape.
+    * idempotent epoch application on the shared [[SyncLoop]] driver.
     */
   def start(
       events: Dataset[DocEvent],
@@ -86,21 +86,11 @@ object LexIndexSync {
       triggerMs: Long = 100,
       compactEvery: Int = 0,
       compactMinDeadFrac: Double = 0.3)(
-      implicit spark: SparkSession): StreamingQuery = {
-    val applied = new java.util.concurrent.atomic.AtomicLong
-    events.writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(triggerMs))
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[DocEvent], epochId: Long) =>
-        val (nUp, nDel) = applyBatch(spark, batch, epochId, indexDir)
-        if (compactEvery > 0 && (nUp > 0 || nDel > 0) &&
-            applied.incrementAndGet() % compactEvery == 0) {
-          InvertedIndex.compact(spark, indexDir, compactMinDeadFrac)
-          Metrics.global.inc("graft_lexsync_compactions_total")
-        }
-        ()
-      }
-      .start()
-  }
+      implicit spark: SparkSession): StreamingQuery =
+    SyncLoop.start(events, checkpointDir, triggerMs, compactEvery)(
+      (batch, epochId) => applyBatch(spark, batch, epochId, indexDir)
+    ) { () =>
+      InvertedIndex.compact(spark, indexDir, compactMinDeadFrac)
+      Metrics.global.inc("graft_lexsync_compactions_total")
+    }
 }

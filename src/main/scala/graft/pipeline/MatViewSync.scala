@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.queries.MatView
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The sync→derived-store loop for AGGREGATES: a streaming CDC of base-row
   * inserts/deletes keeps a persisted [[graft.queries.MatView]] continuously
@@ -63,7 +63,7 @@ object MatViewSync {
   }
 
   /** Maintain the view from a CDC stream — checkpointed offsets plus the
-    * meta-commit replay gate, the [[IndexSync.start]] shape.
+    * meta-commit replay gate, on the shared [[SyncLoop]] driver.
     */
   def start(
       events: DataFrame,
@@ -72,21 +72,11 @@ object MatViewSync {
       triggerMs: Long = 100,
       compactEvery: Int = 0,
       opCol: String = "op")(
-      implicit spark: SparkSession): StreamingQuery = {
-    val applied = new java.util.concurrent.atomic.AtomicLong
-    events.writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(triggerMs))
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val (nIns, nRet) = applyBatch(spark, batch, epochId, viewDir, opCol)
-        if (compactEvery > 0 && (nIns > 0 || nRet > 0) &&
-            applied.incrementAndGet() % compactEvery == 0) {
-          MatView.compact(spark, viewDir)
-          Metrics.global.inc("graft_mvsync_compactions_total")
-        }
-        ()
-      }
-      .start()
-  }
+      implicit spark: SparkSession): StreamingQuery =
+    SyncLoop.start(events, checkpointDir, triggerMs, compactEvery)(
+      (batch, epochId) => applyBatch(spark, batch, epochId, viewDir, opCol)
+    ) { () =>
+      MatView.compact(spark, viewDir)
+      Metrics.global.inc("graft_mvsync_compactions_total")
+    }
 }
