@@ -125,6 +125,16 @@ object SqlParityRewrites {
     // general trailing-'g'-flag drop (Spark replaces all by default); the
     // specific forms above already consumed their matches
     """,\s*'g'\)""" -> ")",
+    // the BPE char-spacing replacement: DuckDB backreferences are \1,
+    // Java/Spark replacement backreferences are $1 (a \1 in a Java
+    // replacement is an escaped literal '1')
+    """regexp_replace\(word, '\(\.\)', ' \\1 '\)""" ->
+      """regexp_replace(word, '(.)', ' \$1 ')""",
+    // DuckDB string_split (literal separator) → split; safe here because
+    // the string_split_regex rule above already consumed the regex form,
+    // and the remaining literal separators ('  ') contain no regex
+    // metacharacters
+    """\bstring_split\(""" -> "split(",
     // 1-based arr[i] indexing into embeddings inside the cosine lambdas
     """(\w+)\.embedding\[i\]""" -> "element_at($1.embedding, CAST(i AS INT))",
     """(?<![.\w])embedding\[i\]""" -> "element_at(embedding, CAST(i AS INT))",
