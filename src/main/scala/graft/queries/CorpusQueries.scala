@@ -396,6 +396,45 @@ object CorpusQueries {
             FROM d ORDER BY doc_id""")),
 
     GQuery(
+      "q_pack_chunks_bpe",
+      (s, dir) => {
+        // q_pack_chunks with the budget denominated in SUBWORD tokens —
+        // the unit a training run actually fills (the fixture corpus runs
+        // 2.3 BPE tokens per whitespace token, so a whitespace budget
+        // misprices chunks by 2.3×). Per-doc counts ride the q_token_bpe
+        // plumbing (frozen merge chain over DISTINCT words, joined back),
+        // then the same blocked two-phase prefix sum cuts 512-subword
+        // chunks per lang. ORACLE-EXACT: the DuckDB side replays the
+        // identical generated replace chain.
+        import graft.functions.BpeTokenizer
+        val words = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("word"))
+        val vocab = words.select("word").distinct()
+          .withColumn("nb", BpeTokenizer.bpeCountCol(col("word")))
+        val d = words.join(vocab, "word")
+          .groupBy("doc_id", "lang")
+          .agg(sum("nb").cast("long").as("n_tokens"))
+        withTokensBefore(d, Seq("lang"))
+          .withColumn("chunk_id", floor(col("tokens_before") / 512.0))
+          .select("doc_id", "lang", "n_tokens", "chunk_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang,
+                unnest(${TextQueries.duckToks}) AS word FROM documents),
+              v AS (SELECT word,
+                ${graft.functions.BpeTokenizer.bpeCountSql("word")} AS nb
+                FROM (SELECT DISTINCT word FROM w)),
+              d AS (SELECT w.doc_id, w.lang,
+                CAST(sum(v.nb) AS BIGINT) AS n_tokens
+                FROM w JOIN v USING (word) GROUP BY 1, 2)
+            SELECT doc_id, lang, n_tokens,
+              CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS chunk_id
+            FROM d ORDER BY doc_id""")),
+
+    GQuery(
       "q_pack_overlap",
       (s, dir) => {
         // Sliding-window chunking with overlap — the context-window prep

@@ -88,7 +88,8 @@ class SqlParitySpec extends SparkSpec {
     "q_sample_stratified",
     "q_agg_collect", "q_agg_quantile", "q_fn_string", "q_fn_datetime",
     "q_fn_array", "q_fn_generator",
-    "q_token_count", "q_token_bpe", "q_kube_id", "q_pack_overlap", "q_text_entropy",
+    "q_token_count", "q_token_bpe", "q_pack_chunks_bpe", "q_kube_id",
+    "q_pack_overlap", "q_text_entropy",
     "q_text_quality", "q_text_fingerprint", "q_corpus_datasheet",
     "q_pack_chunks", "q_text_langid", "q_text_boilerplate",
     // round 8: the previously uncovered 38 minus the two recursive-CTE
