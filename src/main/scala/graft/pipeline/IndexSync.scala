@@ -163,6 +163,18 @@ object IndexSync {
     * exactly-once shape as [[VectorSync]]: checkpointed offsets +
     * idempotent epoch application. `compactEvery` > 0 turns on the
     * scheduled self-repair documented above.
+    *
+    * `servingPackDir` (requires BOTH store dirs) additionally refreshes
+    * the [[graft.queries.GraphServing]] pack on the same cadence: the
+    * pack is DERIVED state (one corpus-sized build per refresh — a
+    * maintenance cost, like compaction itself, never a serving-time
+    * cost), and its corpus is the LAYOUT'S live corpus, so the loop that
+    * keeps graph + layout fresh also keeps the walk's serving tier
+    * within `compactEvery` epochs of the stream — the freshness story at
+    * the third search regime's surface (GraphServingFreshnessE2eSpec).
+    * Between refreshes a reader can ask [[graft.queries.GraphServing.isFresh]].
+    * Bootstrap the pack once ([[graft.queries.GraphServing.build]]) beside
+    * the stores' own bootstraps; an already-fresh pack is skipped.
     */
   def start(
       events: Dataset[VecEvent],
@@ -171,8 +183,11 @@ object IndexSync {
       checkpointDir: String,
       triggerMs: Long = 100,
       compactEvery: Int = 0,
-      compactMinDeadFrac: Double = 0.3)(
-      implicit spark: SparkSession): StreamingQuery =
+      compactMinDeadFrac: Double = 0.3,
+      servingPackDir: String = null)(
+      implicit spark: SparkSession): StreamingQuery = {
+    require(servingPackDir == null || (layoutDir != null && graphDir != null),
+      "servingPackDir needs both layoutDir (the corpus) and graphDir (the graph)")
     SyncLoop.start(events, checkpointDir, triggerMs, compactEvery)(
       (batch, epochId) => applyBatch(spark, batch, epochId, layoutDir, graphDir)
     ) { () =>
@@ -181,5 +196,15 @@ object IndexSync {
         Metrics.global.inc("graft_indexsync_compactions_total")
       }
       if (graphDir != null) KnnGraphBuild.vacuum(spark, graphDir)
+      if (servingPackDir != null &&
+          !graft.queries.GraphServing.isFresh(spark, graphDir, servingPackDir)) {
+        graft.queries.GraphServing.build(spark, graphDir,
+          graft.queries.IndexedLayout.readCorpus(spark, layoutDir)
+            .select("vec_id", "embedding"),
+          servingPackDir)
+        graft.queries.GraphServing.vacuum(spark, servingPackDir)
+        Metrics.global.inc("graft_indexsync_pack_refreshes_total")
+      }
     }
+  }
 }
