@@ -89,6 +89,17 @@ object GraphServing {
     * pack epoch lands under fresh dirs and flips live at the meta commit;
     * a crashed build's leftovers roll back on the next verb (the shared
     * [[EpochStore]] discipline). Returns the committed pack epoch.
+    *
+    * Maintenance-cost class: a refresh rewrites the pack in full — the
+    * SAME O(n·k) per-refresh trade [[KnnGraphBuild]]'s own delta
+    * documents for its merged edge list, and the same escape hatch
+    * applies at 100 TB: append change-shard files per refresh (the
+    * changed vertices and their ≤ 2k-bounded incident srcs are known
+    * from the graph's delta) and compact on the compaction cadence,
+    * trading write amplification for a read-side merge. The refresh
+    * CADENCE is owned by the maintainer ([[graft.pipeline.IndexSync]]'s
+    * `servingPackDir` refreshes on its compactEvery), so refresh cost is
+    * amortized over many absorbed epochs, never paid per event.
     */
   def build(spark: SparkSession, graphDir: String, embeddings: DataFrame,
       outDir: String, nSeeds: Int = 32): Int = {
@@ -103,6 +114,7 @@ object GraphServing {
     val next = committed + 1
     val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
       .localCheckpoint() // normalized once; feeds adjacency AND seeds
+    val n = e.count()
     // the undirected closure — the build-time half of HNSW's
     // bidirectional linking, computed once per graph epoch instead of
     // once per serving call — with the DST vector collocated on the edge
@@ -114,10 +126,17 @@ object GraphServing {
       .distinct()
       .join(e.select(col("vec_id").as("dst"), col("embedding"), col("nrm")),
         "dst")
+      .withColumn("bucket", bucketOfId(col("src")))
+    if (n == 0)
+      // empty corpus: a zero-row partitionBy write leaves only _SUCCESS
+      // and the read-back could not infer a schema — land one
+      // schema-bearing empty file instead (bucket as a plain column; the
+      // isin filter still applies, pruning is moot on nothing)
+      adj.coalesce(1).write.mode("overwrite").parquet(adjDir(outDir, next))
     // src-sorted inside each bucket file: at 100 TB parquet's row-group
     // min/max on src prunes WITHIN the bucket too — a frontier id's
     // adjacency list is a point lookup, not a bucket scan
-    adj.withColumn("bucket", bucketOfId(col("src")))
+    else adj
       .repartition(Buckets, col("bucket"))
       .sortWithinPartitions("src", "dst")
       .write.mode("overwrite").partitionBy("bucket")
@@ -133,7 +152,6 @@ object GraphServing {
     e.join(seedIds.select("vec_id"), Seq("vec_id"), "left_semi")
       .coalesce(1)
       .write.mode("overwrite").parquet(seedsDir(outDir, next))
-    val n = e.count()
     val (beam, iters) = GraphSearch.adaptiveWalkParams(n)
     val mp = s"${metaDir(outDir)}/e$next"
     Seq((next, KnnGraphBuild.epochOf(spark, graphDir), n, beam, iters))

@@ -1020,6 +1020,41 @@ object VectorQueries {
       bench = false),
 
     GQuery(
+      "q_sim_topk_graph_idx",
+      (s, dir) => {
+        // The INDEX-REGIME form of the row above: the same walk served
+        // from the persisted GraphServing pack (bucketed adjacency with
+        // collocated vectors, pinned seeds and walk parameters) — the
+        // swap-scan-for-index demonstration q_rank_bm25_idx /
+        // q_hybrid_rrf_idx make for the lexical and hybrid paths, here
+        // for the third ANN regime. GraphServingSpec pins the pack walk
+        // row-identical to the frame-based walk under the same pinned
+        // state; this row keeps the serve-from-disk path on the
+        // correctness surface every round. Rows-only (approximate by
+        // construction, like every walk row); bench=false — the inline
+        // graph+pack build is fixture state the graph rows already
+        // price, and the walk itself is priced by
+        // graphsearch_queries_per_s / graph_walk_serve.
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .localCheckpoint()
+        val gd = java.nio.file.Files
+          .createTempDirectory("graft_gsidx_graph").toString
+        val pd = java.nio.file.Files
+          .createTempDirectory("graft_gsidx_pack").toString
+        try {
+          KnnGraphBuild.build(s, e, gd, k = 5, tables = 6)
+          GraphServing.build(s, gd, e, pd)
+          val q = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          GraphServing.open(s, pd).topK(q, k = 5)
+            .localCheckpoint() // pin the bounded result off the temp dirs
+        } finally Seq(gd, pd).foreach(d => org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(d)))
+      },
+      None,
+      bench = false),
+
+    GQuery(
       "q_sim_mmr",
       (s, dir) => {
         // MMR DIVERSITY RE-RANK (Carbonell & Goldstein '98): the re-rank
