@@ -67,6 +67,10 @@ class GraphServingSpec extends SparkSpec {
     // determinism across calls on the same handle
     assert(canon(h.topK(queries, kk)) ==
       gotRows.map(_.toSeq.mkString("|")).sorted.toSeq)
+    // and the RAM tier (pin = true) serves the identical rows — the two
+    // tiers differ only in where the adjacency bytes live
+    assert(canon(GraphServing.open(spark, sd, pin = true).topK(queries, kk)) ==
+      gotRows.map(_.toSeq.mkString("|")).sorted.toSeq)
   }
 
   test("each round reads ONLY the frontier's buckets — planning-time pruning, numFiles-asserted") {
