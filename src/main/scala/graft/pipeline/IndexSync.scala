@@ -166,9 +166,11 @@ object IndexSync {
     *
     * `servingPackDir` (requires BOTH store dirs) additionally refreshes
     * the [[graft.queries.GraphServing]] pack on the same cadence: the
-    * pack is DERIVED state (one corpus-sized build per refresh — a
-    * maintenance cost, like compaction itself, never a serving-time
-    * cost), and its corpus is the LAYOUT'S live corpus, so the loop that
+    * pack is DERIVED state (a CHANGE-PROPORTIONAL shard append per
+    * refresh — rows written bounded by the absorbed churn, folding into
+    * a full base on the pack's own foldEvery cadence — a maintenance
+    * cost, like compaction itself, never a serving-time cost), and its
+    * corpus is the LAYOUT'S live corpus, so the loop that
     * keeps graph + layout fresh also keeps the walk's serving tier
     * within `compactEvery` epochs of the stream — the freshness story at
     * the third search regime's surface (GraphServingFreshnessE2eSpec).
@@ -198,7 +200,11 @@ object IndexSync {
       if (graphDir != null) KnnGraphBuild.vacuum(spark, graphDir)
       if (servingPackDir != null &&
           !graft.queries.GraphServing.isFresh(spark, graphDir, servingPackDir)) {
-        graft.queries.GraphServing.build(spark, graphDir,
+        // change-proportional: one bucket-partitioned change shard per
+        // refresh (rows written bounded by the absorbed churn), folding
+        // into a full base every foldEvery refreshes — the pack's own
+        // escape hatch from the O(n·k) per-refresh rewrite
+        graft.queries.GraphServing.refresh(spark, graphDir,
           graft.queries.IndexedLayout.readCorpus(spark, layoutDir)
             .select("vec_id", "embedding"),
           servingPackDir)

@@ -139,10 +139,20 @@ object GraphSearch {
     * `scoredAll` checkpoint is the dedup authority, one materialization
     * per round. Ranking keys are (round-6 cos desc, vec_id) everywhere,
     * so the walk is deterministic across runs and partitionings.
+    *
+    * `resultFilter` (the filtered-walk hook, [[GraphServing.Handle]]'s
+    * allowlist form) restricts RESULT SELECTION only: it is applied to
+    * the full scored set before the final ranking, so a sparse predicate
+    * still fills k from everything the walk scored — while EXPANSION
+    * stays unfiltered (filtered-out vertices remain navigable
+    * connectivity; filtering them out of the walk itself craters recall,
+    * filtered-DiskANN's lesson). `None` ranks the final frontier — the
+    * pre-existing unfiltered plan, byte-identical.
     */
   private[queries] def walk(seedScored: DataFrame,
       neighbors: DataFrame => DataFrame, score: DataFrame => DataFrame,
-      beamN: Int, itersN: Int, k: Int): DataFrame = {
+      beamN: Int, itersN: Int, k: Int,
+      resultFilter: Option[DataFrame => DataFrame] = None): DataFrame = {
     val wBeam = Window.partitionBy("q_id")
       .orderBy(col("cos_r").desc, col("vec_id").asc)
     def topBeam(scored: DataFrame): DataFrame = scored
@@ -165,7 +175,13 @@ object GraphSearch {
       scoredAll = scoredAll.unionByName(score(fresh)).localCheckpoint()
       frontier = topBeam(scoredAll)
     }
-    frontier.filter(col("q_id") =!= col("vec_id"))
+    val pool = resultFilter match {
+      case None => frontier // the beam — the unfiltered form's plan
+      case Some(f) => f(scoredAll) // full scored set ∩ predicate: the
+      // k results must come from everything scored, not the k-bounded
+      // beam, or a sparse allowlist silently under-fills k
+    }
+    pool.filter(col("q_id") =!= col("vec_id"))
       .withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"),

@@ -152,6 +152,43 @@ object KnnGraphBuild {
   def epochOf(spark: SparkSession, outDir: String): Int =
     currentEpoch(spark, stateDir(outDir))
 
+  /** The committed epoch's directed edge list, unranked (a_id, b_id,
+    * cos_r) — the raw frame [[readGraph]] ranks. Derived-state builders
+    * ([[GraphServing]]) read THIS: they re-shape the edges anyway, so
+    * the catalog's rank window would be a wasted corpus-sized shuffle.
+    */
+  def readEdges(spark: SparkSession, outDir: String): DataFrame = {
+    val st = stateDir(outDir)
+    spark.read.parquet(edgesPath(st, readMeta(spark, st).epoch))
+  }
+
+  /** Ids churned by every epoch AFTER `sinceEpoch` up to the committed
+    * one — insertions from those epochs' signature shards, deletions
+    * from their tombstones (an upsert = delete + re-insert appears once
+    * via distinct). This is the change feed a derived artifact built at
+    * `sinceEpoch` reconciles against ([[GraphServing.refresh]]); it is
+    * change-proportional by construction — each epoch's shard holds only
+    * that delta's rows, never the corpus.
+    */
+  def changedSince(spark: SparkSession, outDir: String,
+      sinceEpoch: Int): DataFrame = {
+    val st = stateDir(outDir)
+    val meta = readMeta(spark, st)
+    require(sinceEpoch <= meta.epoch,
+      s"sinceEpoch $sinceEpoch is ahead of the committed epoch ${meta.epoch}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // sigs and tombs carry different schemas — read per dir, union ids
+    val dirs = ((sinceEpoch + 1) to meta.epoch).flatMap(i =>
+      Seq(s"$st/sigs/e$i", s"$st/tombs/e$i")).filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("vec_id"))
+    else dirs.map(p => spark.read.parquet(p).select("vec_id"))
+      .reduce(_ unionByName _).distinct()
+  }
+
   /** The persisted-build face of [[VectorQueries.knnGraphAuto]]'s
     * crossover: LSH while the adaptive bit width has headroom, IVF past
     * the clamp (recall-first constant — GraphAutoIvfThreshold's scaladoc

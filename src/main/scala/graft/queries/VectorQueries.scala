@@ -1055,6 +1055,42 @@ object VectorQueries {
       bench = false),
 
     GQuery(
+      "q_sim_topk_graph_filtered",
+      (s, dir) => {
+        // METADATA-FILTERED walk serving (filtered-DiskANN, Gollapudi et
+        // al. WWW'23): the allowlist (here: a lang predicate resolved to
+        // ids on the documents↔embeddings alignment, the
+        // q_sim_topk_filtered contract) composes at RESULT SELECTION
+        // over the walk's scored set — expansion keeps traversing
+        // filtered-out vertices, so a tenant/lang/date filter neither
+        // under-fills k (post-filterings failure) nor craters recall
+        // (expansion-filtering's). Rows-only like every walk row;
+        // GraphFilteredWalkSpec pins predicate + recall floors.
+        // bench=false: inline fixture state, the walk itself is priced
+        // by graph_walk_serve.
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .localCheckpoint()
+        val gd = java.nio.file.Files
+          .createTempDirectory("graft_gsflt_graph").toString
+        val pd = java.nio.file.Files
+          .createTempDirectory("graft_gsflt_pack").toString
+        try {
+          KnnGraphBuild.build(s, e, gd, k = 5, tables = 6)
+          GraphServing.build(s, gd, e, pd)
+          val allowed = Tables.documents(s, dir)
+            .filter(col("lang") === "en")
+            .select(col("doc_id").as("vec_id"))
+          val q = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          GraphServing.open(s, pd).topK(q, k = 5, allowedIds = allowed)
+            .localCheckpoint() // pin the bounded result off the temp dirs
+        } finally Seq(gd, pd).foreach(d => org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(d)))
+      },
+      None,
+      bench = false),
+
+    GQuery(
       "q_sim_mmr",
       (s, dir) => {
         // MMR DIVERSITY RE-RANK (Carbonell & Goldstein '98): the re-rank
@@ -1069,6 +1105,13 @@ object VectorQueries {
         // ties) and pinned EXACTLY against an independent recompute plus
         // hand-computed diversity cases in MmrSpec, but the iterative
         // set-valued selection has no SQL twin.
+        // SCALE SHAPE (the GraphServing score-on-scalars discipline): the
+        // corpus-sized scan computes cos and immediately projects to
+        // (q_id, vec_id, cos_r) SCALARS, so the rank window's exchange
+        // never shuffles the 64-float arrays; the embeddings needed for
+        // the redundancy term join back only for the ≤ 30-per-query
+        // survivors (broadcast — the corpus streams map-side).
+        // PlanQualitySpec asserts no pre-rank exchange carries the array.
         val e = Tables.embeddings(s, dir).withColumn("nrm", l2Norm(col("embedding")))
         val q = broadcast(
           e.filter(col("vec_id") < 10).select(
@@ -1076,11 +1119,15 @@ object VectorQueries {
             col("nrm").as("q_n")))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos_r").desc, col("vec_id").asc)
-        val shortlist = q.join(e, col("q_id") =!= col("vec_id"))
+        val short = q.join(e, col("q_id") =!= col("vec_id"))
           .withColumn("cos_r", round(
             cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .select("q_id", "vec_id", "cos_r") // scalars into the window
           .withColumn("srnk", row_number().over(w))
           .filter(col("srnk") <= 30)
+          .select("q_id", "vec_id", "cos_r")
+        val shortlist = broadcast(short)
+          .join(e.select("vec_id", "embedding"), "vec_id")
           .select("q_id", "vec_id", "cos_r", "embedding")
         GraphSearch.mmrRerank(s, shortlist, k = 5)
       },
@@ -1516,9 +1563,13 @@ object VectorQueries {
           .orderBy(col("cos_r").desc, col("vec_id").asc)
         val wg = Window.partitionBy("q_id")
           .orderBy(col("cos_r").desc, col("vec_id").asc)
+        // scalars-only into the windows (the q_sim_mmr discipline): the
+        // output never needs the vectors back, so the facet window's
+        // exchange carries (q_id, vec_id, lang, cos_r) — not the arrays
         q.join(corpus, col("q_id") =!= col("vec_id"))
           .withColumn("cos_r", round(
             cosineWithNorms(col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+          .select("q_id", "vec_id", "lang", "cos_r")
           .withColumn("frnk", row_number().over(wf))
           .filter(col("frnk") <= 2)
           .withColumn("rnk", row_number().over(wg))

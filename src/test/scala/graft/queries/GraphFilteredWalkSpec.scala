@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Metadata-filtered graph-walk serving (filtered-DiskANN semantics):
+  * the predicate composes at RESULT SELECTION over the walk's full
+  * scored set — expansion keeps traversing filtered-out vertices (they
+  * are the graph's connectivity), and k fills from everything scored
+  * instead of under-filling from a post-filtered beam. Pins: every
+  * result satisfies the predicate, k fills, recall ≥ 0.8 vs the
+  * filtered BRUTE oracle, determinism, and the sparse-allowlist case
+  * where post-filtering the k-bounded beam would visibly under-fill.
+  */
+class GraphFilteredWalkSpec extends SparkSpec {
+
+  private val kk = 5
+
+  private def emb = graft.Tables.embeddings(spark, sf001)
+    .select("vec_id", "embedding")
+
+  private def queries = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  private def tmp(p: String) = {
+    val d = java.nio.file.Files.createTempDirectory(p).toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    d
+  }
+
+  private lazy val handle: GraphServing.Handle = {
+    val gd = tmp("gfw_graph")
+    val pd = tmp("gfw_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, pd)
+    GraphServing.open(spark, pd)
+  }
+
+  /** Exact filtered top-k: brute cosine restricted to the allowlist. */
+  private def filteredBrute(pred: org.apache.spark.sql.Column)
+      : Map[Long, Set[Long]] = {
+    val e = emb.filter(pred).withColumn("nrm",
+      graft.functions.VectorFunctions.l2Norm(col("embedding")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    broadcast(queries.withColumn("q_n",
+        graft.functions.VectorFunctions.l2Norm(col("q_emb"))))
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(graft.functions.VectorFunctions.cosineWithNorms(
+        col("q_emb"), col("embedding"), col("q_n"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kk)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+  }
+
+  private def recallOf(rows: Array[org.apache.spark.sql.Row],
+      truth: Map[Long, Set[Long]]): Double = {
+    val gotBy = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val per = truth.map { case (q, t) =>
+      gotBy.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    per.sum / per.size
+  }
+
+  test("every result satisfies the predicate, k fills, recall holds vs the filtered brute oracle") {
+    val pred = col("vec_id") % 3 === 0
+    val allowed = emb.filter(pred).select("vec_id")
+    val res = handle.topK(queries, kk, allowed)
+    val rows = res.collect()
+    assert(rows.forall(_.getLong(2) % 3 == 0), "a result escaped the allowlist")
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == kk),
+      "k must fill — the selection ranks the full scored set, not the beam")
+    val rec = recallOf(rows, filteredBrute(pred))
+    info(f"filtered-walk recall@$kk = $rec%.3f (allowlist = 1/3 of corpus)")
+    assert(rec >= 0.8, f"filtered recall $rec%.3f < 0.8")
+    // deterministic across calls on the same handle
+    assert(canon(handle.topK(queries, kk, allowed)) ==
+      rows.map(_.toSeq.mkString("|")).sorted.toSeq)
+  }
+
+  test("a SPARSE allowlist fills k and holds the floor at the widened beam — the filtered search-width rule") {
+    // ~7% of the corpus: the walk's beam (top-32+ per query) holds few
+    // allowed ids, but the full scored set holds plenty — the
+    // filtered-DiskANN failure mode this API exists to avoid. At the
+    // PINNED beam the measured recall here is ~0.77 (a sparse filter
+    // leaves ~f of the scored mass eligible); the widened beam is the
+    // documented sparse-filter operating point (DiskANN's larger-L rule)
+    val pred = col("vec_id") % 15 === 1
+    val allowed = emb.filter(pred).select("vec_id")
+    val nAllowed = allowed.count()
+    assert(nAllowed >= kk, s"fixture too small: $nAllowed allowed")
+    val rows = handle.topK(queries, kk, allowed,
+      beam = 2 * handle.meta.beam, iters = -1).collect()
+    assert(rows.forall(_.getLong(2) % 15 == 1))
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == kk),
+      "sparse allowlist under-filled k")
+    val rec = recallOf(rows, filteredBrute(pred))
+    info(f"sparse filtered-walk recall@$kk = $rec%.3f ($nAllowed allowed, 2x beam)")
+    assert(rec >= 0.8, f"sparse filtered recall $rec%.3f < 0.8 at 2x beam")
+    // and the pinned beam DOES degrade — the widening knob earns its
+    // existence (if this ever rises above the floor, tighten the doc)
+    val recPinned = recallOf(handle.topK(queries, kk, allowed).collect(),
+      filteredBrute(pred))
+    info(f"sparse at pinned beam = $recPinned%.3f")
+    assert(recPinned <= rec + 1e-9)
+  }
+
+  test("an unfiltered call is unchanged by the filtered API's existence") {
+    // the None path ranks the beam exactly as before — parity with the
+    // frame-based walk is GraphServingSpec's pin; here just determinism
+    // that the overload resolution picked the right form
+    val a = canon(handle.topK(queries, kk))
+    val b = canon(handle.topK(queries, kk, beam = -1, iters = -1))
+    assert(a == b)
+  }
+}

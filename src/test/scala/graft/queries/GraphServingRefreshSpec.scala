@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The change-proportional pack refresh: one bucket-partitioned change
+  * shard per refresh instead of an O(n·k) base rewrite. Pins
+  *   - shard-refresh ≡ full rebuild, ROW FOR ROW, across insert +
+  *     delete + upsert churn (the KnnGraphBuildSpec delta ≡ rebuild
+  *     pattern lifted to the derived store);
+  *   - rows WRITTEN are churn-sized, metered against the base;
+  *   - deleted vertices are tombstoned by the shard's src claims (zero
+  *     rows under a claiming epoch) and never serve again;
+  *   - the fold: at foldEvery the refresh rewrites a full base and the
+  *     superseded shards vacuum away.
+  */
+class GraphServingRefreshSpec extends SparkSpec {
+
+  private val kk = 5
+
+  private def emb = graft.Tables.embeddings(spark, sf001)
+    .select("vec_id", "embedding")
+
+  private def queries(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  private def tmp(p: String) = {
+    val d = java.nio.file.Files.createTempDirectory(p).toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    d
+  }
+
+  private def served(pd: String): org.apache.spark.sql.DataFrame =
+    GraphServing.servedAdj(spark, pd, GraphServing.readMeta(spark, pd))
+      .select("src", "dst", "embedding", "nrm")
+
+  /** Apply the shared churn script to a freshly-built graph at `gd`:
+    * 6 inserts, 2 deletes, 1 upsert — four graph epochs. Returns the
+    * live corpus after the churn.
+    */
+  private def churn(gd: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ins = emb.orderBy("vec_id").limit(6)
+      .withColumn("vec_id", col("vec_id") + 100000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, ins, gd) // e1
+    KnnGraphBuild.deleteVecs(spark, Seq(3L, 7L).toDF("vec_id"), gd) // e2
+    // upsert = delete + re-insert with a genuinely new direction
+    KnnGraphBuild.deleteVecs(spark, Seq(11L).toDF("vec_id"), gd) // e3
+    val v11 = emb.filter(col("vec_id") === 11L)
+      .head.getSeq[Float](1).zipWithIndex
+      .map { case (x, i) => if (i % 2 == 0) x else -x }
+    val up11 = Seq((11L, v11)).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
+      .localCheckpoint()
+    KnnGraphBuild.delta(spark, up11, gd) // e4
+    emb.filter(!col("vec_id").isin(3L, 7L, 11L))
+      .unionByName(ins).unionByName(up11).localCheckpoint()
+  }
+
+  test("one shard absorbs insert + delete + upsert churn, row-identical to a full rebuild, churn-sized writes") {
+    val gd = tmp("gsr_graph")
+    val pdA = tmp("gsr_packA")
+    val pdB = tmp("gsr_packB")
+    KnnGraphBuild.build(spark, emb, gd, k = kk) // graph e0
+    GraphServing.build(spark, gd, emb, pdA) // pack base e0
+    val baseRows = spark.read.parquet(s"$pdA/adj/e0").count()
+    val live = churn(gd)
+    assert(!GraphServing.isFresh(spark, gd, pdA))
+
+    // ONE refresh reconciles all four graph epochs into one shard
+    assert(GraphServing.refresh(spark, gd, live, pdA) == 1)
+    assert(GraphServing.isFresh(spark, gd, pdA))
+    // the independent full rebuild over the same graph + corpus
+    GraphServing.build(spark, gd, live, pdB)
+
+    // the SERVED ADJACENCY is row-identical — adjacency, collocated
+    // vectors, norms; this is the store-level equivalence every walk
+    // rides on
+    assert(canon(served(pdA)) == canon(served(pdB)),
+      "shard-refreshed pack diverged from the full rebuild")
+    // and so are the walks, both tiers
+    val q = queries(live)
+    val want = canon(GraphServing.open(spark, pdB).topK(q, kk))
+    assert(canon(GraphServing.open(spark, pdA).topK(q, kk)) == want)
+    assert(canon(GraphServing.open(spark, pdA, pin = true).topK(q, kk)) == want)
+
+    // churn metering: the shard's rows are the churned neighborhoods,
+    // not the corpus — the receipt that refresh writes are
+    // change-proportional (base here is ~600 vertices × ~2k rows)
+    val shardRows = spark.read.parquet(s"$pdA/adj/e1").count()
+    info(s"shard rows = $shardRows of base $baseRows")
+    assert(shardRows > 0 && shardRows < baseRows / 3,
+      s"shard must be churn-sized: $shardRows vs base $baseRows")
+    // the claim list tombstones the dead and claims the new
+    val claimed = spark.read.parquet(s"$pdA/srcs/e1")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(3L, 7L).subsetOf(claimed), "dead ids must be claimed (tombstoned)")
+    val servedIds = served(pdA).select("src").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!servedIds(3L) && !servedIds(7L), "deleted vertices must not serve")
+    assert(servedIds(100000L) && servedIds(11L), "inserted/upserted ids must serve")
+
+    // a second refresh with no graph change is a no-op
+    assert(GraphServing.refresh(spark, gd, live, pdA) == 1)
+    // describe sees the shard
+    val st = GraphServing.describe(spark, pdA)
+    assert(st.base == 0 && st.epoch == 1 && st.shards == 1)
+  }
+
+  test("foldEvery folds shards back into a full base; vacuum drops the superseded epochs") {
+    import spark.implicits._
+    val gd = tmp("gsrf_graph")
+    val pd = tmp("gsrf_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, pd)
+    // round 1: churn + refresh → shard (foldEvery = 2 leaves room for 1)
+    val ins1 = emb.orderBy("vec_id").limit(3)
+      .withColumn("vec_id", col("vec_id") + 200000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, ins1, gd)
+    val live1 = emb.unionByName(ins1).localCheckpoint()
+    GraphServing.refresh(spark, gd, live1, pd, foldEvery = 2)
+    assert(GraphServing.describe(spark, pd).shards == 1)
+    // round 2: the pack is at the fold bound — this refresh REBUILDS
+    KnnGraphBuild.deleteVecs(spark, Seq(5L).toDF("vec_id"), gd)
+    val live2 = live1.filter(col("vec_id") =!= 5L).localCheckpoint()
+    GraphServing.refresh(spark, gd, live2, pd, foldEvery = 2)
+    val st = GraphServing.describe(spark, pd)
+    assert(st.epoch == 2 && st.base == 2 && st.shards == 0,
+      s"fold must rewrite a full base, got $st")
+    // folded state ≡ an independent rebuild
+    val pdB = tmp("gsrf_packB")
+    GraphServing.build(spark, gd, live2, pdB)
+    assert(canon(served(pd)) == canon(served(pdB)))
+    // vacuum drops the pre-fold epochs (adj e0 e1, srcs e1, seeds/meta e0 e1)
+    assert(GraphServing.vacuum(spark, pd) == 7)
+    val q = queries(live2)
+    assert(canon(GraphServing.open(spark, pd).topK(q, kk)) ==
+      canon(GraphServing.open(spark, pdB).topK(q, kk)))
+  }
+}

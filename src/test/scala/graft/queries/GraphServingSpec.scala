@@ -86,9 +86,9 @@ class GraphServingSpec extends SparkSpec {
     // expression the WRITE used, for every fixture id — the coupling the
     // collected-frontier fast path rides on
     val idBuckets = emb.select(col("vec_id"),
-        GraphServing.bucketOfId(col("vec_id")).as("b")).collect()
+        GraphServing.bucketOfId(col("vec_id"), m.buckets).as("b")).collect()
     idBuckets.foreach(r => assert(
-      GraphServing.bucketOfIdDriver(r.getLong(0)) == r.getInt(1),
+      GraphServing.bucketOfIdDriver(r.getLong(0), m.buckets) == r.getInt(1),
       s"driver/column bucket mismatch for id ${r.getLong(0)}"))
     // pick frontier ids that all hash into ONE bucket
     val byBucket = idBuckets.groupBy(_.getInt(1))
@@ -111,6 +111,30 @@ class GraphServingSpec extends SparkSpec {
       Set("q_id", "vec_id", "embedding", "nrm"))
     assert(scans(pruned.queryExecution.executedPlan).length == 1,
       "a round must be ONE pruned file scan")
+  }
+
+  test("the fan-out is PACK state, not the code's constant — a non-default pack serves and prunes by its own meta") {
+    // the pinned-quantizer discipline applied to the layout parameter: a
+    // pack built under fan-out 5 must keep pruning correctly even though
+    // the compile-time default is 16 — a changed default must never
+    // mis-prune a pre-existing pack (silently dropped candidates)
+    val gd = tmp("gserve_graph5")
+    val sd = tmp("gserve_pack5")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, sd, buckets = 5)
+    val m = GraphServing.readMeta(spark, sd)
+    assert(m.buckets == 5 && GraphServing.Buckets == 16)
+    assert(new java.io.File(s"$sd/adj/e${m.epoch}")
+      .list().count(_.startsWith("bucket=")) == 5)
+    // row-identical to the frame-based walk — the fan-out changes the
+    // layout, never the answer
+    val h = GraphServing.open(spark, sd)
+    val want = GraphSearch.beamTopK(spark,
+      KnnGraphBuild.readGraph(spark, gd), emb, queries, kk,
+      seeds = GraphServing.readSeeds(spark, sd))
+    assert(canon(h.topK(queries, kk)) == canon(want),
+      "non-default fan-out pack diverged from the frame-based walk")
+    assert(GraphServing.describe(spark, sd).buckets == 5)
   }
 
   test("staleness is detectable, refresh advances the pack epoch, vacuum drops the old one") {

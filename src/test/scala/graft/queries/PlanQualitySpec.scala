@@ -249,6 +249,39 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q_sim_mmr and q_sim_topk_diverse rank on SCALARS — no window operator sees the embedding arrays") {
+    // the shortlist/facet ranks run over (q_id, vec_id, cos_r[, lang])
+    // projections; the 64-float arrays join back only for the bounded
+    // survivors (mmr) or never (diverse). A window whose input carries
+    // `embedding` means the corpus-sized pre-rank exchange shuffles
+    // arrays again — the measured ×5 exponent-0.65 regression this
+    // projection discipline fixed.
+    def rankers(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p.getClass.getSimpleName match {
+        case n if n.contains("Window") || n.contains("TopKPerKey") => Seq(p)
+        case _ => Seq.empty
+      }
+      self ++ p.children.flatMap(rankers) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          rankers(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          rankers(s.plan)
+        case _ => Seq.empty
+      })
+    }
+    for (q <- Seq("q_sim_mmr", "q_sim_topk_diverse")) {
+      val exec = graft.SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan
+      val rs = rankers(exec)
+      assert(rs.nonEmpty, s"$q: no rank operator found:\n${exec.toString.take(2000)}")
+      rs.foreach { r =>
+        assert(!r.children.exists(_.output.exists(_.name == "embedding")),
+          s"$q: a rank operator's input carries the embedding array:\n$r")
+      }
+    }
+  }
+
   test("the z-ordered layout's serving scan carries the 2-D box as pushed filters") {
     // (q_layout_zorder itself returns a pinned checkpoint, so the guard
     // drives the layout directly — same read path as the catalog row)
