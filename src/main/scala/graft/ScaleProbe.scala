@@ -192,7 +192,7 @@ object ScaleProbe {
           packDir, nSeeds = 32)
         graft.queries.InvertedIndex.build(spark,
           Tables.documents(spark, dir).select("doc_id", "text"), idxDir)
-        dir -> (graphDir, idxDir,
+        dir -> (graphDir, packDir, idxDir,
           graft.queries.GraphServing.open(spark, packDir))
       }.toMap
       // fixed work per query set: replica-0 ids/texts exist identically in
@@ -202,14 +202,14 @@ object ScaleProbe {
       // call and measured exponent 0.86; the pack moves that to build time
       // and prunes each round's reads to the frontier's buckets)
       def walkOnce(dir: String): Unit = {
-        val (_, _, handle) = fx(dir)
+        val (_, _, _, handle) = fx(dir)
         val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
         val q = e.filter(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         handle.topK(q, k = 5).count()
       }
       def bm25Once(dir: String): Unit = {
-        val (_, idxDir, _) = fx(dir)
+        val (_, _, idxDir, _) = fx(dir)
         val q = Tables.documents(spark, dir).filter(col("doc_id") < 3)
           .select(col("doc_id").as("q_id"), col("text"))
         graft.queries.InvertedIndex.bm25TopK(spark, idxDir, q, k = 10,
@@ -252,14 +252,56 @@ object ScaleProbe {
       // ×2 corpus (the walk-tune sweep in GraphSearch.adaptiveWalkParams'
       // scaladoc); the ceiling is the LSH graph's own edge recall
       // (knn_recall_x5 ≈ 0.955).
-      val (_, _, handleX) = fx(scaled)
+      val (_, _, _, handleX) = fx(scaled)
       val eX = Tables.embeddings(spark, scaled).select("vec_id", "embedding")
       val qX = eX.filter(col("vec_id") % mod === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val walkRecallX = recallOfRows(handleX.topK(qX, k = 5).collect())
       require(walkRecallX >= 0.8,
         f"beam-walk recall collapsed at x$factor: $walkRecallX%.3f < 0.8")
-      (rows :+ s""""graph_walk_recall_x$factor":$walkRecallX""").mkString(",")
+      // round 15: PACK MAINTENANCE priced beside pack serving — refresh
+      // is now a change-shard append, so the receipt is twofold: the
+      // seconds exponent of a FIXED 200-vector churn absorbed at both
+      // scales (the remaining corpus terms are scalar-only reads: the
+      // edge-list hops, the seed assign pass, the corpus count), and the
+      // rows WRITTEN, which must track the churn, not the corpus — the
+      // base-rewrite form this replaced wrote base_rows every refresh.
+      // Runs LAST: it mutates the fixture graphs the other probes read.
+      val refreshRow = {
+        def probe(dir: String): (Double, Long, Long) = {
+          val (graphDir, packDir, _, _) = fx(dir)
+          val e0 = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+          // fixed-work churn: replica-0 low ids exist identically in both
+          // dirs; the sign mask (seed family far outside every in-use
+          // plane family, see replicaEmb) makes the directions novel
+          val mask = typedLit(graft.functions.VectorFunctions
+            .lshPlane(2000000, 64).map(_.toFloat))
+          val delta = e0.orderBy("vec_id").limit(200)
+            .withColumn("vec_id", col("vec_id") + 500000000L)
+            .withColumn("embedding",
+              zip_with(col("embedding"), mask, (x, s) => (x * s).cast("float")))
+            .localCheckpoint()
+          graft.queries.KnnGraphBuild.delta(spark, delta, graphDir) // untimed: graph maintenance, priced by indexsync
+          val live = e0.unionByName(delta)
+          val t0 = System.nanoTime()
+          graft.queries.GraphServing.refresh(spark, graphDir, live, packDir)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val m = graft.queries.GraphServing.readMeta(spark, packDir)
+          (sec,
+            spark.read.parquet(s"$packDir/adj/e${m.epoch}").count(),
+            spark.read.parquet(s"$packDir/adj/e${m.base}").count())
+        }
+        val (tB, sB, bB) = probe(base)
+        val (tX, sX, bX) = probe(scaled)
+        val exp = math.log(tX / tB) / math.log(factor.toDouble)
+        s""""pack_refresh":{"churn":200,"sec_sf01":${math.rint(tB * 1000) / 1000},""" +
+          s""""sec_x$factor":${math.rint(tX * 1000) / 1000},""" +
+          s""""exponent":${math.rint(exp * 100) / 100},""" +
+          s""""shard_rows_sf01":$sB,"base_rows_sf01":$bB,""" +
+          s""""shard_rows_x$factor":$sX,"base_rows_x$factor":$bX}"""
+      }
+      (rows :+ refreshRow :+
+        s""""graph_walk_recall_x$factor":$walkRecallX""").mkString(",")
     }
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
       s""""knn_recall_x$factor":$knnRecallX,""" +

@@ -140,6 +140,13 @@ class SqlParitySpec extends SparkSpec {
     val stale = (verbatim.toSet ++ translated.toSet) -- SparkEntry.oracleSql.keySet
     assert(stale.isEmpty,
       s"parity lists name queries with no oracle: ${stale.toSeq.sorted.mkString(", ")}")
+    // the catalog's headline counts, pinned HERE so the docs that quote
+    // them (COVERAGE.md, the verify skill) cannot silently drift — a new
+    // row must bump this assertion alongside the docs (VERDICT r14 #5)
+    assert(SparkEntry.queries.size == 138,
+      s"catalog is ${SparkEntry.queries.size} queries — update this pin AND the counts in COVERAGE.md / .claude/skills/verify/SKILL.md")
+    assert(SparkEntry.oracleSql.size == 128,
+      s"oracle-backed count is ${SparkEntry.oracleSql.size} — update this pin AND the quoted docs")
   }
 
   test("verbatim oracle SQL ≡ DataFrame form, query by query") {
