@@ -112,6 +112,106 @@ class GraphServingRefreshSpec extends SparkSpec {
     assert(st.base == 0 && st.epoch == 1 && st.shards == 1)
   }
 
+  test("an IVF-method graph refreshes through the same shard path, row-identical to its rebuild") {
+    import spark.implicits._
+    val gd = tmp("gsri_graph")
+    val pdA = tmp("gsri_packA")
+    val pdB = tmp("gsri_packB")
+    // pinned-quantizer method: deltas assign under the stored centroids,
+    // changedSince reads the same sigs/tombs shards — the refresh is
+    // method-blind by construction; this pins it
+    KnnGraphBuild.buildIvf(spark, emb, gd, k = kk, nprobe = 3)
+    GraphServing.build(spark, gd, emb, pdA)
+    val ins = emb.orderBy("vec_id").limit(4)
+      .withColumn("vec_id", col("vec_id") + 300000L).localCheckpoint()
+    KnnGraphBuild.deltaIvf(spark, ins, gd)
+    KnnGraphBuild.deleteVecs(spark, Seq(2L).toDF("vec_id"), gd)
+    val live = emb.filter(col("vec_id") =!= 2L).unionByName(ins).localCheckpoint()
+    GraphServing.refresh(spark, gd, live, pdA)
+    GraphServing.build(spark, gd, live, pdB)
+    assert(canon(served(pdA)) == canon(served(pdB)),
+      "IVF-method shard refresh diverged from the full rebuild")
+    val q = queries(live)
+    assert(canon(GraphServing.open(spark, pdA).topK(q, kk)) ==
+      canon(GraphServing.open(spark, pdB).topK(q, kk)))
+  }
+
+  test("a crashed refresh's uncommitted shard rolls back; the retry serves correctly") {
+    import spark.implicits._
+    val gd = tmp("gsrc_graph")
+    val pd = tmp("gsrc_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, pd)
+    val ins = emb.orderBy("vec_id").limit(3)
+      .withColumn("vec_id", col("vec_id") + 400000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, ins, gd)
+    val live = emb.unionByName(ins).localCheckpoint()
+    // hand-build the crash state: a refresh died AFTER landing shard data
+    // but BEFORE the meta commit — poison rows that a resurrecting reader
+    // would serve. The committed view must not see them, and the retry
+    // must clear them (EpochStore.clearDirsAbove on entry).
+    Seq((-99L, -98L)).toDF("src", "dst")
+      .write.parquet(s"$pd/adj/e1")
+    Seq(Tuple1(-99L)).toDF("src").write.parquet(s"$pd/srcs/e1")
+    val before = GraphServing.readMeta(spark, pd)
+    assert(before.epoch == 0, "uncommitted shard must be invisible")
+    GraphServing.refresh(spark, gd, live, pd)
+    val ids = served(pd).select("src").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids(-99L), "poison row resurrected past the rollback")
+    assert(ids(400000L), "retried refresh must serve the churn")
+    // and the retried state ≡ a rebuild
+    val pdB = tmp("gsrc_packB")
+    GraphServing.build(spark, gd, live, pdB)
+    assert(canon(served(pd)) == canon(served(pdB)))
+  }
+
+  test("bucket pruning survives the base+shard merge — a round reads only the frontier's buckets of every live epoch") {
+    import spark.implicits._
+    val gd = tmp("gsrp_graph")
+    val pd = tmp("gsrp_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, pd)
+    val ins = emb.orderBy("vec_id").limit(3)
+      .withColumn("vec_id", col("vec_id") + 600000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, ins, gd)
+    GraphServing.refresh(spark, gd, emb.unionByName(ins), pd)
+    val m = GraphServing.readMeta(spark, pd)
+    assert(m.epoch > m.base, "fixture must carry a live shard")
+    val h = GraphServing.open(spark, pd)
+    // one-bucket frontier: every live epoch dir contributes only that
+    // bucket's files — the isin filter pushes through the union and the
+    // broadcast claim join down to each scan
+    val id = emb.orderBy("vec_id").limit(1).head.getLong(0)
+    val b = GraphServing.bucketOfIdDriver(id, m.buckets)
+    val pruned = h.prunedAdj(Seq((0L, id)).toDF("q_id", "vec_id"))
+    pruned.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val adjScans = scans(pruned.queryExecution.executedPlan)
+      .filter(_.metrics.contains("numFiles"))
+      .filter(_.schema.fieldNames.contains("dst"))
+    assert(adjScans.nonEmpty)
+    val read = adjScans.map(_.metrics("numFiles").value).sum
+    def filesIn(e: Int) = {
+      val d = new java.io.File(s"$pd/adj/e$e/bucket=$b")
+      if (d.isDirectory) d.list().count(_.endsWith(".parquet")) else 0
+    }
+    val expect = (m.base to m.epoch).map(filesIn).sum
+    val total = (m.base to m.epoch).map { e =>
+      val root = new java.io.File(s"$pd/adj/e$e")
+      root.list().filter(_.startsWith("bucket=")).map(bd =>
+        new java.io.File(root, bd).list().count(_.endsWith(".parquet"))).sum
+    }.sum
+    assert(read == expect && read < total,
+      s"merged read must stay pruned: read $read, bucket files $expect, store files $total")
+  }
+
   test("foldEvery folds shards back into a full base; vacuum drops the superseded epochs") {
     import spark.implicits._
     val gd = tmp("gsrf_graph")
