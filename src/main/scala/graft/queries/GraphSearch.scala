@@ -291,6 +291,28 @@ object GraphSearch {
     mmrRerank(spark, shortlist, k, lambda)
   }
 
+  /** MMR over the GRAPH-WALK regime: the shortlist comes from a warm
+    * [[GraphServing.Handle]] (pruned pack reads at the pinned operating
+    * point) instead of the brute scan or the IVF layout — the diversity
+    * re-rank composed onto the third serving regime, completing the
+    * re-rank × regimes matrix ([[mmrOverPruned]] is the IVF twin). The
+    * walk returns scored ids only (the pack collocates NEIGHBOR vectors
+    * on edges, deliberately not a per-id vector store), so the
+    * redundancy term's embeddings join back from the caller's corpus —
+    * shortK-bounded left side broadcast, the corpus streams map-side,
+    * exactly the q_sim_mmr join-back discipline.
+    */
+  def mmrOverWalk(spark: SparkSession, handle: GraphServing.Handle,
+      embeddings: DataFrame, queries: DataFrame, k: Int, shortK: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val short = handle.topK(queries, shortK)
+    val shortlist = broadcast(
+        short.select(col("q_id"), col("vec_id"), col("cos").as("cos_r")))
+      .join(embeddings.select("vec_id", "embedding"), "vec_id")
+      .select("q_id", "vec_id", "cos_r", "embedding")
+    mmrRerank(spark, shortlist, k, lambda)
+  }
+
   /** The greedy selection itself — shared verbatim with MmrSpec's
     * independent recompute so the spec checks the DISTRIBUTED plumbing
     * against the algorithm, and the algorithm against hand-computable

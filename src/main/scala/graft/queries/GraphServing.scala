@@ -188,6 +188,15 @@ object GraphServing {
     val m = readMeta(spark, outDir)
     val g1 = KnnGraphBuild.epochOf(spark, graphDir)
     if (m.graphEpoch == g1) return m.epoch // already fresh
+    // a graph epoch BELOW the pack's build point means the graph was
+    // fully REBUILT (build() resets the epoch chain) — the pack's
+    // lineage is void and there is no delta to reconcile: rebuild.
+    // (A rebuild that re-advanced to EXACTLY the pack's epoch number is
+    // indistinguishable by epoch alone — [[isFresh]] documents that a
+    // full graph rebuild must be paired with a pack [[build]], the same
+    // contract as every derived store's bootstrap.)
+    if (g1 < m.graphEpoch)
+      return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     if (m.epoch - m.base + 1 >= foldEvery)
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     Seq(s"$outDir/adj", s"$outDir/seeds", s"$outDir/srcs", metaDir(outDir))
@@ -365,7 +374,12 @@ object GraphServing {
 
   /** Is the pack current against the live graph state? False after any
     * graph delta/delete committed past the pack's build point — the
-    * maintainer's cue to [[refresh]].
+    * maintainer's cue to [[refresh]]. Epoch-number equality is the
+    * check, so a FULL graph rebuild that re-advanced to exactly the
+    * pack's recorded epoch is indistinguishable from freshness: a graph
+    * [[KnnGraphBuild.build]] must be paired with a pack [[build]] (the
+    * bootstrap contract every derived store shares); [[refresh]] guards
+    * the detectable half (graph epoch BELOW the pack's) by rebuilding.
     */
   def isFresh(spark: SparkSession, graphDir: String,
       outDir: String): Boolean =

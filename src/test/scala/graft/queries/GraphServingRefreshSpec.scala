@@ -212,6 +212,31 @@ class GraphServingRefreshSpec extends SparkSpec {
       s"merged read must stay pruned: read $read, bucket files $expect, store files $total")
   }
 
+  test("a FULL graph rebuild voids the pack lineage — refresh detects the epoch reset and rebuilds") {
+    val gd = tmp("gsrl_graph")
+    val pd = tmp("gsrl_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    // advance the graph so the pack records graphEpoch > 0
+    val ins = emb.orderBy("vec_id").limit(3)
+      .withColumn("vec_id", col("vec_id") + 500000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, ins, gd)
+    val live1 = emb.unionByName(ins)
+    GraphServing.build(spark, gd, live1, pd)
+    assert(GraphServing.readMeta(spark, pd).graphEpoch == 1)
+    // the graph is REBUILT from scratch (epoch chain resets to 0) — the
+    // pack's recorded lineage no longer names ancestors of the state;
+    // refresh must fall back to a full build, not crash in changedSince
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    assert(!GraphServing.isFresh(spark, gd, pd))
+    GraphServing.refresh(spark, gd, emb, pd)
+    val m = GraphServing.readMeta(spark, pd)
+    assert(m.graphEpoch == 0 && m.base == m.epoch,
+      s"lineage reset must rebuild a full base, got $m")
+    val pdB = tmp("gsrl_packB")
+    GraphServing.build(spark, gd, emb, pdB)
+    assert(canon(served(pd)) == canon(served(pdB)))
+  }
+
   test("foldEvery folds shards back into a full base; vacuum drops the superseded epochs") {
     import spark.implicits._
     val gd = tmp("gsrf_graph")

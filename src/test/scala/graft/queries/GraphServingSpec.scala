@@ -135,6 +135,16 @@ class GraphServingSpec extends SparkSpec {
     assert(canon(h.topK(queries, kk)) == canon(want),
       "non-default fan-out pack diverged from the frame-based walk")
     assert(GraphServing.describe(spark, sd).buckets == 5)
+    // and a FOLD (refresh at the shard bound delegates to build) keeps
+    // the pack's own fan-out, not the compile-time default — the last
+    // path a default change could creep in through
+    val delta = emb.orderBy("vec_id").limit(2)
+      .withColumn("vec_id", col("vec_id") + 70000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, delta, gd)
+    GraphServing.refresh(spark, gd, emb.unionByName(delta), sd, foldEvery = 1)
+    val st = GraphServing.describe(spark, sd)
+    assert(st.buckets == 5 && st.base == st.epoch,
+      s"fold must preserve the pack fan-out: $st")
   }
 
   test("staleness is detectable, refresh advances the pack epoch, vacuum drops the old one") {

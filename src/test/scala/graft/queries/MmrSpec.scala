@@ -111,6 +111,34 @@ class MmrSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("MMR over the graph-walk handle ≡ MMR over the walk's own shortlist — the re-rank rides the third regime") {
+    val gd = java.nio.file.Files.createTempDirectory("mmr_walk_g").toString
+    val pd = java.nio.file.Files.createTempDirectory("mmr_walk_p").toString
+    Seq(gd, pd).foreach(p => sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))))
+    val e0 = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").localCheckpoint()
+    KnnGraphBuild.build(spark, e0, gd, k = 5)
+    GraphServing.build(spark, gd, e0, pd)
+    val h = GraphServing.open(spark, pd)
+    val q = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = GraphSearch.mmrOverWalk(spark, h, e0, q, k = 5, shortK = 15)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    // the independent recompute: the same warm-handle shortlist, joined
+    // and re-ranked by hand — proves the composition adds nothing beyond
+    // the walk + the greedy (and, via the walk's own parity spec, that
+    // the whole chain rides the persisted pack)
+    val sl = h.topK(q, 15)
+      .select(col("q_id"), col("vec_id"), col("cos").as("cos_r"))
+      .join(e0, "vec_id")
+      .select("q_id", "vec_id", "cos_r", "embedding")
+    val want = GraphSearch.mmrRerank(spark, sl, k = 5)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    assert(got.size == 10 * 5, s"k must fill per query, got ${got.size}")
+  }
+
   test("on real data the MMR list is less self-similar than the plain top-k") {
     import spark.implicits._
     val sl = shortlist(30).localCheckpoint()
