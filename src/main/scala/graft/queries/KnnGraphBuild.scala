@@ -30,24 +30,40 @@ import org.apache.spark.sql.functions._
   * == Commit protocol (crash-safe by construction) ==
   *
   * State is EPOCHED: every write of every delta goes to a fresh directory
-  * (`sigs/e<N>` — that epoch's signature shard; `edges/e<N>` — the full
-  * merged edge list as of epoch N; `meta/e<N>` — bits/tables/k/high-water),
-  * and the COMMIT POINT is the meta epoch dir's parquet `_SUCCESS` marker:
-  * the current state is the highest epoch whose meta committed. A crash
-  * anywhere mid-delta leaves the previous epoch fully intact (nothing it
-  * owns was touched) and the next attempt of the SAME delta idempotently
-  * rewrites the same epoch-N+1 directories before flipping the marker —
-  * safe-retry rather than CorpusBuild's fail-closed mark-first, because
-  * nothing here is append-in-place. The delta id contract is NOT-LIVE
-  * (enforced loudly by [[requireNotLive]]): brand-new ids past the
-  * high-water mark, or previously-[[deleteVecs]]-tombstoned ids being
-  * re-inserted — upsert = delete + re-insert, the full CDC verb set.
-  * Superseded `edges/e<i<N>` dirs are dead after the flip and may be
-  * vacuumed at leisure. The per-delta edge rewrite is O(n·k) — at the
-  * 100 TB design point the same merge runs as append-delta-shards +
-  * TopKPerKey compaction on read, trading write amplification for a
-  * read-side merge; the scoring scale shape (no old-old re-score) is
-  * identical either way.
+  * (`sigs/e<N>` — that epoch's signature shard; `edges/e<N>` — the edge
+  * CHANGE SHARD of epoch N: the full rebuilt lists of exactly the a_ids
+  * its `eclaims/e<N>` list claims, or a full base at build/fold epochs;
+  * `meta/e<N>` — bits/tables/k/high-water/edges-base), and the COMMIT
+  * POINT is the meta epoch dir's commit marker: the current state is the
+  * highest epoch whose meta committed. A crash anywhere mid-delta leaves
+  * the previous epoch fully intact (nothing it owns was touched) and the
+  * next attempt of the SAME delta idempotently rewrites the same
+  * epoch-N+1 directories before flipping the marker — safe-retry rather
+  * than CorpusBuild's fail-closed mark-first, because nothing here is
+  * append-in-place (the fold-or-shard decision depends only on committed
+  * meta, so a retry makes the same choice). The delta id contract is
+  * NOT-LIVE (enforced loudly by [[requireNotLive]]): brand-new ids past
+  * the high-water mark, or previously-[[deleteVecs]]-tombstoned ids
+  * being re-inserted — upsert = delete + re-insert, the full CDC verb
+  * set.
+  *
+  * == Change-proportional edge maintenance ==
+  *
+  * A delta/delete epoch WRITES only the lists it changed: the claimed
+  * a_ids' rebuilt top-k rows plus the churn-sized claim list (a deleted
+  * src is claimed with zero rows — the read-side tombstone). Reads
+  * resolve per a_id to the newest claiming epoch over base + shards
+  * ([[readEdges]]'s merge — the [[GraphServing.servedAdj]] idiom), and
+  * every [[EdgeFoldEvery]] epochs the verb folds the shards into a
+  * fresh full base, bounding the merge width; [[vacuum]] then drops the
+  * pre-fold epochs. So the per-epoch write cost is churn × degree, the
+  * amortized fold is O(n·k) once per EdgeFoldEvery epochs (the r14-era
+  * form paid it EVERY epoch), and the scoring scale shape (no old-old
+  * re-score) is unchanged — exactness is the same dominance argument:
+  * an unclaimed list gained no candidate edge and lost no endpoint, so
+  * it is still its true top-k, row for row (KnnGraphBuildSpec pins
+  * shard-delta ≡ full rebuild bit-for-bit, and the shard/fold boundary
+  * is exercised by the spec's fold case).
   */
 object KnnGraphBuild {
 
@@ -57,10 +73,24 @@ object KnnGraphBuild {
     * "lsh" (bits/tables meaningful) or "ivf" (nprobe meaningful, pinned
     * centroid table under `centroids/`). A delta must use its state's
     * method: the stored shards' schema and the stored quantizer both
-    * belong to it.
+    * belong to it. `edgesBase` is the epoch holding the FULL directed
+    * edge list; epochs in (edgesBase, epoch] are change SHARDS (only
+    * the lists their `eclaims/e<K>` dir claims), folded back into a
+    * full base every [[EdgeFoldEvery]] epochs.
     */
   final case class Meta(bits: Int, tables: Int, k: Int, maxVecId: Long,
-      epoch: Int, method: String = "lsh", nprobe: Int = 0)
+      epoch: Int, method: String = "lsh", nprobe: Int = 0,
+      edgesBase: Int = 0)
+
+  /** Edge-shard fold cadence: a delta/delete epoch appends only its
+    * changed lists; once this many epochs sit above the base, the next
+    * verb rewrites a full base instead — bounding the read-side merge
+    * width while keeping the per-epoch write churn-sized (the
+    * [[GraphServing.refresh]] foldEvery discipline, applied to the
+    * graph's own store; the r14-era form rewrote the full O(n·k) list
+    * EVERY epoch).
+    */
+  val EdgeFoldEvery = 8
 
   /** Full build over an embedding frame (vec_id, embedding). */
   def build(spark: SparkSession, embeddings: DataFrame, outDir: String,
@@ -159,7 +189,34 @@ object KnnGraphBuild {
     */
   def readEdges(spark: SparkSession, outDir: String): DataFrame = {
     val st = stateDir(outDir)
-    spark.read.parquet(edgesPath(st, readMeta(spark, st).epoch))
+    servedEdges(spark, st, readMeta(spark, st))
+  }
+
+  /** The committed edge view: the full base alone when no shards exist
+    * (plan-identical to the pre-shard read), else base + change shards
+    * resolved per src — an a_id's list comes from the newest epoch whose
+    * `eclaims` list claims it (a deleted src: claimed, zero rows). The
+    * claim map is bounded by the churn absorbed since the last fold and
+    * BROADCASTS, so the merge adds no shuffle; [[EdgeFoldEvery]] bounds
+    * the union width.
+    */
+  private def servedEdges(spark: SparkSession, st: String,
+      meta: Meta): DataFrame = {
+    if (meta.epoch == meta.edgesBase)
+      spark.read.parquet(edgesPath(st, meta.edgesBase))
+    else {
+      val shardEpochs = (meta.edgesBase + 1) to meta.epoch
+      val claims = shardEpochs.map(i =>
+          spark.read.parquet(claimsPath(st, i)).withColumn("__ce", lit(i)))
+        .reduce(_ unionByName _)
+        .groupBy("a_id").agg(max("__ce").as("__ce"))
+      (Seq(meta.edgesBase) ++ shardEpochs).map(i =>
+          spark.read.parquet(edgesPath(st, i)).withColumn("__e", lit(i)))
+        .reduce(_ unionByName _)
+        .join(broadcast(claims), Seq("a_id"), "left")
+        .filter(col("__e") === coalesce(col("__ce"), lit(meta.edgesBase)))
+        .drop("__e", "__ce")
+    }
   }
 
   /** Ids churned by every epoch AFTER `sinceEpoch` up to the committed
@@ -229,7 +286,7 @@ object KnnGraphBuild {
     val e = newVecs.select("vec_id", "embedding")
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
-      return spark.read.parquet(edgesPath(st, meta.epoch)).count() // empty delta
+      return servedEdges(spark, st, meta).count() // empty delta
     val centroids = readCentroids(spark, outDir)
     val oldSigs = liveShards(spark, st, "sigs", meta.epoch)
     val oldAssign = liveShards(spark, st, "assign", meta.epoch)
@@ -247,14 +304,27 @@ object KnnGraphBuild {
     val scored = VectorQueries.scorePairs(newNew, newSigs, newSigs)
       .union(VectorQueries.scorePairs(cross, oldSigs, newSigs))
     val newEdges = VectorQueries.topKEdges(scored, meta.k)
-    val prevEdges = spark.read.parquet(edgesPath(st, meta.epoch))
-    val merged = graft.plans.TopKPerKey(prevEdges.union(newEdges),
+    // the same change-proportional shard commit as [[delta]] — the
+    // claimed-list dominance argument and the changed-only except are
+    // method-independent
+    val served = servedEdges(spark, st, meta)
+    val affected = newEdges.select("a_id").distinct().localCheckpoint()
+    val prevRows = served.join(broadcast(affected), "a_id")
+      .select("a_id", "b_id", "cos_r")
+    val newLists = graft.plans.TopKPerKey(
+      prevRows.unionByName(newEdges),
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
       .localCheckpoint()
-    commitEpoch(spark, newSigs, merged,
+    val changedA = newLists.except(prevRows).select("a_id").distinct()
+      .localCheckpoint()
+    val shardLists = newLists.join(broadcast(changedA), "a_id")
+      .select("a_id", "b_id", "cos_r")
+    val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, changedA, shardLists,
       meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
-        epoch = meta.epoch + 1), outDir, assignShard = Some(newAssign))
-    merged.count()
+        epoch = meta.epoch + 1))
+    commitEpoch(spark, newSigs, edgeFrame.localCheckpoint(), m2, outDir,
+      assignShard = Some(newAssign), edgeClaims = eclaims)
+    servedEdges(spark, st, m2).count()
   }
 
   /** Incremental build: absorb `newVecs` without re-scoring old-old pairs.
@@ -268,7 +338,7 @@ object KnnGraphBuild {
     val e = newVecs.select("vec_id", "embedding")
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
-      return spark.read.parquet(edgesPath(st, meta.epoch)).count() // empty delta
+      return servedEdges(spark, st, meta).count() // empty delta
     // the STORED signature function — adaptive sizing would change the
     // signatures and break both exactness and the stored buckets
     val oldSigs = liveShards(spark, st, "sigs", meta.epoch)
@@ -289,47 +359,68 @@ object KnnGraphBuild {
     val scored = VectorQueries.scorePairs(newNew, newSigs, newSigs)
       .union(VectorQueries.scorePairs(cross, oldSigs, newSigs))
     val newEdges = VectorQueries.topKEdges(scored, meta.k)
-    val prevEdges = spark.read.parquet(edgesPath(st, meta.epoch))
-    // stored edges are already directed (a_id = query vertex), so only the
-    // final heap runs here; materialized because commitEpoch counts on
-    // writing a fully-computed frame
-    val merged = graft.plans.TopKPerKey(prevEdges.union(newEdges),
+    val served = servedEdges(spark, st, meta)
+    // CHANGE-PROPORTIONAL: a list can change only if it gained a
+    // candidate edge — every such a_id appears in newEdges (the
+    // dominance argument: an unclaimed stored list is still its true
+    // top-k), so the heap runs over candidate lists ∪ their new edges,
+    // never the corpus. The candidate set is bucket-coresidence-sized;
+    // the SHARD then keeps only the lists that actually changed (the
+    // bounded except below — a candidate whose new edges all lost the
+    // heap reproduces its stored rows bit-for-bit and drops out), so
+    // rows written track the true churn, not the candidate fan-out.
+    // Stored edges are already directed (a_id = query vertex).
+    val affected = newEdges.select("a_id").distinct().localCheckpoint()
+    val prevRows = served.join(broadcast(affected), "a_id")
+      .select("a_id", "b_id", "cos_r")
+    val newLists = graft.plans.TopKPerKey(
+      prevRows.unionByName(newEdges),
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
       .localCheckpoint()
-    commitEpoch(spark, newSigs, merged,
+    val changedA = newLists.except(prevRows).select("a_id").distinct()
+      .localCheckpoint()
+    val shardLists = newLists.join(broadcast(changedA), "a_id")
+      .select("a_id", "b_id", "cos_r")
+    val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, changedA, shardLists,
       meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
-        epoch = meta.epoch + 1), outDir)
-    merged.count()
+        epoch = meta.epoch + 1))
+    commitEpoch(spark, newSigs, edgeFrame.localCheckpoint(), m2, outDir,
+      edgeClaims = eclaims)
+    servedEdges(spark, st, m2).count()
   }
 
-  /** Drop state superseded by the current epoch: every older epoch's edges
-    * and meta are dead after the commit flip. Signature/assignment SHARDS
-    * and TOMBSTONES are kept — each epoch's shard is a live slice of the
+  /** Drop state superseded by the committed epoch: edge bases/shards and
+    * claim lists BELOW THE EDGES BASE (live shards sit in
+    * (edgesBase, epoch] and must survive the read-side merge), meta dirs
+    * below the committed epoch. Signature/assignment SHARDS and
+    * TOMBSTONES are kept — each epoch's shard is a live slice of the
     * full signature frame that every future delta reads, and tombstones
     * are the liveness filter over those immutable shards. Returns the
     * number of directories removed.
     */
   def vacuum(spark: SparkSession, outDir: String): Int = {
     val st = stateDir(outDir)
-    val cur = currentEpoch(spark, st)
+    val meta = readMeta(spark, st)
     val conf = spark.sparkContext.hadoopConfiguration
-    (0 until cur).map { e =>
-      Seq(edgesPath(st, e), s"$st/meta/e$e").count { dir =>
-        val p = new org.apache.hadoop.fs.Path(dir)
+    def dropBelow(path: Int => String, below: Int): Int =
+      (0 until below).count { e =>
+        val p = new org.apache.hadoop.fs.Path(path(e))
         val fs = p.getFileSystem(conf)
         fs.exists(p) && {
           require(fs.delete(p, true), s"could not vacuum $p")
           true
         }
       }
-    }.sum
+    dropBelow(edgesPath(st, _), meta.edgesBase) +
+      dropBelow(claimsPath(st, _), meta.edgesBase) +
+      dropBelow(e => s"$st/meta/e$e", meta.epoch)
   }
 
   /** The graph in the q_sim_knn_graph row shape, from the current epoch. */
   def readGraph(spark: SparkSession, outDir: String): DataFrame = {
     val st = stateDir(outDir)
     val meta = readMeta(spark, st)
-    VectorQueries.rankGraph(spark.read.parquet(edgesPath(st, meta.epoch)))
+    VectorQueries.rankGraph(servedEdges(spark, st, meta))
   }
 
   /** Tombstone DELETE for the persisted graph — the missing half of the
@@ -363,15 +454,11 @@ object KnnGraphBuild {
     val meta = readMeta(spark, st)
     val dead = ids.select("vec_id").distinct().localCheckpoint()
     if (dead.isEmpty)
-      return spark.read.parquet(edgesPath(st, meta.epoch)).count()
-    val prevEdges = spark.read.parquet(edgesPath(st, meta.epoch))
-    val keptEdges = prevEdges
-      .join(dead.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
-      .join(dead.select(col("vec_id").as("b_id")), Seq("b_id"), "left_anti")
-      .select("a_id", "b_id", "cos_r")
+      return servedEdges(spark, st, meta).count()
+    val served = servedEdges(spark, st, meta)
     // victims: survivors whose stored top-k lost an edge to a dead vector —
     // bounded by k·|dead| rows by construction
-    val victims = prevEdges
+    val victims = served
       .join(dead.select(col("vec_id").as("b_id")), Seq("b_id"), "left_semi")
       .join(dead.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
       .select("a_id").distinct().localCheckpoint()
@@ -406,16 +493,23 @@ object KnnGraphBuild {
       VectorQueries.scorePairs(cand, liveS, liveS),
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
       .select("a_id", "b_id", "cos_r")
-    val merged = keptEdges.join(victims, Seq("a_id"), "left_anti")
-      .union(victimEdges).localCheckpoint()
-    commitEpoch(spark, liveS.limit(0), merged,
-      meta.copy(epoch = meta.epoch + 1), outDir,
+    // claimed lists = the victims' rebuilds + the dead srcs (claimed with
+    // ZERO rows — the read-side tombstone); every other list is untouched
+    // (any b_id-dead edge lives under a victim or dead a_id), so the
+    // shard is k·|dead|-bounded, never corpus-sized
+    val claims = victims.select("a_id")
+      .unionByName(dead.select(col("vec_id").as("a_id")))
+      .distinct().localCheckpoint()
+    val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, claims,
+      victimEdges, meta.copy(epoch = meta.epoch + 1))
+    commitEpoch(spark, liveS.limit(0), edgeFrame.localCheckpoint(), m2, outDir,
       assignShard =
         if (meta.method == "ivf")
           Some(liveShards(spark, st, "assign", meta.epoch).limit(0))
         else None,
-      tombShard = Some(dead))
-    merged.count()
+      tombShard = Some(dead),
+      edgeClaims = eclaims)
+    servedEdges(spark, st, m2).count()
   }
 
   /** The delta id contract, relaxed from append-only to NOT-LIVE: ids past
@@ -476,6 +570,29 @@ object KnnGraphBuild {
 
   private def edgesPath(st: String, epoch: Int) = s"$st/edges/e$epoch"
 
+  private def claimsPath(st: String, epoch: Int) = s"$st/eclaims/e$epoch"
+
+  /** Shard-or-fold decision for an edge-changing verb. `meta` already
+    * carries the NEW epoch; `claims` are the a_ids whose lists this
+    * epoch rewrote (churn-bounded), `newLists` their full rebuilt lists.
+    * Below the fold bound the shard is written as-is (rows written =
+    * the churn); at the bound the change merges into a fresh full base
+    * (`served` minus claimed ∪ rebuilt) and `edgesBase` advances —
+    * amortized O(n·k) every [[EdgeFoldEvery]] epochs instead of every
+    * epoch. Exactness either way: unclaimed lists cannot have changed
+    * (delta: no new candidate edge names them; delete: no lost edge —
+    * every b_id-dead edge lives under a victim or dead a_id).
+    */
+  private def edgeCommitPlan(served: DataFrame, claims: DataFrame,
+      newLists: DataFrame, meta: Meta)
+      : (DataFrame, Option[DataFrame], Meta) =
+    if (meta.epoch - meta.edgesBase >= EdgeFoldEvery) {
+      val full = served.join(broadcast(claims), Seq("a_id"), "left_anti")
+        .select("a_id", "b_id", "cos_r")
+        .unionByName(newLists.select("a_id", "b_id", "cos_r"))
+      (full, None, meta.copy(edgesBase = meta.epoch))
+    } else (newLists.select("a_id", "b_id", "cos_r"), Some(claims), meta)
+
   private def assignPath(st: String, epoch: Int) = s"$st/assign/e$epoch"
 
   private def centroidsPath(st: String) = s"$st/centroids"
@@ -500,7 +617,8 @@ object KnnGraphBuild {
   private def commitEpoch(spark: SparkSession, sigShard: DataFrame,
       edges: DataFrame, meta: Meta, outDir: String,
       assignShard: Option[DataFrame] = None,
-      tombShard: Option[DataFrame] = None): Unit = {
+      tombShard: Option[DataFrame] = None,
+      edgeClaims: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     val st = stateDir(outDir)
     sigShard.write.mode("overwrite").parquet(s"$st/sigs/e${meta.epoch}")
@@ -514,11 +632,16 @@ object KnnGraphBuild {
     tombShard.foreach(_.select("vec_id")
       .withColumn("as_of", lit(meta.epoch))
       .coalesce(1).write.mode("overwrite").parquet(s"$st/tombs/e${meta.epoch}"))
+    // shard epochs land their claim list beside the changed lists — the
+    // per-a_id liveness authority of the read-side merge
+    edgeClaims.foreach(_.select("a_id")
+      .coalesce(1).write.mode("overwrite").parquet(claimsPath(st, meta.epoch)))
     edges.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
     val metaPath = s"$st/meta/e${meta.epoch}"
     Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch,
-        meta.method, meta.nprobe))
-      .toDF("bits", "tables", "k", "max_vec_id", "epoch", "method", "nprobe")
+        meta.method, meta.nprobe, meta.edgesBase))
+      .toDF("bits", "tables", "k", "max_vec_id", "epoch", "method", "nprobe",
+        "edges_base")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val marker = new org.apache.hadoop.fs.Path(metaPath, CommitMarker)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -546,10 +669,14 @@ object KnnGraphBuild {
     // columns — they are LSH by construction (the only build there was);
     // reading them must keep working, not demand a rebuild
     val hasMethod = df.schema.fieldNames.contains("method")
+    // likewise states persisted before the edge shards: they wrote the
+    // full list EVERY epoch, so the committed epoch is its own base
+    val hasBase = df.schema.fieldNames.contains("edges_base")
     Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
       r.getAs[Long]("max_vec_id"), e,
       if (hasMethod) r.getAs[String]("method") else "lsh",
-      if (hasMethod) r.getAs[Int]("nprobe") else 0)
+      if (hasMethod) r.getAs[Int]("nprobe") else 0,
+      if (hasBase) r.getAs[Int]("edges_base") else e)
   }
 
   /** `runMain graft.queries.KnnGraphBuild [outDir]` over SPARK_GRAFT_SF_DIR;

@@ -117,7 +117,8 @@ class KnnGraphBuildIvfSpec extends SparkSpec {
       kk, np, cellsOverride = nc)
     KnnGraphBuild.deltaIvf(spark, e.filter(col("vec_id") > mid), out)
     val before = canon(KnnGraphBuild.readGraph(spark, out))
-    assert(KnnGraphBuild.vacuum(spark, out) == 2) // edges/e0 + meta/e0
+    // base e0 + the delta's change shard are both live; only meta/e0 goes
+    assert(KnnGraphBuild.vacuum(spark, out) == 1) // meta/e0
     assert(canon(KnnGraphBuild.readGraph(spark, out)) == before)
     // sig AND assignment shards survive: both are live delta inputs
     assert(java.nio.file.Files.exists(

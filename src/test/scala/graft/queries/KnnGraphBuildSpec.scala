@@ -80,15 +80,66 @@ class KnnGraphBuildSpec extends SparkSpec {
       kk, tbls, bitsOverride = bts)
     KnnGraphBuild.delta(spark, e.filter(col("vec_id") > mid), out)
     val before = canon(KnnGraphBuild.readGraph(spark, out))
-    assert(KnnGraphBuild.vacuum(spark, out) == 2) // edges/e0 + meta/e0
+    // the delta wrote a change SHARD over base e0 — both are LIVE (the
+    // read-side merge needs them); only the superseded meta vacuums
+    assert(KnnGraphBuild.vacuum(spark, out) == 1) // meta/e0
     // current epoch unchanged; graph identical; further deltas still see
     // BOTH sig shards (the empty re-delta proves the state still reads)
     assert(canon(KnnGraphBuild.readGraph(spark, out)) == before)
-    assert(!java.nio.file.Files.exists(
+    assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(out, "_graft_state", "edges", "e0")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_graft_state", "eclaims", "e1")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(out, "_graft_state", "sigs", "e0")))
     KnnGraphBuild.delta(spark, e.limit(0), out) // no-op still resolves state
+  }
+
+  test("edge shards are churn-sized; the fold rewrites a full base and vacuum then reclaims") {
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+      .localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("knn_shard").toString
+    val outFull = java.nio.file.Files.createTempDirectory("knn_shard_full").toString
+    Seq(out, outFull).foreach(p => sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))))
+    KnnGraphBuild.build(spark, e, out, kk, tbls, bitsOverride = bts)
+    val baseRows = spark.read.parquet(s"$out/_graft_state/edges/e0").count()
+    // EdgeFoldEvery - 1 small deltas stay shards; the next one FOLDS
+    val deltas = KnnGraphBuild.EdgeFoldEvery
+    (1 to deltas).foreach { i =>
+      val d = e.orderBy("vec_id").limit(2)
+        .withColumn("vec_id", col("vec_id") + lit(900000L + i * 10))
+      KnnGraphBuild.delta(spark, d, out)
+      val shardRows = spark.read.parquet(s"$out/_graft_state/edges/e$i").count()
+      if (i < deltas) {
+        // churn-sized writes: a 2-vector delta touches ≤ (2 + their
+        // mirrored endpoints) lists of ≤ k rows — nothing like the base
+        assert(shardRows < baseRows / 3,
+          s"epoch $i shard must be churn-sized: $shardRows vs base $baseRows")
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          out, "_graft_state", "eclaims", s"e$i")))
+      } else {
+        // the fold: a full base, no claims, edgesBase advanced
+        assert(shardRows >= baseRows,
+          s"fold epoch must hold the full list: $shardRows vs $baseRows")
+        assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+          out, "_graft_state", "eclaims", s"e$i")))
+      }
+    }
+    // the folded state ≡ one full rebuild over everything, bit-for-bit
+    val all = (1 to deltas).foldLeft(e) { (acc, i) =>
+      acc.unionByName(e.orderBy("vec_id").limit(2)
+        .withColumn("vec_id", col("vec_id") + lit(900000L + i * 10)))
+    }
+    KnnGraphBuild.build(spark, all, outFull, kk, tbls, bitsOverride = bts)
+    assert(canon(KnnGraphBuild.readGraph(spark, out)) ==
+      canon(KnnGraphBuild.readGraph(spark, outFull)))
+    // vacuum reclaims everything below the new base
+    assert(KnnGraphBuild.vacuum(spark, out) ==
+      deltas /* edges e0..e(n-1) */ + (deltas - 1) /* eclaims */ +
+        deltas /* meta e0..e(n-1) */)
+    assert(canon(KnnGraphBuild.readGraph(spark, out)) ==
+      canon(KnnGraphBuild.readGraph(spark, outFull)))
   }
 
   test("delta rejects vec_ids that are LIVE in the graph") {
