@@ -268,7 +268,9 @@ object ScaleProbe {
       // base-rewrite form this replaced wrote base_rows every refresh.
       // Runs LAST: it mutates the fixture graphs the other probes read.
       val refreshRow = {
-        def probe(dir: String): (Double, Long, Long) = {
+        // (delta sec, delta shard rows, graph base rows,
+        //  refresh sec, pack shard rows, pack base rows)
+        def probe(dir: String): (Double, Long, Long, Double, Long, Long) = {
           val (graphDir, packDir, _, _) = fx(dir)
           val e0 = Tables.embeddings(spark, dir).select("vec_id", "embedding")
           // fixed-work churn: replica-0 low ids exist identically in both
@@ -281,20 +283,35 @@ object ScaleProbe {
             .withColumn("embedding",
               zip_with(col("embedding"), mask, (x, s) => (x * s).cast("float")))
             .localCheckpoint()
-          graft.queries.KnnGraphBuild.delta(spark, delta, graphDir) // untimed: graph maintenance, priced by indexsync
+          // the graph's own delta — shard-committed since round 15, so
+          // its write is the changed lists, never the full edge list
+          val tD0 = System.nanoTime()
+          graft.queries.KnnGraphBuild.delta(spark, delta, graphDir)
+          val secD = (System.nanoTime() - tD0) / 1e9
+          val gEp = graft.queries.KnnGraphBuild.epochOf(spark, graphDir)
+          val gShard = spark.read
+            .parquet(s"$graphDir/_graft_state/edges/e$gEp").count()
+          val gBase = spark.read
+            .parquet(s"$graphDir/_graft_state/edges/e0").count()
           val live = e0.unionByName(delta)
           val t0 = System.nanoTime()
           graft.queries.GraphServing.refresh(spark, graphDir, live, packDir)
           val sec = (System.nanoTime() - t0) / 1e9
           val m = graft.queries.GraphServing.readMeta(spark, packDir)
-          (sec,
+          (secD, gShard, gBase, sec,
             spark.read.parquet(s"$packDir/adj/e${m.epoch}").count(),
             spark.read.parquet(s"$packDir/adj/e${m.base}").count())
         }
-        val (tB, sB, bB) = probe(base)
-        val (tX, sX, bX) = probe(scaled)
+        val (tdB, gsB, gbB, tB, sB, bB) = probe(base)
+        val (tdX, gsX, gbX, tX, sX, bX) = probe(scaled)
         val exp = math.log(tX / tB) / math.log(factor.toDouble)
-        s""""pack_refresh":{"churn":200,"sec_sf01":${math.rint(tB * 1000) / 1000},""" +
+        val expD = math.log(tdX / tdB) / math.log(factor.toDouble)
+        s""""graph_delta":{"churn":200,"sec_sf01":${math.rint(tdB * 1000) / 1000},""" +
+          s""""sec_x$factor":${math.rint(tdX * 1000) / 1000},""" +
+          s""""exponent":${math.rint(expD * 100) / 100},""" +
+          s""""shard_rows_sf01":$gsB,"base_rows_sf01":$gbB,""" +
+          s""""shard_rows_x$factor":$gsX,"base_rows_x$factor":$gbX},""" +
+          s""""pack_refresh":{"churn":200,"sec_sf01":${math.rint(tB * 1000) / 1000},""" +
           s""""sec_x$factor":${math.rint(tX * 1000) / 1000},""" +
           s""""exponent":${math.rint(exp * 100) / 100},""" +
           s""""shard_rows_sf01":$sB,"base_rows_sf01":$bB,""" +
