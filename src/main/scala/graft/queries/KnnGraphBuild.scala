@@ -512,6 +512,34 @@ object KnnGraphBuild {
     servedEdges(spark, st, m2).count()
   }
 
+  /** Store-level statistics — metadata plus per-epoch dir counts, one
+    * listing pass, no data read (the [[IndexedLayout.describe]] /
+    * [[GraphServing.describe]] introspection contract on the graph
+    * state itself): the committed epoch, where the full edge base sits
+    * and how many change shards ride above it, the candidate method and
+    * its pinned k, the id high-water mark, and how many live signature
+    * shards / tombstone epochs future deltas will read.
+    */
+  final case class GraphStats(epoch: Int, edgesBase: Int, edgeShards: Int,
+      method: String, k: Int, maxVecId: Long, sigShards: Int,
+      tombEpochs: Int)
+
+  def describe(spark: SparkSession, outDir: String): GraphStats = {
+    val st = stateDir(outDir)
+    val meta = readMeta(spark, st)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def epochDirs(sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$st/$sub")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p)
+        .count(s => EpochStore.dirEpoch(s.getPath.getName).isDefined)
+    }
+    GraphStats(meta.epoch, meta.edgesBase, meta.epoch - meta.edgesBase,
+      meta.method, meta.k, meta.maxVecId, epochDirs("sigs"),
+      epochDirs("tombs"))
+  }
+
   /** The delta id contract, relaxed from append-only to NOT-LIVE: ids past
     * the high-water mark are trivially new (the O(1) fast path — no join
     * runs); ids at or below it are legal only if tombstoned (the upsert

@@ -107,4 +107,28 @@ class DescribeSpec extends SparkSpec {
     assert(s3.deltaDirs == 1 && s3.groupsServed == 2 && s3.groupsPending == 0)
     assert(s3.floor == s3.epoch && s3.streamEpoch == 9L)
   }
+
+  test("KnnGraphBuild.describe tracks the delta → delete → vacuum lifecycle") {
+    import spark.implicits._
+    val d = tmp("desc_graph")
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").localCheckpoint()
+    KnnGraphBuild.build(spark, e, d, k = 5)
+    val s0 = KnnGraphBuild.describe(spark, d)
+    assert(s0.epoch == 0 && s0.edgesBase == 0 && s0.edgeShards == 0 &&
+      s0.method == "lsh" && s0.k == 5 && s0.sigShards == 1 &&
+      s0.tombEpochs == 0)
+    // a delta appends an edge change shard; a delete adds a tombstone epoch
+    val ins = e.orderBy("vec_id").limit(3)
+      .withColumn("vec_id", col("vec_id") + 800000L)
+    KnnGraphBuild.delta(spark, ins, d)
+    KnnGraphBuild.deleteVecs(spark, Seq(4L).toDF("vec_id"), d)
+    val s2 = KnnGraphBuild.describe(spark, d)
+    assert(s2.epoch == 2 && s2.edgesBase == 0 && s2.edgeShards == 2 &&
+      s2.sigShards == 3 && s2.tombEpochs == 1 && s2.maxVecId == 800002L,
+      s"$s2")
+    // vacuum keeps live shards (below-base only) — stats unchanged
+    KnnGraphBuild.vacuum(spark, d)
+    assert(KnnGraphBuild.describe(spark, d) == s2.copy())
+  }
 }
