@@ -80,8 +80,11 @@ object ScaleProbe {
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count())
 
     // interleaved passes, min per (query, dir) — this VM has transient
-    // noise windows (see Bench.scala)
-    val passes = 2
+    // noise windows (see Bench.scala). Three passes since round 15: the
+    // sub-second rows' exponents swung ±0.2 between min-of-2 recordings
+    // (fixed overhead is a large fraction of their absolute time), and a
+    // third interleaved pass pulls the min reliably out of noise spikes.
+    val passes = 3
     val times = scala.collection.mutable.Map[(String, String), Double]()
     (1 to passes).foreach { _ =>
       Probed.foreach { name =>
