@@ -59,10 +59,14 @@ import org.apache.spark.sql.functions._
   *     merge (the [[IndexedLayout.readCorpus]] liveness idiom): a src's
   *     rows come from the newest epoch that CLAIMS it — which also
   *     expresses deletion (claimed, zero rows). Rows WRITTEN per refresh
-  *     are churn-sized, never corpus-sized; the remaining corpus-touching
-  *     reads are scalar-only (the edge list for the neighborhood hops,
-  *     one pass for seeds/norms) — the k-fold collocated-vector write
-  *     amplification is paid only for churned neighborhoods. Shards fold
+  *     are churn-sized, never corpus-sized — and so are the READS: the
+  *     edge-list hops are bounded isin-pushed passes, the embedding
+  *     arrays are read for exactly the affected dst set, and the entry
+  *     seeds are maintained incrementally under the pack's PINNED
+  *     quantizer (cents/ — [[refreshSeeds]]'s dominance argument)
+  *     instead of a per-refresh corpus recompute; the k-fold
+  *     collocated-vector write amplification is paid only for churned
+  *     neighborhoods. Shards fold
   *     back into a full base every `foldEvery` refreshes (amortized on
   *     the maintainer's compaction cadence, [[graft.pipeline.IndexSync]]).
   */
@@ -76,12 +80,21 @@ object GraphServing {
     */
   val Buckets = 16
 
+  /** Churn bound for a shard [[refresh]]: the churned-id set (and its
+    * degree-amplified closures) drive driver-side id lists and
+    * isin-pruned reads; past this bound the change shard approaches
+    * base size and the refresh DELEGATES to [[build]] (the fold) — a
+    * rebuild is the change-proportional answer to corpus-scale churn.
+    */
+  val RefreshChurnCap = 32768
+
   import EpochStore.{CommitMarker, clearDirsAbove, committedEpochs, fsOf}
 
   private def metaDir(d: String) = s"$d/meta"
   private def adjDir(d: String, e: Int) = s"$d/adj/e$e"
   private def seedsDir(d: String, e: Int) = s"$d/seeds/e$e"
   private def srcsDir(d: String, e: Int) = s"$d/srcs/e$e"
+  private def centsDir(d: String, e: Int) = s"$d/cents/e$e"
 
   private[queries] def bucketOfId(id: Column, buckets: Int): Column =
     pmod(hash(id), lit(buckets))
@@ -100,10 +113,16 @@ object GraphServing {
 
   /** (pack epoch, graph epoch built from, corpus size, pinned beam,
     * pinned iters, pinned bucket fan-out, base epoch holding the full
-    * adjacency — epochs (base, epoch] are change shards).
+    * adjacency — epochs (base, epoch] are change shards, graph build
+    * LINEAGE token recorded at build — [[KnnGraphBuild.tokenOf]]; an
+    * out-of-band graph rebuild changes it even when the rebuilt chain's
+    * epoch numbers catch up to the recorded one, so [[refresh]]/
+    * [[isFresh]] detect EVERY rebuild instead of only the
+    * epoch-went-backwards half; 0 = built against a pre-token graph).
     */
   final case class ServeMeta(epoch: Int, graphEpoch: Int, n: Long,
-      beam: Int, iters: Int, buckets: Int, base: Int)
+      beam: Int, iters: Int, buckets: Int, base: Int,
+      graphToken: Long = 0L)
 
   /** Build (or fold) the serving pack for the [[KnnGraphBuild]] state
     * at `graphDir` over its corpus `embeddings` — one corpus-sized pass
@@ -114,15 +133,27 @@ object GraphServing {
     * earlier epoch (full or shard) is superseded. Returns the committed
     * pack epoch. For churn-sized graph advances prefer [[refresh]] —
     * this full form is its fold target and the bootstrap.
+    *
+    * The entry-seed GEOMETRY is PINNED PACK STATE: the quantizer the
+    * seeds were assigned under — the graph's own pinned IVF centroids
+    * when it has them, else a fresh bounded kmeans, else
+    * `centroidsOverride` (an upstream-trained quantizer, the 100 TB
+    * training contract [[KnnGraphBuild.buildIvf]] documents) — persists
+    * under `cents/e<epoch>` beside the seeds. The pinning is what lets
+    * [[refresh]] maintain the seed set CHURN-PROPORTIONALLY (the FAISS
+    * add()-never-retrains contract); build/fold epochs are where the
+    * geometry is re-derived.
     */
   def build(spark: SparkSession, graphDir: String, embeddings: DataFrame,
-      outDir: String, nSeeds: Int = 32, buckets: Int = Buckets): Int = {
+      outDir: String, nSeeds: Int = 32, buckets: Int = Buckets,
+      centroidsOverride: DataFrame = null): Int = {
     val committed =
       if (fsOf(spark, outDir).exists(
         new org.apache.hadoop.fs.Path(metaDir(outDir))))
         committedEpochs(spark, metaDir(outDir), "serving pack").max
       else -1
-    Seq(s"$outDir/adj", s"$outDir/seeds", s"$outDir/srcs", metaDir(outDir))
+    Seq(s"$outDir/adj", s"$outDir/seeds", s"$outDir/srcs",
+        s"$outDir/cents", metaDir(outDir))
       .foreach(clearDirsAbove(spark, _, committed))
     val next = committed + 1
     val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
@@ -137,11 +168,18 @@ object GraphServing {
         "dst")
       .withColumn("bucket", bucketOfId(col("src"), buckets))
     writeAdj(spark, adj, adjDir(outDir, next), buckets, empty = n == 0)
-    writeSeeds(spark, graphDir, e, outDir, next, nSeeds)
+    // the seed GEOMETRY is re-derived at build/fold epochs and PINNED
+    // under cents/ — what refresh's churn-proportional seed maintenance
+    // assigns against (the FAISS add()-never-retrains contract)
+    val cents = packCentroids(spark, graphDir, e, nSeeds, centroidsOverride)
+      .localCheckpoint()
+    writeCents(cents, outDir, next)
+    seedRows(e, cents).coalesce(1)
+      .write.mode("overwrite").parquet(seedsDir(outDir, next))
     val (beam, iters) = GraphSearch.adaptiveWalkParams(n)
     writeMeta(spark, outDir, ServeMeta(next,
       KnnGraphBuild.epochOf(spark, graphDir), n, beam, iters, buckets,
-      base = next))
+      base = next, graphToken = KnnGraphBuild.tokenOf(spark, graphDir)))
     next
   }
 
@@ -182,85 +220,152 @@ object GraphServing {
     * current epoch) when the pack is already fresh.
     * GraphServingRefreshSpec pins shard-refresh ≡ full rebuild row for
     * row across insert/delete/upsert churn and meters the rows written.
+    *
+    * READS are churn-proportional too (the r15 form materialized the
+    * full normalized corpus — arrays included — and recomputed seeds
+    * with a corpus assign pass, per refresh): every id set here is
+    * driver-collected under [[RefreshChurnCap]] and inlined as an isin
+    * predicate, so the edge-list hops are one bounded pushed-filter
+    * pass each, the pack reads prune to the ids' buckets AND row-groups
+    * (src-sorted files), the embedding arrays are read for exactly the
+    * affected dst set, and the seed set is maintained incrementally
+    * under the pack's pinned quantizer ([[refreshSeeds]]). The
+    * remaining corpus-proportional touches are metadata-class: the
+    * scalar `vec_id` count and the edge scans' streamed (pruned)
+    * column reads.
     */
   def refresh(spark: SparkSession, graphDir: String, embeddings: DataFrame,
       outDir: String, nSeeds: Int = 32, foldEvery: Int = 4): Int = {
     val m = readMeta(spark, outDir)
     val g1 = KnnGraphBuild.epochOf(spark, graphDir)
-    if (m.graphEpoch == g1) return m.epoch // already fresh
-    // a graph epoch BELOW the pack's build point means the graph was
-    // fully REBUILT (build() resets the epoch chain) — the pack's
-    // lineage is void and there is no delta to reconcile: rebuild.
-    // (A rebuild that re-advanced to EXACTLY the pack's epoch number is
-    // indistinguishable by epoch alone — [[isFresh]] documents that a
-    // full graph rebuild must be paired with a pack [[build]], the same
-    // contract as every derived store's bootstrap.)
-    if (g1 < m.graphEpoch)
+    val gTok = KnnGraphBuild.tokenOf(spark, graphDir)
+    val sameLineage = m.graphToken == 0L || gTok == 0L || gTok == m.graphToken
+    if (m.graphEpoch == g1 && sameLineage) return m.epoch // already fresh
+    // a lineage-token mismatch or a graph epoch BELOW the pack's build
+    // point means the graph was fully REBUILT (build() resets the epoch
+    // chain and draws a fresh token) — the pack's lineage is void and
+    // there is no delta to reconcile: rebuild. The token closes the r15
+    // blind spot where a rebuilt chain re-advanced to >= the recorded
+    // epoch and was indistinguishable by epoch numbers alone.
+    if (!sameLineage || g1 < m.graphEpoch)
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     if (m.epoch - m.base + 1 >= foldEvery)
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
-    Seq(s"$outDir/adj", s"$outDir/seeds", s"$outDir/srcs", metaDir(outDir))
-      .foreach(clearDirsAbove(spark, _, m.epoch))
-    val next = m.epoch + 1
-    val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
-      .localCheckpoint()
-    val n = e.count()
-    val edges = KnnGraphBuild.readEdges(spark, graphDir).select("a_id", "b_id")
-    val served = servedAdj(spark, outDir, m)
-    // old-closure rows for a bounded id set — the pack is the closure AS
-    // OF the pack's graph epoch; reads prune to the ids' own buckets
-    // (the bucket list is a ≤ fan-out collect) and touch scalar columns
-    // only (Parquet never materializes the collocated arrays here)
-    def oldRows(x: DataFrame): DataFrame = {
-      val bs = x.select(bucketOfId(col("id"), m.buckets).as("b"))
-        .distinct().collect().map(_.getInt(0)).sorted // ≤ fan-out values
-      if (bs.isEmpty) x.select(col("id").as("src"), col("id").as("dst")).limit(0)
-      else served.filter(col("bucket").isin(bs.map(b => b: Any): _*))
-        .join(broadcast(x.select(col("id").as("src"))), "src")
-        .select("src", "dst")
-    }
-    // new-closure rows for a bounded src set — two semi-restricted
-    // passes over the scalar edge list, mirrored into (src, dst)
-    def newRows(x: DataFrame): DataFrame = undirected(
-      edges.join(broadcast(x.select(col("id").as("a_id"))), "a_id"),
-      edges.join(broadcast(x.select(col("id").as("b_id"))), "b_id"))
     val changed = KnnGraphBuild.changedSince(spark, graphDir, m.graphEpoch)
       .select(col("vec_id").as("id")).localCheckpoint()
+    val changedIds = changed.limit(RefreshChurnCap + 1)
+      .collect().map(_.getLong(0))
+    if (changedIds.length > RefreshChurnCap)
+      return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
+    Seq(s"$outDir/adj", s"$outDir/seeds", s"$outDir/srcs",
+        s"$outDir/cents", metaDir(outDir))
+      .foreach(clearDirsAbove(spark, _, m.epoch))
+    val next = m.epoch + 1
+    val served = servedAdj(spark, outDir, m)
+    val edges = KnnGraphBuild.readEdges(spark, graphDir).select("a_id", "b_id")
+    // rows of the SCALAR edge list touching a bounded id set — ONE pass
+    // with the ids inlined (the isin predicate pushes into the scans);
+    // the checkpoint holds only the churn × degree-bounded slice
+    def touching(ids: Array[Long]): DataFrame =
+      if (ids.isEmpty) edges.limit(0)
+      else {
+        val in = ids.map(x => x: Any)
+        edges.filter(col("a_id").isin(in: _*) || col("b_id").isin(in: _*))
+          .localCheckpoint()
+      }
+    // undirected rows with src ∈ ids, from a `touching` slice
+    def mirror(t: DataFrame, ids: Array[Long]): DataFrame =
+      if (ids.isEmpty)
+        t.limit(0).select(col("a_id").as("src"), col("b_id").as("dst"))
+      else {
+        val in = ids.map(x => x: Any)
+        t.filter(col("a_id").isin(in: _*))
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(t.filter(col("b_id").isin(in: _*))
+            .select(col("b_id").as("src"), col("a_id").as("dst")))
+          .distinct()
+      }
+    // old-closure rows for a bounded id set — the pack is the closure AS
+    // OF the pack's graph epoch. The bucket list derives DRIVER-side
+    // ([[bucketOfIdDriver]] at the pack's pinned fan-out — no job), the
+    // src isin prunes row groups WITHIN a bucket (src-sorted files), and
+    // only scalar columns are read (Parquet never materializes the
+    // collocated arrays here)
+    def oldRows(ids: Array[Long]): DataFrame =
+      if (ids.isEmpty) served.limit(0).select("src", "dst")
+      else {
+        val bs = ids.map(bucketOfIdDriver(_, m.buckets)).distinct.sorted
+        served.filter(col("bucket").isin(bs.map(b => b: Any): _*))
+          .filter(col("src").isin(ids.map(x => x: Any): _*))
+          .select("src", "dst")
+      }
+    val tC = touching(changedIds)
+    val oldC = oldRows(changedIds).localCheckpoint()
+    val newC = mirror(tC, changedIds).localCheckpoint()
     // step 1: the one-hop superset of every src whose DIRECTED list
     // changed (scaladoc dominance argument)
-    val d = changed
-      .unionByName(oldRows(changed).select(col("dst").as("id")))
-      .unionByName(newRows(changed).select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+    val dIds = (changedIds ++
+      oldC.select("dst").unionByName(newC.select("dst")).distinct()
+        .collect().map(_.getLong(0))).distinct
     // step 2: every changed undirected edge has an endpoint in D — diff
     // D's old and new row sets and take the changed pairs' endpoints.
     // Both sides are churn × degree bounded scalar frames.
-    val oldU = oldRows(d)
-    val newU = newRows(d)
+    val oldU = oldRows(dIds).localCheckpoint()
+    val newU = mirror(touching(dIds), dIds).localCheckpoint()
     val cp = newU.except(oldU).unionByName(oldU.except(newU))
+    // a RE-EMBEDDED id's SURVIVING pairs change no pair set, but each
+    // surviving neighbor's row still collocates the id's now-stale
+    // vector — re-claim those neighbors too (without this, (v, u) keeps
+    // serving u's pre-upsert embedding and the walk scores u stale;
+    // bounded by churn × degree, and a no-op for pure inserts/deletes,
+    // whose pairs all land in `cp`)
+    val survivors = newC.intersect(oldC)
+    val affectedIds = cp.select("src")
+      .unionByName(cp.select(col("dst").as("src")))
+      .unionByName(survivors.select(col("dst").as("src")))
+      .distinct().collect().map(_.getLong(0))
+    // the affected srcs' CURRENT undirected rows with vectors collocated
+    // — the only place this refresh touches embedding arrays, and the
+    // bounded dst id set prunes that read (NOT sliced from newU: a
+    // changed pair's dst endpoint need not be in D, but its full row
+    // set must still land)
+    val und = mirror(touching(affectedIds), affectedIds).localCheckpoint()
+    val needIds = (und.select("dst").distinct()
+      .collect().map(_.getLong(0)) ++ changedIds).distinct
+    val eNeed = VectorQueries.nrmFrame(boundedVecs(embeddings, needIds))
       .localCheckpoint()
-    val affected = cp.select(col("src").as("id"))
-      .unionByName(cp.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
-    // the affected srcs' CURRENT undirected rows, vectors collocated —
-    // the only place this refresh touches embedding arrays. Re-derived
-    // for `affected` (NOT sliced from newU: a changed pair's dst
-    // endpoint need not be in D, but its full row set must still land)
-    val und = newRows(affected).localCheckpoint()
     val rows = broadcast(und)
-      .join(e.select(col("vec_id").as("dst"), col("embedding"), col("nrm")),
+      .join(eNeed.select(col("vec_id").as("dst"), col("embedding"), col("nrm")),
         "dst")
       .withColumn("bucket", bucketOfId(col("src"), m.buckets))
     writeAdj(spark, rows, adjDir(outDir, next), m.buckets,
       empty = und.isEmpty)
-    affected.select(col("id").as("src"))
-      .coalesce(1).write.mode("overwrite").parquet(srcsDir(outDir, next))
-    writeSeeds(spark, graphDir, e, outDir, next, nSeeds)
+    val srcsOut =
+      if (affectedIds.isEmpty) spark.range(0).select(col("id").as("src"))
+      else {
+        import spark.implicits._
+        affectedIds.toSeq.toDF("src")
+      }
+    srcsOut.coalesce(1).write.mode("overwrite").parquet(srcsDir(outDir, next))
+    val n = embeddings.select("vec_id").count() // scalar-only metadata scan
+    refreshSeeds(spark, graphDir, embeddings, eNeed, changedIds,
+      outDir, m, next, nSeeds)
     val (beam, iters) = GraphSearch.adaptiveWalkParams(n)
     writeMeta(spark, outDir,
-      ServeMeta(next, g1, n, beam, iters, m.buckets, m.base))
+      ServeMeta(next, g1, n, beam, iters, m.buckets, m.base, gTok))
     next
   }
+
+  /** The live rows of a BOUNDED id set from the caller's corpus frame —
+    * an isin-filtered read (the predicate pushes into the parquet scan:
+    * row-group min/max pruning on vec_id), never a corpus-wide array
+    * materialization.
+    */
+  private def boundedVecs(embeddings: DataFrame,
+      ids: Array[Long]): DataFrame =
+    if (ids.isEmpty) embeddings.select("vec_id", "embedding").limit(0)
+    else embeddings.select("vec_id", "embedding")
+      .filter(col("vec_id").isin(ids.map(x => x: Any): _*))
 
   /** Undirected closure from directed edge frames: `fwd` supplies
     * (a→src, b→dst), `rev` the mirror — callers pass the same frame
@@ -290,31 +395,110 @@ object GraphServing {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(dir)
 
-  /** Centroid-spread entry seeds, pinned WITH their vectors: the graph's
-    * own IVF quantizer when it has one (free — assignment geometry is
-    * already index state), else a fresh bounded kmeans. Recomputed per
-    * epoch (including refreshes) so a shard refresh stays row-identical
-    * to a full rebuild — the cost is one scalar assign pass plus a
-    * capped-sample kmeans, never an array shuffle.
+  /** The seed quantizer for a (re)build epoch: override > the graph's
+    * own pinned IVF centroids (free — assignment geometry is already
+    * index state) > a fresh bounded kmeans (the
+    * [[GraphSearch.centroidSeeds]] training recipe — capped sample,
+    * deterministic spread, 2 Lloyd iterations).
     */
-  private def writeSeeds(spark: SparkSession, graphDir: String, e: DataFrame,
-      outDir: String, epoch: Int, nSeeds: Int): Unit = {
-    val seedIds =
-      if (KnnGraphBuild.methodOf(spark, graphDir) == "ivf")
-        GraphSearch.centroidSeeds(spark,
-          KnnGraphBuild.readCentroids(spark, graphDir), e)
-      else GraphSearch.centroidSeeds(spark, e, nSeeds)
-    e.join(seedIds.select("vec_id"), Seq("vec_id"), "left_semi")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(seedsDir(outDir, epoch))
+  private def packCentroids(spark: SparkSession, graphDir: String,
+      e: DataFrame, nSeeds: Int, centroidsOverride: DataFrame): DataFrame =
+    if (centroidsOverride != null) centroidsOverride
+    else if (KnnGraphBuild.methodOf(spark, graphDir) == "ivf")
+      KnnGraphBuild.readCentroids(spark, graphDir)
+    else graft.functions.VectorIndex.kmeansCentroids(spark,
+      VectorQueries.trainFrame(e, e.count(), nSeeds), nSeeds, iters = 2)
+
+  private def writeCents(cents: DataFrame, outDir: String, epoch: Int): Unit =
+    cents.coalesce(1).write.mode("overwrite").parquet(centsDir(outDir, epoch))
+
+  /** The committed epoch's pinned seed quantizer (spec / rebuild-parity
+    * access — e.g. rebuilding under the SAME geometry via [[build]]'s
+    * `centroidsOverride`).
+    */
+  private[queries] def readCents(spark: SparkSession,
+      outDir: String): DataFrame = {
+    val m = readMeta(spark, outDir)
+    spark.read.parquet(centsDir(outDir, m.epoch))
+  }
+
+  /** Per-cell entry-seed winners under pinned centroids — the
+    * [[GraphSearch.centroidSeeds]] selection exactly (nprobe-1
+    * assignment; winner keys round-6 sim desc, vec_id asc), carrying
+    * the CELL on the persisted row so [[refreshSeeds]] can maintain
+    * winners incrementally. `cands` is a (vec_id, embedding, nrm) frame
+    * with distinct ids.
+    */
+  private[queries] def seedRows(cands: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
+    val winners = VectorQueries.ivfAssign(
+        cands.select("vec_id", "embedding", "nrm"), cents, nprobe = 1)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).select("vec_id", "cell")
+    cands.select("vec_id", "embedding", "nrm").join(winners, "vec_id")
+      .select("vec_id", "cell", "embedding", "nrm")
+  }
+
+  /** CHURN-PROPORTIONAL seed maintenance for a shard refresh, under the
+    * pack's PINNED quantizer: a carried winner can be displaced only by
+    * a churned vector — an unchurned non-winner of cell c kept both its
+    * assignment (pinned centroids) and its similarity, so the carried
+    * winner of c still beats it — and a churned vector can claim any
+    * cell it now assigns to. Re-running the winner selection over
+    * {carried seeds} ∪ {churned live vectors} is therefore EXACTLY the
+    * full-corpus recompute under the same centroids
+    * (GraphServingRefreshSpec pins the identity directly, including an
+    * insert that displaces a carried winner). Two escape hatches pay a
+    * corpus pass:
+    *   - a churned id IS a carried seed (deleted / re-embedded): the
+    *     per-cell dominance argument is void for its cell — reassign
+    *     the full live corpus under the SAME pinned centroids (never a
+    *     retrain; rare — nSeeds ids out of n);
+    *   - a legacy pack (no cents/ dir, or cell-less seed rows):
+    *     recompute the r15 way once, which pins the geometry for every
+    *     later refresh — the upgrade path.
+    */
+  private def refreshSeeds(spark: SparkSession, graphDir: String,
+      embeddings: DataFrame, eNeed: DataFrame, changedIds: Array[Long],
+      outDir: String, m: ServeMeta, next: Int, nSeeds: Int): Unit = {
+    val haveCents = fsOf(spark, outDir).exists(
+      new org.apache.hadoop.fs.Path(centsDir(outDir, m.epoch)))
+    val oldSeeds = spark.read.parquet(seedsDir(outDir, m.epoch))
+    if (!haveCents || !oldSeeds.schema.fieldNames.contains("cell")) {
+      val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
+        .localCheckpoint()
+      val cents = packCentroids(spark, graphDir, e, nSeeds, null)
+        .localCheckpoint()
+      writeCents(cents, outDir, next)
+      seedRows(e, cents).coalesce(1)
+        .write.mode("overwrite").parquet(seedsDir(outDir, next))
+      return
+    }
+    val cents = spark.read.parquet(centsDir(outDir, m.epoch)).localCheckpoint()
+    writeCents(cents, outDir, next) // carried forward — a |cents|-row copy
+    val in = changedIds.map(x => x: Any)
+    val seedChurned = changedIds.nonEmpty &&
+      !oldSeeds.filter(col("vec_id").isin(in: _*)).isEmpty
+    val cands =
+      if (seedChurned)
+        VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
+      else if (changedIds.isEmpty) oldSeeds.select("vec_id", "embedding", "nrm")
+      else oldSeeds.select("vec_id", "embedding", "nrm")
+        .unionByName(eNeed.filter(col("vec_id").isin(in: _*))
+          .select("vec_id", "embedding", "nrm"))
+    seedRows(cands, cents).coalesce(1)
+      .write.mode("overwrite").parquet(seedsDir(outDir, next))
   }
 
   private def writeMeta(spark: SparkSession, outDir: String,
       m: ServeMeta): Unit = {
     import spark.implicits._
     val mp = s"${metaDir(outDir)}/e${m.epoch}"
-    Seq((m.epoch, m.graphEpoch, m.n, m.beam, m.iters, m.buckets, m.base))
-      .toDF("epoch", "graph_epoch", "n", "beam", "iters", "buckets", "base")
+    Seq((m.epoch, m.graphEpoch, m.n, m.beam, m.iters, m.buckets, m.base,
+        m.graphToken))
+      .toDF("epoch", "graph_epoch", "n", "beam", "iters", "buckets", "base",
+        "graph_token")
       .coalesce(1).write.mode("overwrite").parquet(mp)
     fsOf(spark, mp).create(
       new org.apache.hadoop.fs.Path(mp, CommitMarker), true).close()
@@ -333,7 +517,8 @@ object GraphServing {
     ServeMeta(r.getAs[Int]("epoch"), r.getAs[Int]("graph_epoch"),
       r.getAs[Long]("n"), r.getAs[Int]("beam"), r.getAs[Int]("iters"),
       if (fields("buckets")) r.getAs[Int]("buckets") else 16,
-      if (fields("base")) r.getAs[Int]("base") else e)
+      if (fields("base")) r.getAs[Int]("base") else e,
+      if (fields("graph_token")) r.getAs[Long]("graph_token") else 0L)
   }
 
   /** The pinned entry seeds (vec_id, embedding, nrm) of the committed
@@ -374,21 +559,25 @@ object GraphServing {
 
   /** Is the pack current against the live graph state? False after any
     * graph delta/delete committed past the pack's build point — the
-    * maintainer's cue to [[refresh]]. Epoch-number equality is the
-    * check, so a FULL graph rebuild that re-advanced to exactly the
-    * pack's recorded epoch is indistinguishable from freshness: a graph
-    * [[KnnGraphBuild.build]] must be paired with a pack [[build]] (the
-    * bootstrap contract every derived store shares); [[refresh]] guards
-    * the detectable half (graph epoch BELOW the pack's) by rebuilding.
+    * maintainer's cue to [[refresh]] — and false after ANY out-of-band
+    * full graph rebuild: the graph's build-lineage token
+    * ([[KnnGraphBuild.tokenOf]]) is compared beside the epoch number,
+    * so even a rebuilt chain whose epoch numbering caught back up to
+    * the recorded one reads stale (the pre-token blind spot; 0-token
+    * legacy state on either side degrades to the epoch check).
     */
   def isFresh(spark: SparkSession, graphDir: String,
-      outDir: String): Boolean =
-    readMeta(spark, outDir).graphEpoch == KnnGraphBuild.epochOf(spark, graphDir)
+      outDir: String): Boolean = {
+    val m = readMeta(spark, outDir)
+    val gTok = KnnGraphBuild.tokenOf(spark, graphDir)
+    m.graphEpoch == KnnGraphBuild.epochOf(spark, graphDir) &&
+      (m.graphToken == 0L || gTok == 0L || m.graphToken == gTok)
+  }
 
   /** Drop pack state superseded by the committed epoch: adjacency and
     * src-claim shards BELOW THE BASE (live shards sit in (base, epoch]
-    * and must survive), seeds/meta below the committed epoch. Returns
-    * dirs removed.
+    * and must survive), seeds/cents/meta below the committed epoch.
+    * Returns dirs removed.
     */
   def vacuum(spark: SparkSession, outDir: String): Int = {
     val m = readMeta(spark, outDir)
@@ -400,7 +589,8 @@ object GraphServing {
         })
     }
     drop(s"$outDir/adj", m.base) + drop(s"$outDir/srcs", m.base) +
-      drop(s"$outDir/seeds", m.epoch) + drop(metaDir(outDir), m.epoch)
+      drop(s"$outDir/seeds", m.epoch) + drop(s"$outDir/cents", m.epoch) +
+      drop(metaDir(outDir), m.epoch)
   }
 
   /** Open the committed pack as a warm serving handle: the bucketed
@@ -506,34 +696,65 @@ object GraphServing {
       * broadcast, so an allowlist of any size composes without shuffling
       * walk state.
       *
-      * `beam` widens the walk for SPARSE predicates — the filtered-ANN
-      * search-width rule (a filter keeping fraction f of the corpus
-      * leaves ~f of the scored set eligible, so holding recall needs
-      * ~1/f more scored mass; DiskANN serves filtered queries with a
-      * larger search list L for the same reason). Measured on the sf0.001
-      * fixture: the pinned beam holds 0.95 recall at f = 1/3 but 0.77 at
-      * f = 1/15, where 2× beam restores 0.95 (GraphFilteredWalkSpec
-      * asserts the predicate on every row and the ≥ 0.8 floors at both
-      * operating points). Cost stays polylog — the widening scales the
-      * beam factor, never the corpus.
+      * An explicit `beam` PINS the walk width — the cost-envelope
+      * override. At the default (`beam = -1`) the handle widens the
+      * beam ITSELF from measured selectivity (one count on the
+      * allowlist; the filtered-ANN search-width rule — a filter keeping
+      * fraction f of the corpus leaves ~f of the scored set eligible,
+      * so holding recall needs more scored mass; DiskANN serves
+      * filtered queries with a larger search list L for the same
+      * reason). Measured on the sf0.001 fixture: the pinned beam holds
+      * 0.95 recall at f = 1/3 but 0.77 at f = 1/15, where 2× restores
+      * 0.95 (GraphFilteredWalkSpec asserts the ≥ 0.8 floors at both
+      * operating points through the DEFAULT path — no caller knob).
+      * Cost stays polylog — the widening scales the beam factor, never
+      * the corpus.
       */
     def topK(queries: DataFrame, k: Int, allowedIds: DataFrame,
         beam: Int, iters: Int): DataFrame =
       walkTopK(queries, k, beam, iters, Some(allowedIds))
 
-    /** [[topK]] filtered, at the pack's pinned operating point. */
+    /** [[topK]] filtered, at the pack's operating point — the beam
+      * auto-widens for sparse allowlists (see the explicit-beam
+      * overload); f ≥ 1/8 serves byte-identically to the pinned beam.
+      */
     def topK(queries: DataFrame, k: Int,
         allowedIds: DataFrame): DataFrame =
       walkTopK(queries, k, -1, -1, Some(allowedIds))
 
     private def walkTopK(queries: DataFrame, k: Int, beam: Int,
         iters: Int, allowedIds: Option[DataFrame]): DataFrame = {
-      val beamN = if (beam > 0) beam else meta.beam
+      import spark.implicits._
+      // the query batch is broadcast-small by contract — COLLECT it once:
+      // nQ, the prune decision, and the broadcast side all derive from
+      // the local rows, so a serving call pays no per-call count job and
+      // no per-round re-scan of the caller's query lineage (the r15 form
+      // ran queries.count() before every batch)
+      val qRows = queries.select(col("q_id"), col("q_emb")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val nQ = qRows.length
+      // FILTERED calls at the pack's default operating point widen the
+      // beam from MEASURED selectivity (the filtered search-width rule:
+      // a predicate keeping fraction f of the corpus leaves ~f of the
+      // scored set eligible, so holding recall needs more scored mass —
+      // DiskANN's larger-L-for-filtered-queries rule). Measured on the
+      // fixture: 1× holds 0.95 recall at f = 1/3; f = 1/15 needs 2×
+      // (GraphFilteredWalkSpec asserts both floors THROUGH this default
+      // path). One cheap count on the caller's allowlist buys a
+      // safe-by-default API; an explicit `beam` stays the override, and
+      // f ≥ 1/8 leaves the plan byte-identical (widen = 1).
+      val widen = allowedIds match {
+        case Some(a) if beam <= 0 && meta.n > 0 =>
+          val f = math.max(a.select("vec_id").distinct().count().toDouble /
+            meta.n.toDouble, 1e-9)
+          math.min(8, math.max(1, math.ceil(1.0 / (8.0 * f)).toInt))
+        case _ => 1
+      }
+      val beamN = if (beam > 0) beam else meta.beam * widen
       val itersN = if (iters >= 0) iters else meta.iters
-      val q = broadcast(queries
+      val q = broadcast(qRows.toSeq.toDF("q_id", "q_emb")
         .select(col("q_id"), col("q_emb"), l2Norm(col("q_emb")).as("q_n")))
-      val nQ = queries.count() // bounded by the broadcast-small contract
-      val prune = !pinned && nQ * beamN <= 4L * meta.buckets
+      val prune = !pinned && nQ.toLong * beamN <= 4L * meta.buckets
       // candidates arrive as (q_id, vec_id, embedding, nrm) — scoring is
       // a broadcast join against the query batch, no read. Duplicate
       // candidate rows (one per frontier vertex naming the neighbor) are

@@ -76,11 +76,31 @@ object KnnGraphBuild {
     * belong to it. `edgesBase` is the epoch holding the FULL directed
     * edge list; epochs in (edgesBase, epoch] are change SHARDS (only
     * the lists their `eclaims/e<K>` dir claims), folded back into a
-    * full base every [[EdgeFoldEvery]] epochs.
+    * full base every [[EdgeFoldEvery]] epochs. `token` is the build
+    * LINEAGE stamp: drawn fresh at every full (re)build and carried
+    * through every delta, so a derived artifact can detect that the
+    * state was rebuilt out-of-band even when the rebuilt chain
+    * re-advanced to (or past) the epoch number the artifact recorded —
+    * epoch numbers alone cannot distinguish that case
+    * ([[GraphServing.refresh]]'s lineage guard). 0 = a state persisted
+    * before tokens existed (epoch-ordering checks only). `edgeCount` is
+    * the served directed edge count, maintained ARITHMETICALLY by every
+    * verb (old − rows under re-claimed lists + rows written) so
+    * returning it never pays a base+shards merge scan; −1 = a
+    * pre-tracking state (the next verb counts once and starts tracking).
     */
   final case class Meta(bits: Int, tables: Int, k: Int, maxVecId: Long,
       epoch: Int, method: String = "lsh", nprobe: Int = 0,
-      edgesBase: Int = 0)
+      edgesBase: Int = 0, token: Long = 0L, edgeCount: Long = -1L)
+
+  /** Fresh lineage token for a full build — distinct across rebuilds of
+    * the same path with overwhelming probability; never 0 (the legacy
+    * sentinel).
+    */
+  private def newToken(): Long = {
+    val t = java.util.concurrent.ThreadLocalRandom.current().nextLong()
+    if (t == 0L) 1L else t
+  }
 
   /** Edge-shard fold cadence: a delta/delete epoch appends only its
     * changed lists; once this many epochs sit above the base, the next
@@ -111,9 +131,11 @@ object KnnGraphBuild {
     val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(st))
       require(fs.delete(st, true), s"could not clear previous state at $st")
+    val cnt = edges.count()
     commitEpoch(spark, sigs, edges,
-      Meta(bits, tables, k, maxId(sigs), epoch = 0), outDir)
-    edges.count()
+      Meta(bits, tables, k, maxId(sigs), epoch = 0, token = newToken(),
+        edgeCount = cnt), outDir)
+    cnt
   }
 
   /** IVF full build — the same epoch/commit machinery as [[build]] with
@@ -157,11 +179,13 @@ object KnnGraphBuild {
     if (fs.exists(st))
       require(fs.delete(st, true), s"could not clear previous state at $st")
     centroids.write.mode("overwrite").parquet(centroidsPath(stateDir(outDir)))
+    val cnt = edges.count()
     commitEpoch(spark, sigs, edges,
       Meta(bits = 0, tables = 0, k, maxId(sigs), epoch = 0,
-        method = "ivf", nprobe = nprobe),
+        method = "ivf", nprobe = nprobe, token = newToken(),
+        edgeCount = cnt),
       outDir, assignShard = Some(assign))
-    edges.count()
+    cnt
   }
 
   /** The candidate-structure method ("lsh" | "ivf") the persisted state
@@ -174,6 +198,14 @@ object KnnGraphBuild {
   /** The pinned coarse quantizer of an IVF-method state. */
   def readCentroids(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(centroidsPath(stateDir(outDir)))
+
+  /** The build-lineage token of the persisted state ([[Meta.token]]) —
+    * what a derived artifact records beside [[epochOf]] so a full
+    * out-of-band rebuild is detectable even when the new chain's epoch
+    * numbering catches up to the recorded one. 0 for pre-token states.
+    */
+  def tokenOf(spark: SparkSession, outDir: String): Long =
+    readMeta(spark, stateDir(outDir)).token
 
   /** The committed epoch of the persisted graph state — what a DERIVED
     * artifact ([[GraphServing]]'s pack) records at build time so its
@@ -266,6 +298,35 @@ object KnnGraphBuild {
     else build(spark, e, outDir, k, tables)
   }
 
+  /** `df` rows whose vec_id appears in `ids` (a single-column bounded
+    * frame). Small id sets collect to an `isin` filter — the predicate
+    * reaches the parquet scans of the shard union, so row-group min/max
+    * pruning applies; larger sets fall back to a broadcast left-semi
+    * (the scan streams and drops rows map-side — still never a
+    * corpus-sized materialization). Both forms replace the r15 pattern
+    * of localCheckpointing the FULL live signature frame (embedding
+    * arrays included) per verb just to slice a churn-bounded subset out
+    * of it — the read-side twin of the change-proportional shard writes.
+    */
+  private def restrictByIds(df: DataFrame, ids: DataFrame,
+      cap: Int = 65536): DataFrame = {
+    val some = ids.select("vec_id").distinct().limit(cap + 1)
+      .collect().map(_.getLong(0))
+    if (some.isEmpty) df.limit(0)
+    else if (some.length <= cap)
+      df.filter(col("vec_id").isin(some.map(x => x: Any): _*))
+    else df.join(broadcast(ids.select("vec_id").distinct()),
+      Seq("vec_id"), "left_semi")
+  }
+
+  /** The served directed edge count without a merge scan when the meta
+    * tracks it; the one-time upgrade count for pre-tracking states.
+    */
+  private def servedCount(spark: SparkSession, st: String,
+      meta: Meta): Long =
+    if (meta.edgeCount >= 0) meta.edgeCount
+    else servedEdges(spark, st, meta).count()
+
   /** IVF incremental build: absorb `newVecs` under the STORED quantizer —
     * no old-old re-scoring, no retraining. New-vs-new candidates pair
     * within shared cells among the delta's assignments; new-vs-old from
@@ -286,7 +347,7 @@ object KnnGraphBuild {
     val e = newVecs.select("vec_id", "embedding")
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
-      return servedEdges(spark, st, meta).count() // empty delta
+      return servedCount(spark, st, meta) // empty delta — no scan at all
     val centroids = readCentroids(spark, outDir)
     val oldSigs = liveShards(spark, st, "sigs", meta.epoch)
     val oldAssign = liveShards(spark, st, "assign", meta.epoch)
@@ -295,22 +356,32 @@ object KnnGraphBuild {
     val newAssign = VectorQueries.ivfAssign(newSigs, centroids, meta.nprobe)
       .localCheckpoint()
     val newNew = VectorQueries.ivfCellCandidates(newAssign)
-    // cross pairs oriented (a = old, b = new) — a<b holds by the id contract
+    // cross pairs oriented (a = old, b = new) — a<b holds by the id
+    // contract. The assignment join reads SCALAR (vec_id, cell) shards
+    // only; the candidate set is bounded by nprobe · cell occupancy
     val cross = oldAssign.select(col("vec_id").as("a_id"), col("cell"))
       .join(newAssign.select(col("vec_id").as("b_id"), col("cell").as("b_cell")),
         col("cell") === col("b_cell"))
       .select("a_id", "b_id")
-      .distinct()
+      .distinct().localCheckpoint()
+    // the cross pairs' old endpoints are the only STORED vectors scoring
+    // needs — restrict the array-carrying sig read to them (isin →
+    // row-group pruning) instead of the r15 full-live-frame checkpoint
+    val oldSigsNeeded = restrictByIds(oldSigs,
+      cross.select(col("a_id").as("vec_id"))).localCheckpoint()
     val scored = VectorQueries.scorePairs(newNew, newSigs, newSigs)
-      .union(VectorQueries.scorePairs(cross, oldSigs, newSigs))
+      .union(VectorQueries.scorePairs(cross, oldSigsNeeded, newSigs))
     val newEdges = VectorQueries.topKEdges(scored, meta.k)
     // the same change-proportional shard commit as [[delta]] — the
     // claimed-list dominance argument and the changed-only except are
     // method-independent
     val served = servedEdges(spark, st, meta)
     val affected = newEdges.select("a_id").distinct().localCheckpoint()
+    // one merge scan materializes the candidates' stored lists; every
+    // later consumer (heap input, except, removed-count) reads the
+    // bounded checkpoint, never the merge again
     val prevRows = served.join(broadcast(affected), "a_id")
-      .select("a_id", "b_id", "cos_r")
+      .select("a_id", "b_id", "cos_r").localCheckpoint()
     val newLists = graft.plans.TopKPerKey(
       prevRows.unionByName(newEdges),
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
@@ -318,13 +389,18 @@ object KnnGraphBuild {
     val changedA = newLists.except(prevRows).select("a_id").distinct()
       .localCheckpoint()
     val shardLists = newLists.join(broadcast(changedA), "a_id")
-      .select("a_id", "b_id", "cos_r")
+      .select("a_id", "b_id", "cos_r").localCheckpoint()
+    // arithmetic count maintenance: rows under re-claimed lists out,
+    // shard rows in — the returned merge count without a merge scan
+    val cnt = servedCount(spark, st, meta) -
+      prevRows.join(broadcast(changedA), Seq("a_id"), "left_semi").count() +
+      shardLists.count()
     val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, changedA, shardLists,
       meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
-        epoch = meta.epoch + 1))
+        epoch = meta.epoch + 1, edgeCount = cnt))
     commitEpoch(spark, newSigs, edgeFrame.localCheckpoint(), m2, outDir,
       assignShard = Some(newAssign), edgeClaims = eclaims)
-    servedEdges(spark, st, m2).count()
+    cnt
   }
 
   /** Incremental build: absorb `newVecs` without re-scoring old-old pairs.
@@ -338,11 +414,14 @@ object KnnGraphBuild {
     val e = newVecs.select("vec_id", "embedding")
     val minRow = e.agg(min("vec_id")).head
     if (minRow.isNullAt(0))
-      return servedEdges(spark, st, meta).count() // empty delta
+      return servedCount(spark, st, meta) // empty delta — no scan at all
     // the STORED signature function — adaptive sizing would change the
-    // signatures and break both exactness and the stored buckets
+    // signatures and break both exactness and the stored buckets.
+    // The live frame stays LAZY: the bucket join below reads its SCALAR
+    // columns (column pruning drops the arrays), and the array-carrying
+    // rows are read only for the bounded cross-candidate endpoints —
+    // the r15 form localCheckpointed the whole live frame per delta
     val oldSigs = liveShards(spark, st, "sigs", meta.epoch)
-      .localCheckpoint()
     requireNotLive(e, oldSigs, meta)
     val newSigs = VectorQueries.sigFrame(e, meta.bits, meta.tables)
       .localCheckpoint()
@@ -355,9 +434,11 @@ object KnnGraphBuild {
       .join(oldBuckets.as("bo"),
         col("bn.tbl") === col("bo.tbl") && col("bn.bucket") === col("bo.bucket"))
       .select(col("bo.vec_id").as("a_id"), col("bn.vec_id").as("b_id"))
-      .distinct()
+      .distinct().localCheckpoint()
+    val oldSigsNeeded = restrictByIds(oldSigs,
+      cross.select(col("a_id").as("vec_id"))).localCheckpoint()
     val scored = VectorQueries.scorePairs(newNew, newSigs, newSigs)
-      .union(VectorQueries.scorePairs(cross, oldSigs, newSigs))
+      .union(VectorQueries.scorePairs(cross, oldSigsNeeded, newSigs))
     val newEdges = VectorQueries.topKEdges(scored, meta.k)
     val served = servedEdges(spark, st, meta)
     // CHANGE-PROPORTIONAL: a list can change only if it gained a
@@ -371,8 +452,11 @@ object KnnGraphBuild {
     // rows written track the true churn, not the candidate fan-out.
     // Stored edges are already directed (a_id = query vertex).
     val affected = newEdges.select("a_id").distinct().localCheckpoint()
+    // one merge scan materializes the candidates' stored lists; the heap
+    // input, the except, and the removed-count all read the bounded
+    // checkpoint instead of re-running the merge
     val prevRows = served.join(broadcast(affected), "a_id")
-      .select("a_id", "b_id", "cos_r")
+      .select("a_id", "b_id", "cos_r").localCheckpoint()
     val newLists = graft.plans.TopKPerKey(
       prevRows.unionByName(newEdges),
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
@@ -380,13 +464,18 @@ object KnnGraphBuild {
     val changedA = newLists.except(prevRows).select("a_id").distinct()
       .localCheckpoint()
     val shardLists = newLists.join(broadcast(changedA), "a_id")
-      .select("a_id", "b_id", "cos_r")
+      .select("a_id", "b_id", "cos_r").localCheckpoint()
+    // arithmetic count maintenance — the returned merge count without a
+    // merge scan (Meta.edgeCount scaladoc)
+    val cnt = servedCount(spark, st, meta) -
+      prevRows.join(broadcast(changedA), Seq("a_id"), "left_semi").count() +
+      shardLists.count()
     val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, changedA, shardLists,
       meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
-        epoch = meta.epoch + 1))
+        epoch = meta.epoch + 1, edgeCount = cnt))
     commitEpoch(spark, newSigs, edgeFrame.localCheckpoint(), m2, outDir,
       edgeClaims = eclaims)
-    servedEdges(spark, st, m2).count()
+    cnt
   }
 
   /** Drop state superseded by the committed epoch: edge bases/shards and
@@ -454,7 +543,7 @@ object KnnGraphBuild {
     val meta = readMeta(spark, st)
     val dead = ids.select("vec_id").distinct().localCheckpoint()
     if (dead.isEmpty)
-      return servedEdges(spark, st, meta).count()
+      return servedCount(spark, st, meta)
     val served = servedEdges(spark, st, meta)
     // victims: survivors whose stored top-k lost an edge to a dead vector —
     // bounded by k·|dead| rows by construction
@@ -462,11 +551,14 @@ object KnnGraphBuild {
       .join(dead.select(col("vec_id").as("b_id")), Seq("b_id"), "left_semi")
       .join(dead.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
       .select("a_id").distinct().localCheckpoint()
+    // LAZY live view — the candidate derivation reads its scalar columns
+    // (bucket/assignment joins, arrays pruned); the array-carrying rows
+    // are read only for the bounded scoring endpoints below
     val liveS = liveShards(spark, st, "sigs", meta.epoch)
-      .join(dead, Seq("vec_id"), "left_anti").localCheckpoint()
-    val victimSigs = liveS
-      .join(victims.select(col("a_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val cand = meta.method match {
+      .join(dead, Seq("vec_id"), "left_anti")
+    val victimSigs = restrictByIds(liveS,
+      victims.select(col("a_id").as("vec_id")))
+    val cand = (meta.method match {
       case "ivf" =>
         val liveA = liveShards(spark, st, "assign", meta.epoch)
           .join(dead, Seq("vec_id"), "left_anti")
@@ -486,13 +578,18 @@ object KnnGraphBuild {
               col("bv.vec_id") =!= col("bl.vec_id"))
           .select(col("bv.vec_id").as("a_id"), col("bl.vec_id").as("b_id"))
           .distinct()
-    }
+    }).localCheckpoint()
+    // scoring touches exactly the candidate endpoints' vectors
+    val liveSNeeded = restrictByIds(liveS,
+      cand.select(col("a_id").as("vec_id"))
+        .unionByName(cand.select(col("b_id").as("vec_id"))))
+      .localCheckpoint()
     // directed edges for the victims only — no mirror: the other endpoint's
     // list did not lose anything
     val victimEdges = graft.plans.TopKPerKey(
-      VectorQueries.scorePairs(cand, liveS, liveS),
+      VectorQueries.scorePairs(cand, liveSNeeded, liveSNeeded),
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), meta.k)
-      .select("a_id", "b_id", "cos_r")
+      .select("a_id", "b_id", "cos_r").localCheckpoint()
     // claimed lists = the victims' rebuilds + the dead srcs (claimed with
     // ZERO rows — the read-side tombstone); every other list is untouched
     // (any b_id-dead edge lives under a victim or dead a_id), so the
@@ -500,8 +597,13 @@ object KnnGraphBuild {
     val claims = victims.select("a_id")
       .unionByName(dead.select(col("vec_id").as("a_id")))
       .distinct().localCheckpoint()
+    // arithmetic count maintenance: every served row under a claimed
+    // a_id leaves, the victims' rebuilt rows land
+    val cnt = servedCount(spark, st, meta) -
+      served.join(broadcast(claims), Seq("a_id"), "left_semi").count() +
+      victimEdges.count()
     val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, claims,
-      victimEdges, meta.copy(epoch = meta.epoch + 1))
+      victimEdges, meta.copy(epoch = meta.epoch + 1, edgeCount = cnt))
     commitEpoch(spark, liveS.limit(0), edgeFrame.localCheckpoint(), m2, outDir,
       assignShard =
         if (meta.method == "ivf")
@@ -509,7 +611,7 @@ object KnnGraphBuild {
         else None,
       tombShard = Some(dead),
       edgeClaims = eclaims)
-    servedEdges(spark, st, m2).count()
+    cnt
   }
 
   /** Store-level statistics — metadata plus per-epoch dir counts, one
@@ -667,9 +769,9 @@ object KnnGraphBuild {
     edges.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
     val metaPath = s"$st/meta/e${meta.epoch}"
     Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch,
-        meta.method, meta.nprobe, meta.edgesBase))
+        meta.method, meta.nprobe, meta.edgesBase, meta.token, meta.edgeCount))
       .toDF("bits", "tables", "k", "max_vec_id", "epoch", "method", "nprobe",
-        "edges_base")
+        "edges_base", "token", "edge_count")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val marker = new org.apache.hadoop.fs.Path(metaPath, CommitMarker)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -698,13 +800,19 @@ object KnnGraphBuild {
     // reading them must keep working, not demand a rebuild
     val hasMethod = df.schema.fieldNames.contains("method")
     // likewise states persisted before the edge shards: they wrote the
-    // full list EVERY epoch, so the committed epoch is its own base
+    // full list EVERY epoch, so the committed epoch is its own base.
+    // Pre-token states read 0 (lineage checks degrade to epoch order);
+    // pre-tracking states read −1 (the next verb counts once).
     val hasBase = df.schema.fieldNames.contains("edges_base")
+    val hasToken = df.schema.fieldNames.contains("token")
+    val hasCount = df.schema.fieldNames.contains("edge_count")
     Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
       r.getAs[Long]("max_vec_id"), e,
       if (hasMethod) r.getAs[String]("method") else "lsh",
       if (hasMethod) r.getAs[Int]("nprobe") else 0,
-      if (hasBase) r.getAs[Int]("edges_base") else e)
+      if (hasBase) r.getAs[Int]("edges_base") else e,
+      if (hasToken) r.getAs[Long]("token") else 0L,
+      if (hasCount) r.getAs[Long]("edge_count") else -1L)
   }
 
   /** `runMain graft.queries.KnnGraphBuild [outDir]` over SPARK_GRAFT_SF_DIR;

@@ -83,31 +83,35 @@ class GraphFilteredWalkSpec extends SparkSpec {
       rows.map(_.toSeq.mkString("|")).sorted.toSeq)
   }
 
-  test("a SPARSE allowlist fills k and holds the floor at the widened beam — the filtered search-width rule") {
+  test("a SPARSE allowlist fills k and holds the floor THROUGH THE DEFAULT API — the beam auto-widens from measured selectivity") {
     // ~7% of the corpus: the walk's beam (top-32+ per query) holds few
     // allowed ids, but the full scored set holds plenty — the
     // filtered-DiskANN failure mode this API exists to avoid. At the
     // PINNED beam the measured recall here is ~0.77 (a sparse filter
-    // leaves ~f of the scored mass eligible); the widened beam is the
-    // documented sparse-filter operating point (DiskANN's larger-L rule)
+    // leaves ~f of the scored mass eligible); the handle now measures
+    // f = |allowlist| / n itself and widens the beam (DiskANN's
+    // larger-L rule), so the floor holds with NO caller knob — the r15
+    // form required the caller to have read the scaladoc and passed 2×
     val pred = col("vec_id") % 15 === 1
     val allowed = emb.filter(pred).select("vec_id")
     val nAllowed = allowed.count()
     assert(nAllowed >= kk, s"fixture too small: $nAllowed allowed")
-    val rows = handle.topK(queries, kk, allowed,
-      beam = 2 * handle.meta.beam, iters = -1).collect()
+    val rows = handle.topK(queries, kk, allowed).collect()
     assert(rows.forall(_.getLong(2) % 15 == 1))
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length == kk),
       "sparse allowlist under-filled k")
     val rec = recallOf(rows, filteredBrute(pred))
-    info(f"sparse filtered-walk recall@$kk = $rec%.3f ($nAllowed allowed, 2x beam)")
-    assert(rec >= 0.8, f"sparse filtered recall $rec%.3f < 0.8 at 2x beam")
-    // and the pinned beam DOES degrade — the widening knob earns its
-    // existence (if this ever rises above the floor, tighten the doc)
-    val recPinned = recallOf(handle.topK(queries, kk, allowed).collect(),
-      filteredBrute(pred))
-    info(f"sparse at pinned beam = $recPinned%.3f")
+    info(f"sparse filtered-walk recall@$kk = $rec%.3f ($nAllowed allowed, auto-widened)")
+    assert(rec >= 0.8, f"sparse filtered recall $rec%.3f < 0.8 through the default path")
+    // the EXPLICITLY pinned beam does degrade — the auto-widening earns
+    // its existence (if this ever rises above the floor, tighten the doc)
+    val recPinned = recallOf(handle.topK(queries, kk, allowed,
+      beam = handle.meta.beam, iters = -1).collect(), filteredBrute(pred))
+    info(f"sparse at explicitly pinned beam = $recPinned%.3f")
     assert(recPinned <= rec + 1e-9)
+    // determinism through the auto path
+    assert(canon(handle.topK(queries, kk, allowed)) ==
+      rows.map(_.toSeq.mkString("|")).sorted.toSeq)
   }
 
   test("an unfiltered call is unchanged by the filtered API's existence") {

@@ -40,20 +40,31 @@ class GraphServingRefreshSpec extends SparkSpec {
       .select("src", "dst", "embedding", "nrm")
 
   /** Apply the shared churn script to a freshly-built graph at `gd`:
-    * 6 inserts, 2 deletes, 1 upsert — four graph epochs. Returns the
-    * live corpus after the churn.
+    * 6 plain inserts (+ optional extras), 2 deletes, 1 upsert — four
+    * graph epochs. The upsert is a PURE RESCALING of id 11 (×1.25):
+    * cosines — and therefore the id's neighbor PAIRS — are unchanged,
+    * but the collocated embedding/nrm on every surviving neighbor's
+    * (v, 11) row is stale until v is re-claimed. That is exactly the
+    * blind spot a pair-diff-only affected set misses (the r15 bug: a
+    * sign-flipped upsert churned every pair, so no surviving-pair row
+    * existed to catch it). Returns the live corpus after the churn.
     */
-  private def churn(gd: String): org.apache.spark.sql.DataFrame = {
+  private def churn(gd: String,
+      extraIns: org.apache.spark.sql.DataFrame = null)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val ins = emb.orderBy("vec_id").limit(6)
-      .withColumn("vec_id", col("vec_id") + 100000L).localCheckpoint()
+    val ins0 = emb.orderBy("vec_id").limit(6)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val ins = (if (extraIns == null) ins0 else ins0.unionByName(extraIns))
+      .localCheckpoint()
     KnnGraphBuild.delta(spark, ins, gd) // e1
     KnnGraphBuild.deleteVecs(spark, Seq(3L, 7L).toDF("vec_id"), gd) // e2
-    // upsert = delete + re-insert with a genuinely new direction
+    // upsert = delete + re-insert, re-embedded as a pure rescaling: the
+    // LSH signatures, buckets, and cosines are scale-invariant, so every
+    // old neighbor pair SURVIVES — the maximal stale-vector surface
     KnnGraphBuild.deleteVecs(spark, Seq(11L).toDF("vec_id"), gd) // e3
     val v11 = emb.filter(col("vec_id") === 11L)
-      .head.getSeq[Float](1).zipWithIndex
-      .map { case (x, i) => if (i % 2 == 0) x else -x }
+      .head.getSeq[Float](1).map(_ * 1.25f)
     val up11 = Seq((11L, v11)).toDF("vec_id", "embedding")
       .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
       .localCheckpoint()
@@ -69,20 +80,61 @@ class GraphServingRefreshSpec extends SparkSpec {
     KnnGraphBuild.build(spark, emb, gd, k = kk) // graph e0
     GraphServing.build(spark, gd, emb, pdA) // pack base e0
     val baseRows = spark.read.parquet(s"$pdA/adj/e0").count()
-    val live = churn(gd)
+    // one insert placed ON a pinned centroid: it must DISPLACE that
+    // cell's carried entry seed, proving the incremental winner update
+    // covers the insert-wins-a-cell case (not just carried winners)
+    import spark.implicits._
+    val cvec = GraphServing.readCents(spark, pdA)
+      .orderBy("cell").head.getSeq[Any](1).map {
+        case d: Double => d.toFloat
+        case f: Float => f
+      }
+    val centIns = Seq((100100L, cvec)).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
+      .localCheckpoint()
+    val live = churn(gd, extraIns = centIns)
     assert(!GraphServing.isFresh(spark, gd, pdA))
 
     // ONE refresh reconciles all four graph epochs into one shard
     assert(GraphServing.refresh(spark, gd, live, pdA) == 1)
     assert(GraphServing.isFresh(spark, gd, pdA))
-    // the independent full rebuild over the same graph + corpus
-    GraphServing.build(spark, gd, live, pdB)
+    // the independent rebuild over the same graph + corpus, under the
+    // pack's own PINNED seed geometry (entry-point geometry is pack
+    // state — the FAISS add()-never-retrains contract; an unconstrained
+    // rebuild would train a fresh kmeans and legitimately pick other
+    // entry points). The ADJACENCY parity below is geometry-free either
+    // way; KnnGraphBuildIvfSpec's sibling test pins the fully
+    // independent rebuild where the quantizer is shared graph state.
+    GraphServing.build(spark, gd, live, pdB,
+      centroidsOverride = GraphServing.readCents(spark, pdA))
 
     // the SERVED ADJACENCY is row-identical — adjacency, collocated
     // vectors, norms; this is the store-level equivalence every walk
-    // rides on
+    // rides on. The upsert's SURVIVING pairs make this bite: (v, 11)
+    // rows must carry 11's rescaled embedding/nrm, which only happens
+    // if the surviving neighbors were re-claimed
     assert(canon(served(pdA)) == canon(served(pdB)),
       "shard-refreshed pack diverged from the full rebuild")
+    // every survivor serving a row naming the re-embedded id was
+    // re-claimed by the shard — the stale-collocated-vector guard
+    val claimed = spark.read.parquet(s"$pdA/srcs/e1")
+      .collect().map(_.getLong(0)).toSet
+    val nbrs11 = served(pdB).filter(col("dst") === 11L)
+      .select("src").collect().map(_.getLong(0)).toSet
+    assert(nbrs11.nonEmpty, "fixture lost its surviving pairs")
+    assert(nbrs11.subsetOf(claimed),
+      s"surviving neighbors of the upsert must be re-claimed: ${nbrs11 -- claimed} missing")
+    // incremental seed maintenance ≡ a full reassign of the live corpus
+    // under the same pinned quantizer (the dominance argument, asserted
+    // directly) — and the centroid-insert won its cell
+    val fullSeeds = GraphServing.seedRows(
+      VectorQueries.nrmFrame(live.select("vec_id", "embedding")),
+      GraphServing.readCents(spark, pdA))
+    assert(canon(GraphServing.readSeeds(spark, pdA)) == canon(fullSeeds),
+      "incremental seed winners diverged from the full reassign")
+    assert(GraphServing.readSeeds(spark, pdA)
+      .filter(col("vec_id") === 100100L).count() == 1,
+      "a centroid-sited insert must displace the carried seed of its cell")
     // and so are the walks, both tiers
     val q = queries(live)
     val want = canon(GraphServing.open(spark, pdB).topK(q, kk))
@@ -97,8 +149,6 @@ class GraphServingRefreshSpec extends SparkSpec {
     assert(shardRows > 0 && shardRows < baseRows / 3,
       s"shard must be churn-sized: $shardRows vs base $baseRows")
     // the claim list tombstones the dead and claims the new
-    val claimed = spark.read.parquet(s"$pdA/srcs/e1")
-      .collect().map(_.getLong(0)).toSet
     assert(Set(3L, 7L).subsetOf(claimed), "dead ids must be claimed (tombstoned)")
     val servedIds = served(pdA).select("src").distinct()
       .collect().map(_.getLong(0)).toSet
@@ -237,6 +287,67 @@ class GraphServingRefreshSpec extends SparkSpec {
     assert(canon(served(pd)) == canon(served(pdB)))
   }
 
+  test("an out-of-band graph rebuild whose epoch chain catches back up is detected by the LINEAGE TOKEN") {
+    import spark.implicits._
+    val gd = tmp("gsrt_graph")
+    val pd = tmp("gsrt_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    val ins = emb.orderBy("vec_id").limit(3)
+      .withColumn("vec_id", col("vec_id") + 700000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, ins, gd) // graph e1
+    val live1 = emb.unionByName(ins).localCheckpoint()
+    GraphServing.build(spark, gd, live1, pd) // records graphEpoch 1 + token
+    assert(GraphServing.isFresh(spark, gd, pd))
+    // rebuild from scratch and RE-ADVANCE to the recorded epoch number —
+    // the case epoch comparison alone cannot see (the r15 blind spot:
+    // isFresh read true and refresh reconciled against a foreign
+    // lineage's sigs/tombs). The fresh build token makes it loud.
+    KnnGraphBuild.build(spark, emb, gd, k = kk) // e0 again, NEW token
+    KnnGraphBuild.delta(spark, ins, gd) // back to e1
+    assert(!GraphServing.isFresh(spark, gd, pd),
+      "a rebuilt graph at the same epoch number must read stale")
+    GraphServing.refresh(spark, gd, live1, pd)
+    val m = GraphServing.readMeta(spark, pd)
+    assert(m.base == m.epoch, s"lineage mismatch must rebuild a full base, got $m")
+    assert(GraphServing.isFresh(spark, gd, pd))
+    val pdB = tmp("gsrt_packB")
+    GraphServing.build(spark, gd, live1, pdB)
+    assert(canon(served(pd)) == canon(served(pdB)))
+  }
+
+  test("a churned SEED id trips the full-reassign fallback — still identical to a rebuild under the pinned quantizer") {
+    import spark.implicits._
+    val gd = tmp("gsrs_graph")
+    val pdA = tmp("gsrs_packA")
+    val pdB = tmp("gsrs_packB")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, pdA)
+    // delete a CURRENT ENTRY SEED: its cell's carried winner is gone, so
+    // the per-cell dominance shortcut is void and refreshSeeds must fall
+    // back to the full reassign (same pinned centroids, never a retrain)
+    val seedId = GraphServing.readSeeds(spark, pdA)
+      .orderBy("vec_id").head.getLong(0)
+    KnnGraphBuild.deleteVecs(spark, Seq(seedId).toDF("vec_id"), gd)
+    val live = emb.filter(col("vec_id") =!= seedId).localCheckpoint()
+    GraphServing.refresh(spark, gd, live, pdA)
+    // seeds ≡ the full reassign of the live corpus under the SAME cents,
+    // and the dead seed is gone from the seed set
+    val fullSeeds = GraphServing.seedRows(
+      VectorQueries.nrmFrame(live.select("vec_id", "embedding")),
+      GraphServing.readCents(spark, pdA))
+    assert(canon(GraphServing.readSeeds(spark, pdA)) == canon(fullSeeds),
+      "fallback seed reassign diverged from the direct recompute")
+    assert(GraphServing.readSeeds(spark, pdA)
+      .filter(col("vec_id") === seedId).isEmpty)
+    // and the pack as a whole still ≡ a rebuild under the same geometry
+    GraphServing.build(spark, gd, live, pdB,
+      centroidsOverride = GraphServing.readCents(spark, pdA))
+    assert(canon(served(pdA)) == canon(served(pdB)))
+    val q = queries(live)
+    assert(canon(GraphServing.open(spark, pdA).topK(q, kk)) ==
+      canon(GraphServing.open(spark, pdB).topK(q, kk)))
+  }
+
   test("foldEvery folds shards back into a full base; vacuum drops the superseded epochs") {
     import spark.implicits._
     val gd = tmp("gsrf_graph")
@@ -261,8 +372,9 @@ class GraphServingRefreshSpec extends SparkSpec {
     val pdB = tmp("gsrf_packB")
     GraphServing.build(spark, gd, live2, pdB)
     assert(canon(served(pd)) == canon(served(pdB)))
-    // vacuum drops the pre-fold epochs (adj e0 e1, srcs e1, seeds/meta e0 e1)
-    assert(GraphServing.vacuum(spark, pd) == 7)
+    // vacuum drops the pre-fold epochs (adj e0 e1, srcs e1,
+    // seeds/cents/meta e0 e1)
+    assert(GraphServing.vacuum(spark, pd) == 9)
     val q = queries(live2)
     assert(canon(GraphServing.open(spark, pd).topK(q, kk)) ==
       canon(GraphServing.open(spark, pdB).topK(q, kk)))

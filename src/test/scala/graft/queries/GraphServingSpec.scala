@@ -170,6 +170,6 @@ class GraphServingSpec extends SparkSpec {
     val h = GraphServing.open(spark, sd)
     val q = delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     assert(h.topK(q, kk).count() == 5L * kk)
-    assert(GraphServing.vacuum(spark, sd) == 3) // adj/seeds/meta e0
+    assert(GraphServing.vacuum(spark, sd) == 4) // adj/seeds/cents/meta e0
   }
 }

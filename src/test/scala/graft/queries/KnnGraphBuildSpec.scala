@@ -29,6 +29,10 @@ class KnnGraphBuildSpec extends SparkSpec {
       kk, tbls, bitsOverride = bts)
     val nEdges = KnnGraphBuild.delta(spark, e.filter(col("vec_id") > mid), outDelta)
     assert(nEdges > 0)
+    // the returned count is maintained ARITHMETICALLY in the meta (no
+    // per-verb merge scan) — it must still equal the true served count
+    assert(nEdges == KnnGraphBuild.readGraph(spark, outDelta).count(),
+      "meta-tracked edge count diverged from the served merge")
 
     val full = canon(KnnGraphBuild.readGraph(spark, outFull))
     val delta = canon(KnnGraphBuild.readGraph(spark, outDelta))

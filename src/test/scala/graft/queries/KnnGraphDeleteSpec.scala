@@ -35,7 +35,10 @@ class KnnGraphDeleteSpec extends SparkSpec {
     val victims = before.join(deadIds, Seq("vec_id"), "left_semi")
       .join(deadIds.withColumnRenamed("vec_id", "q_id"), Seq("q_id"), "left_anti")
     assert(victims.count() > 0, "fixture: deleted ids are nobody's neighbor")
-    KnnGraphBuild.deleteVecs(spark, deadIds, out)
+    val nAfter = KnnGraphBuild.deleteVecs(spark, deadIds, out)
+    // the arithmetically-maintained count survives the delete verb too
+    assert(nAfter == KnnGraphBuild.readGraph(spark, out).count(),
+      "meta-tracked edge count diverged after delete")
 
     val outSurv = tmp("knn_del_surv")
     KnnGraphBuild.build(spark,
