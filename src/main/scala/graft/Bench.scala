@@ -175,10 +175,14 @@ object Bench {
     // line out of the driver's captured tail. Persist it to a sidecar file
     // and RE-print it after spark.stop(), flushed, as the process's final
     // stdout line — whichever channel survives, the record does.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => }
+    // ... and into the working directory (BENCH_local_last.json), so the
+    // full per-query map can be COMMITTED per round (BENCH_local_r<N>) —
+    // cross-round per-query comparisons must not depend on /tmp surviving
+    Seq("/tmp/bench_last.json", "BENCH_local_last.json").foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8"))
+      catch { case _: java.io.IOException => }
+    }
     spark.stop()
     println(line)
     // The driver keeps only a ~2,000-char stdout tail; the full per-query

@@ -212,11 +212,22 @@ object GraphSearch {
   def centroidSeeds(spark: SparkSession, centroids: DataFrame,
       embeddings: DataFrame): DataFrame = {
     val sigs = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
+    centroidWinners(sigs, centroids).select("vec_id")
+  }
+
+  /** Per-cell winner (vec_id, cell) under pinned centroids — the ONE copy
+    * of the seed-selection keys (nprobe-1 assignment; round-6 sim desc,
+    * vec_id asc), shared by [[centroidSeeds]] and
+    * [[GraphServing.seedRows]] so the incremental seed maintenance and
+    * the full recompute cannot drift.
+    */
+  private[queries] def centroidWinners(cands: DataFrame,
+      centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("cell")
       .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
-    VectorQueries.ivfAssign(sigs, centroids, nprobe = 1)
+    VectorQueries.ivfAssign(cands, centroids, nprobe = 1)
       .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1).select("vec_id")
+      .filter(col("__r") === 1).select("vec_id", "cell")
   }
 
   /** Train-and-spread convenience when no quantizer is persisted: kmeans

@@ -422,20 +422,16 @@ object GraphServing {
     spark.read.parquet(centsDir(outDir, m.epoch))
   }
 
-  /** Per-cell entry-seed winners under pinned centroids — the
-    * [[GraphSearch.centroidSeeds]] selection exactly (nprobe-1
-    * assignment; winner keys round-6 sim desc, vec_id asc), carrying
-    * the CELL on the persisted row so [[refreshSeeds]] can maintain
-    * winners incrementally. `cands` is a (vec_id, embedding, nrm) frame
-    * with distinct ids.
+  /** Per-cell entry-seed winners under pinned centroids — the shared
+    * [[GraphSearch.centroidWinners]] selection (one copy of the keys, so
+    * this and [[GraphSearch.centroidSeeds]] cannot drift), carrying the
+    * CELL on the persisted row so [[refreshSeeds]] can maintain winners
+    * incrementally. `cands` is a (vec_id, embedding, nrm) frame with
+    * distinct ids.
     */
   private[queries] def seedRows(cands: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
-      .orderBy(round(col("sim"), 6).desc, col("vec_id").asc)
-    val winners = VectorQueries.ivfAssign(
-        cands.select("vec_id", "embedding", "nrm"), cents, nprobe = 1)
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1).select("vec_id", "cell")
+    val winners = GraphSearch.centroidWinners(
+      cands.select("vec_id", "embedding", "nrm"), cents)
     cands.select("vec_id", "embedding", "nrm").join(winners, "vec_id")
       .select("vec_id", "cell", "embedding", "nrm")
   }
