@@ -298,26 +298,33 @@ object KnnGraphBuild {
     else build(spark, e, outDir, k, tables)
   }
 
-  /** `df` rows whose vec_id appears in `ids` (a single-column bounded
+  /** `df` rows whose `key` appears in `ids` (a single-column bounded
     * frame). Small id sets collect to an `isin` filter — the predicate
     * reaches the parquet scans of the shard union, so row-group min/max
-    * pruning applies; larger sets fall back to a broadcast left-semi
-    * (the scan streams and drops rows map-side — still never a
-    * corpus-sized materialization). Both forms replace the r15 pattern
-    * of localCheckpointing the FULL live signature frame (embedding
-    * arrays included) per verb just to slice a churn-bounded subset out
-    * of it — the read-side twin of the change-proportional shard writes.
+    * pruning applies (the edge BASE is a_id-range-sorted at build/fold
+    * exactly so these stats bite — see [[commitEpoch]]); larger sets
+    * fall back to a broadcast left-semi (the scan streams and drops
+    * rows map-side — still never a corpus-sized materialization). Both
+    * forms replace the r15 pattern of localCheckpointing the FULL live
+    * signature frame (embedding arrays included) per verb just to slice
+    * a churn-bounded subset out of it — the read-side twin of the
+    * change-proportional shard writes.
     */
-  private def restrictByIds(df: DataFrame, ids: DataFrame,
+  private def restrictByKey(df: DataFrame, ids: DataFrame, key: String,
       cap: Int = 65536): DataFrame = {
-    val some = ids.select("vec_id").distinct().limit(cap + 1)
+    val idCol = ids.columns.head
+    val some = ids.select(idCol).distinct().limit(cap + 1)
       .collect().map(_.getLong(0))
     if (some.isEmpty) df.limit(0)
     else if (some.length <= cap)
-      df.filter(col("vec_id").isin(some.map(x => x: Any): _*))
-    else df.join(broadcast(ids.select("vec_id").distinct()),
-      Seq("vec_id"), "left_semi")
+      df.filter(col(key).isin(some.map(x => x: Any): _*))
+    else df.join(broadcast(ids.select(col(idCol).as(key)).distinct()),
+      Seq(key), "left_semi")
   }
+
+  private def restrictByIds(df: DataFrame, ids: DataFrame,
+      cap: Int = 65536): DataFrame =
+    restrictByKey(df, ids.select("vec_id"), "vec_id", cap)
 
   /** The served directed edge count without a merge scan when the meta
     * tracks it; the one-time upgrade count for pre-tracking states.
@@ -377,10 +384,11 @@ object KnnGraphBuild {
     // method-independent
     val served = servedEdges(spark, st, meta)
     val affected = newEdges.select("a_id").distinct().localCheckpoint()
-    // one merge scan materializes the candidates' stored lists; every
-    // later consumer (heap input, except, removed-count) reads the
-    // bounded checkpoint, never the merge again
-    val prevRows = served.join(broadcast(affected), "a_id")
+    // one PRUNED read materializes the candidates' stored lists (the
+    // a_id-sorted base answers the bounded slice without a full pass);
+    // every later consumer (heap input, except, removed-count) reads the
+    // bounded checkpoint, never the store again
+    val prevRows = restrictByKey(served, affected, "a_id")
       .select("a_id", "b_id", "cos_r").localCheckpoint()
     val newLists = graft.plans.TopKPerKey(
       prevRows.unionByName(newEdges),
@@ -452,10 +460,11 @@ object KnnGraphBuild {
     // rows written track the true churn, not the candidate fan-out.
     // Stored edges are already directed (a_id = query vertex).
     val affected = newEdges.select("a_id").distinct().localCheckpoint()
-    // one merge scan materializes the candidates' stored lists; the heap
-    // input, the except, and the removed-count all read the bounded
-    // checkpoint instead of re-running the merge
-    val prevRows = served.join(broadcast(affected), "a_id")
+    // one PRUNED read materializes the candidates' stored lists (the
+    // a_id-sorted base answers the bounded slice without a full pass);
+    // the heap input, the except, and the removed-count all read the
+    // bounded checkpoint instead of re-touching the store
+    val prevRows = restrictByKey(served, affected, "a_id")
       .select("a_id", "b_id", "cos_r").localCheckpoint()
     val newLists = graft.plans.TopKPerKey(
       prevRows.unionByName(newEdges),
@@ -598,9 +607,10 @@ object KnnGraphBuild {
       .unionByName(dead.select(col("vec_id").as("a_id")))
       .distinct().localCheckpoint()
     // arithmetic count maintenance: every served row under a claimed
-    // a_id leaves, the victims' rebuilt rows land
+    // a_id leaves, the victims' rebuilt rows land (a bounded pruned read
+    // against the sorted base, not a merge scan)
     val cnt = servedCount(spark, st, meta) -
-      served.join(broadcast(claims), Seq("a_id"), "left_semi").count() +
+      restrictByKey(served, claims, "a_id").count() +
       victimEdges.count()
     val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, claims,
       victimEdges, meta.copy(epoch = meta.epoch + 1, edgeCount = cnt))
@@ -766,7 +776,26 @@ object KnnGraphBuild {
     // per-a_id liveness authority of the read-side merge
     edgeClaims.foreach(_.select("a_id")
       .coalesce(1).write.mode("overwrite").parquet(claimsPath(st, meta.epoch)))
-    edges.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
+    // a full BASE lands a_id-range-partitioned and a_id-sorted: parquet
+    // row-group min/max stats then turn a bounded a_id read (the delta's
+    // prevRows slice, the delete's claim scan, a point lookup) into a
+    // pruned read instead of a full pass — the pack's src-sorted-file
+    // discipline applied to the graph's own store (metered in
+    // KnnGraphBuildSpec). Change SHARDS stay as-written: churn-sized, and
+    // a range shuffle per delta would tax the hot maintenance path to
+    // sort what a scan swallows in one gulp anyway.
+    // the EXPLICIT partition count matters: a number-less range
+    // repartition is AQE-coalesceable, and coalescing tiny fixtures into
+    // one file would erase the very min/max boundaries the pruning needs
+    // (a production deployment sizes shuffle.partitions to the cluster,
+    // which sizes these files with it)
+    val edgesOut =
+      if (meta.epoch == meta.edgesBase)
+        edges.repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("a_id"))
+          .sortWithinPartitions("a_id", "b_id")
+      else edges
+    edgesOut.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
     val metaPath = s"$st/meta/e${meta.epoch}"
     Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch,
         meta.method, meta.nprobe, meta.edgesBase, meta.token, meta.edgeCount))
