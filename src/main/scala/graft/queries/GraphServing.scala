@@ -361,7 +361,7 @@ object GraphServing {
     * row-group min/max pruning on vec_id), never a corpus-wide array
     * materialization.
     */
-  private def boundedVecs(embeddings: DataFrame,
+  private[queries] def boundedVecs(embeddings: DataFrame,
       ids: Array[Long]): DataFrame =
     if (ids.isEmpty) embeddings.select("vec_id", "embedding").limit(0)
     else embeddings.select("vec_id", "embedding")

@@ -634,7 +634,7 @@ object KnnGraphBuild {
     */
   final case class GraphStats(epoch: Int, edgesBase: Int, edgeShards: Int,
       method: String, k: Int, maxVecId: Long, sigShards: Int,
-      tombEpochs: Int)
+      tombEpochs: Int, edges: Long)
 
   def describe(spark: SparkSession, outDir: String): GraphStats = {
     val st = stateDir(outDir)
@@ -649,7 +649,11 @@ object KnnGraphBuild {
     }
     GraphStats(meta.epoch, meta.edgesBase, meta.epoch - meta.edgesBase,
       meta.method, meta.k, meta.maxVecId, epochDirs("sigs"),
-      epochDirs("tombs"))
+      epochDirs("tombs"),
+      // the arithmetically-maintained served count ([[Meta.edgeCount]]);
+      // −1 on a pre-tracking state — describe stays a pure listing, the
+      // next verb upgrades it
+      meta.edgeCount)
   }
 
   /** The delta id contract, relaxed from append-only to NOT-LIVE: ids past

@@ -15,7 +15,15 @@ class MatViewSyncSpec extends SparkSpec {
 
   private def eventually(timeoutMs: Long = 60000)(cond: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    // the condition reads the view WHILE the loop's compaction rewrites
+    // delta dirs — a poll that lands mid-rewrite can throw (dir listed,
+    // files already moved) rather than return false; treat that as
+    // not-yet and re-poll. The FINAL assert stays strict: once the loop
+    // settles there is no writer left to race.
+    def poll(): Boolean =
+      try cond
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    while (!poll() && System.currentTimeMillis() < deadline) Thread.sleep(100)
     assert(cond, s"condition not met within ${timeoutMs}ms")
   }
 

@@ -118,6 +118,8 @@ class DescribeSpec extends SparkSpec {
     assert(s0.epoch == 0 && s0.edgesBase == 0 && s0.edgeShards == 0 &&
       s0.method == "lsh" && s0.k == 5 && s0.sigShards == 1 &&
       s0.tombEpochs == 0)
+    // the meta-tracked served edge count — introspection without a scan
+    assert(s0.edges == KnnGraphBuild.readGraph(spark, d).count())
     // a delta appends an edge change shard; a delete adds a tombstone epoch
     val ins = e.orderBy("vec_id").limit(3)
       .withColumn("vec_id", col("vec_id") + 800000L)
@@ -127,6 +129,8 @@ class DescribeSpec extends SparkSpec {
     assert(s2.epoch == 2 && s2.edgesBase == 0 && s2.edgeShards == 2 &&
       s2.sigShards == 3 && s2.tombEpochs == 1 && s2.maxVecId == 800002L,
       s"$s2")
+    assert(s2.edges == KnnGraphBuild.readGraph(spark, d).count(),
+      "tracked count must survive the delta + delete verbs")
     // vacuum keeps live shards (below-base only) — stats unchanged
     KnnGraphBuild.vacuum(spark, d)
     assert(KnnGraphBuild.describe(spark, d) == s2.copy())

@@ -348,6 +348,23 @@ class GraphServingRefreshSpec extends SparkSpec {
       canon(GraphServing.open(spark, pdB).topK(q, kk)))
   }
 
+  test("the refresh's embedding read is PUSHED to the scan — the bounded id set reaches PushedFilters") {
+    // the r15 refresh materialized the whole normalized corpus; the r16
+    // contract is that embedding ARRAYS are read only for the bounded
+    // affected-dst ∪ churned set, with the id predicate reaching the
+    // parquet scan (row-group pruning on vec_id) — pin it at plan level
+    val need = Array(1L, 2L, 3L)
+    val bounded = GraphServing.boundedVecs(emb, need)
+    assert(canon(bounded) ==
+      canon(emb.filter(col("vec_id").isin(1L, 2L, 3L))))
+    val scan = bounded.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan under boundedVecs"))
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("vec_id"),
+      s"bounded id predicate must reach the scan, PushedFilters = $pushed")
+  }
+
   test("foldEvery folds shards back into a full base; vacuum drops the superseded epochs") {
     import spark.implicits._
     val gd = tmp("gsrf_graph")
