@@ -235,7 +235,8 @@ object GraphServing {
     * column reads.
     */
   def refresh(spark: SparkSession, graphDir: String, embeddings: DataFrame,
-      outDir: String, nSeeds: Int = 32, foldEvery: Int = 4): Int = {
+      outDir: String, nSeeds: Int = 32, foldEvery: Int = 4,
+      churnCap: Int = RefreshChurnCap): Int = {
     val m = readMeta(spark, outDir)
     val g1 = KnnGraphBuild.epochOf(spark, graphDir)
     val gTok = KnnGraphBuild.tokenOf(spark, graphDir)
@@ -253,9 +254,9 @@ object GraphServing {
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     val changed = KnnGraphBuild.changedSince(spark, graphDir, m.graphEpoch)
       .select(col("vec_id").as("id")).localCheckpoint()
-    val changedIds = changed.limit(RefreshChurnCap + 1)
+    val changedIds = changed.limit(churnCap + 1)
       .collect().map(_.getLong(0))
-    if (changedIds.length > RefreshChurnCap)
+    if (changedIds.length > churnCap)
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     Seq(s"$outDir/adj", s"$outDir/seeds", s"$outDir/srcs",
         s"$outDir/cents", metaDir(outDir))

@@ -310,7 +310,7 @@ object KnnGraphBuild {
     * a churn-bounded subset out of it — the read-side twin of the
     * change-proportional shard writes.
     */
-  private def restrictByKey(df: DataFrame, ids: DataFrame, key: String,
+  private[queries] def restrictByKey(df: DataFrame, ids: DataFrame, key: String,
       cap: Int = 65536): DataFrame = {
     val idCol = ids.columns.head
     val some = ids.select(idCol).distinct().limit(cap + 1)

@@ -348,6 +348,49 @@ class GraphServingRefreshSpec extends SparkSpec {
       canon(GraphServing.open(spark, pdB).topK(q, kk)))
   }
 
+  test("churn past the cap delegates to a full build — a rebuild IS the change-proportional answer to corpus-scale churn") {
+    import spark.implicits._
+    val gd = tmp("gsrcap_graph")
+    val pd = tmp("gsrcap_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, pd)
+    val ins = emb.orderBy("vec_id").limit(5)
+      .withColumn("vec_id", col("vec_id") + 910000L).localCheckpoint()
+    KnnGraphBuild.delta(spark, ins, gd)
+    val live = emb.unionByName(ins).localCheckpoint()
+    // 5 churned ids against a cap of 2: the shard path's driver-side id
+    // lists would not be churn-bounded, so refresh must FOLD instead
+    GraphServing.refresh(spark, gd, live, pd, churnCap = 2)
+    val m = GraphServing.readMeta(spark, pd)
+    assert(m.base == m.epoch && m.epoch == 1,
+      s"over-cap churn must land a full base, got $m")
+    val pdB = tmp("gsrcap_packB")
+    GraphServing.build(spark, gd, live, pdB)
+    assert(canon(served(pd)) == canon(served(pdB)))
+  }
+
+  test("a churn with NO adjacency effect writes an empty claim shard and keeps serving (the isolated-churn path)") {
+    import spark.implicits._
+    val gd = tmp("gsre_graph")
+    val pd = tmp("gsre_pack")
+    KnnGraphBuild.build(spark, emb, gd, k = kk)
+    GraphServing.build(spark, gd, emb, pd)
+    val before = canon(served(pd))
+    // a DELETE of a never-live id is the documented harmless no-op at the
+    // graph (tombstone epoch, zero victims) — but it still advances the
+    // epoch, so the pack must reconcile it: zero changed pairs, zero
+    // affected srcs, an EMPTY adjacency shard + claim list (both must
+    // land schema-bearing or the base+shard merge cannot read them)
+    KnnGraphBuild.deleteVecs(spark, Seq(987654321L).toDF("vec_id"), gd)
+    assert(!GraphServing.isFresh(spark, gd, pd))
+    assert(GraphServing.refresh(spark, gd, emb, pd) == 1)
+    assert(GraphServing.isFresh(spark, gd, pd))
+    assert(canon(served(pd)) == before,
+      "a no-effect churn must leave the served adjacency untouched")
+    val q = queries(emb)
+    assert(GraphServing.open(spark, pd).topK(q, kk).count() == 20L * kk)
+  }
+
   test("the refresh's embedding read is PUSHED to the scan — the bounded id set reaches PushedFilters") {
     // the r15 refresh materialized the whole normalized corpus; the r16
     // contract is that embedding ARRAYS are read only for the bounded

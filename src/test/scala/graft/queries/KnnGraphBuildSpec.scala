@@ -179,6 +179,24 @@ class KnnGraphBuildSpec extends SparkSpec {
       s"sorted base must prune the point read: surfaced $surfaced of $baseRows")
   }
 
+  test("restrictByKey's two branches agree — isin under the cap, broadcast semi above it") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("knn_restrict").toString
+    sys.addShutdownHook(org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(out)))
+    KnnGraphBuild.build(spark, e, out, kk, tbls, bitsOverride = bts)
+    val edges = KnnGraphBuild.readEdges(spark, out)
+    val ids = Seq(1L, 4L, 9L, 16L).toDF("a_id")
+    val viaIsin = canon(KnnGraphBuild.restrictByKey(edges, ids, "a_id"))
+    val viaSemi = canon(KnnGraphBuild.restrictByKey(edges, ids, "a_id", cap = 2))
+    assert(viaIsin.nonEmpty && viaIsin == viaSemi,
+      "the pushed-filter path and the semi-join fallback must agree")
+    // and the empty id set yields the empty slice, not a scan
+    assert(canon(KnnGraphBuild.restrictByKey(edges,
+      ids.limit(0), "a_id")).isEmpty)
+  }
+
   test("delta rejects vec_ids that are LIVE in the graph") {
     val e = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val out = java.nio.file.Files.createTempDirectory("knn_hwm").toString
