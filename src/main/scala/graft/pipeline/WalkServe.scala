@@ -50,29 +50,61 @@ object WalkServe {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
+        // ONE evaluation of the micro-batch: the query batch is
+        // broadcast-small by the Handle contract, so collect it here and
+        // feed the walk a local relation — emptiness, the served-queries
+        // counter, and the walk's own internal collect all come from
+        // these rows instead of three separate source re-reads per
+        // trigger (a file/Kafka source re-reads its data per evaluation)
+        val rows = batch
+          .select(org.apache.spark.sql.functions.col("q_id").cast("long"),
+            org.apache.spark.sql.functions.col("q_emb").cast("array<float>"))
+          .collect()
+        if (rows.nonEmpty) {
           val committed = GraphServing.readMeta(spark, packDir).epoch
           if (committed != handle.meta.epoch) {
             // the maintainer advanced the pack — pick it up at this batch
-            // boundary; the superseded handle needed no teardown (its
-            // state was pinned seeds + a resolved reader, nothing held)
+            // boundary; close() releases the superseded handle's pinned
+            // seed blocks eagerly instead of waiting out the driver's
+            // periodic cleaner GC
+            val old = handle
             handle = GraphServing.open(spark, packDir)
+            old.close()
             Metrics.global.inc("graft_walkserve_reopens_total")
           }
-          handle.topK(batch.select("q_id", "q_emb"), k)
+          import spark.implicits._
+          val local = rows.toSeq
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+            .toDF("q_id", "q_emb")
+          handle.topK(local, k)
             .withColumn("batch", org.apache.spark.sql.functions.lit(epochId))
             .write.mode("overwrite").parquet(s"$outDir/b$epochId")
           Metrics.global.inc("graft_walkserve_batches_total")
           Metrics.global.inc("graft_walkserve_queries_total",
-            batch.select("q_id").distinct().count())
+            rows.map(_.getLong(0)).distinct.length.toLong)
         }
       }
       .start()
   }
 
   /** Everything served so far (q_id, rnk, vec_id, cos, batch) — the read
-    * face over the per-epoch result dirs.
+    * face over the per-epoch result dirs. Empty (schema-bearing) before
+    * the first non-empty batch commits, rather than a path error.
     */
-  def results(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/b*")
+  def results(spark: SparkSession, outDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("b")).map(_.toString)
+    if (dirs.isEmpty)
+      spark.range(0).select(
+        org.apache.spark.sql.functions.col("id").as("q_id"),
+        org.apache.spark.sql.functions.lit(0).as("rnk"),
+        org.apache.spark.sql.functions.col("id").as("vec_id"),
+        org.apache.spark.sql.functions.lit(0.0).as("cos"),
+        org.apache.spark.sql.functions.col("id").as("batch"))
+    else spark.read.parquet(dirs: _*)
+  }
 }

@@ -88,6 +88,15 @@ object GraphServing {
     */
   val RefreshChurnCap = 32768
 
+  /** Bound on any DEGREE-AMPLIFIED id closure a refresh inlines as an
+    * isin predicate (the one-hop superset, the affected srcs, the dst
+    * vector set — each is churn × degree class, which the churn cap
+    * alone does not bound on a high-degree graph). Past it the refresh
+    * delegates to the fold like an over-cap churn: a quarter-million
+    * Catalyst literals is driver work, not a pruned read.
+    */
+  val IdInlineCap = 131072
+
   import EpochStore.{CommitMarker, clearDirsAbove, committedEpochs, fsOf}
 
   private def metaDir(d: String) = s"$d/meta"
@@ -238,8 +247,7 @@ object GraphServing {
       outDir: String, nSeeds: Int = 32, foldEvery: Int = 4,
       churnCap: Int = RefreshChurnCap): Int = {
     val m = readMeta(spark, outDir)
-    val g1 = KnnGraphBuild.epochOf(spark, graphDir)
-    val gTok = KnnGraphBuild.tokenOf(spark, graphDir)
+    val (g1, gTok) = KnnGraphBuild.lineageOf(spark, graphDir) // one meta read
     val sameLineage = m.graphToken == 0L || gTok == 0L || gTok == m.graphToken
     if (m.graphEpoch == g1 && sameLineage) return m.epoch // already fresh
     // a lineage-token mismatch or a graph epoch BELOW the pack's build
@@ -256,6 +264,12 @@ object GraphServing {
       .select(col("vec_id").as("id")).localCheckpoint()
     val changedIds = changed.limit(churnCap + 1)
       .collect().map(_.getLong(0))
+    // the closures below amplify the churn by the graph degree (dIds,
+    // affectedIds, needIds) — each is inlined as an isin predicate, so
+    // each gets the same over-cap escape: past the bound the inline
+    // lists stop being churn-bounded driver state and the fold is the
+    // change-proportional answer (same delegation as the churn cap)
+    def overCap(ids: Array[Long]): Boolean = ids.length > IdInlineCap
     if (changedIds.length > churnCap)
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     Seq(s"$outDir/adj", s"$outDir/seeds", s"$outDir/srcs",
@@ -308,6 +322,8 @@ object GraphServing {
     val dIds = (changedIds ++
       oldC.select("dst").unionByName(newC.select("dst")).distinct()
         .collect().map(_.getLong(0))).distinct
+    if (overCap(dIds))
+      return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     // step 2: every changed undirected edge has an endpoint in D — diff
     // D's old and new row sets and take the changed pairs' endpoints.
     // Both sides are churn × degree bounded scalar frames.
@@ -325,6 +341,8 @@ object GraphServing {
       .unionByName(cp.select(col("dst").as("src")))
       .unionByName(survivors.select(col("dst").as("src")))
       .distinct().collect().map(_.getLong(0))
+    if (overCap(affectedIds))
+      return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     // the affected srcs' CURRENT undirected rows with vectors collocated
     // — the only place this refresh touches embedding arrays, and the
     // bounded dst id set prunes that read (NOT sliced from newU: a
@@ -333,6 +351,8 @@ object GraphServing {
     val und = mirror(touching(affectedIds), affectedIds).localCheckpoint()
     val needIds = (und.select("dst").distinct()
       .collect().map(_.getLong(0)) ++ changedIds).distinct
+    if (overCap(needIds))
+      return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     val eNeed = VectorQueries.nrmFrame(boundedVecs(embeddings, needIds))
       .localCheckpoint()
     val rows = broadcast(und)
@@ -425,9 +445,13 @@ object GraphServing {
 
   /** Per-cell entry-seed winners under pinned centroids — the shared
     * [[GraphSearch.centroidWinners]] selection (one copy of the keys, so
-    * this and [[GraphSearch.centroidSeeds]] cannot drift), carrying the
-    * CELL on the persisted row so [[refreshSeeds]] can maintain winners
-    * incrementally. `cands` is a (vec_id, embedding, nrm) frame with
+    * this and [[GraphSearch.centroidSeeds]] cannot drift). The persisted
+    * CELL column is the pinned-geometry FORMAT MARKER (a cell-less seed
+    * file routes [[refreshSeeds]] to the legacy upgrade path) plus
+    * introspection; the incremental update re-derives assignments from
+    * the pinned centroids rather than trusting stored cells — the
+    * recompute is |seeds|-bounded and deterministic, so the two can
+    * never disagree. `cands` is a (vec_id, embedding, nrm) frame with
     * distinct ids.
     */
   private[queries] def seedRows(cands: DataFrame, cents: DataFrame): DataFrame = {
@@ -566,8 +590,8 @@ object GraphServing {
   def isFresh(spark: SparkSession, graphDir: String,
       outDir: String): Boolean = {
     val m = readMeta(spark, outDir)
-    val gTok = KnnGraphBuild.tokenOf(spark, graphDir)
-    m.graphEpoch == KnnGraphBuild.epochOf(spark, graphDir) &&
+    val (gEpoch, gTok) = KnnGraphBuild.lineageOf(spark, graphDir)
+    m.graphEpoch == gEpoch &&
       (m.graphToken == 0L || gTok == 0L || m.graphToken == gTok)
   }
 
@@ -617,6 +641,19 @@ object GraphServing {
   /** A warm serving session over one committed pack epoch. */
   final class Handle private[queries] (spark: SparkSession, val meta: ServeMeta,
       adj: DataFrame, seedVecs: DataFrame, pinned: Boolean) {
+
+    /** Release the handle's pinned executor state (the seed-vector
+      * checkpoint; the RAM tier's adjacency) EAGERLY. Without this a
+      * superseded handle's blocks linger until the driver's periodic
+      * ContextCleaner GC — a long-lived server that reopens on every
+      * pack refresh ([[graft.pipeline.WalkServe]]) would transiently
+      * stack dead seed tables between GC cycles. Safe to skip for
+      * short-lived handles; unusable after close.
+      */
+    def close(): Unit = {
+      seedVecs.unpersist()
+      if (pinned) adj.unpersist()
+    }
 
     /** The frontier's out-edges — candidates WITH their collocated
       * vectors — read through the bucket-pruned adjacency. The frontier
@@ -727,7 +764,11 @@ object GraphServing {
       // the local rows, so a serving call pays no per-call count job and
       // no per-round re-scan of the caller's query lineage (the r15 form
       // ran queries.count() before every batch)
-      val qRows = queries.select(col("q_id"), col("q_emb")).collect()
+      // casts keep the collected path as type-tolerant as the r15
+      // column-expression path was (an int q_id or double embedding
+      // worked there; getLong/getSeq[Float] alone would throw here)
+      val qRows = queries.select(col("q_id").cast("long"),
+          col("q_emb").cast("array<float>")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       val nQ = qRows.length
       // FILTERED calls at the pack's default operating point widen the

@@ -207,6 +207,17 @@ object KnnGraphBuild {
   def tokenOf(spark: SparkSession, outDir: String): Long =
     readMeta(spark, stateDir(outDir)).token
 
+  /** (committed epoch, lineage token) from ONE meta read — the staleness
+    * probe's shape ([[GraphServing.isFresh]]/refresh compare both):
+    * separate epochOf + tokenOf calls would pay the committed-epoch
+    * listing twice per probe and could even observe two different
+    * commits.
+    */
+  def lineageOf(spark: SparkSession, outDir: String): (Int, Long) = {
+    val m = readMeta(spark, stateDir(outDir))
+    (m.epoch, m.token)
+  }
+
   /** The committed epoch of the persisted graph state — what a DERIVED
     * artifact ([[GraphServing]]'s pack) records at build time so its
     * staleness against the live graph is checkable.

@@ -16,15 +16,22 @@ class MatViewSyncSpec extends SparkSpec {
   private def eventually(timeoutMs: Long = 60000)(cond: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     // the condition reads the view WHILE the loop's compaction rewrites
-    // delta dirs — a poll that lands mid-rewrite can throw (dir listed,
-    // files already moved) rather than return false; treat that as
-    // not-yet and re-poll. The FINAL assert stays strict: once the loop
-    // settles there is no writer left to race.
+    // delta dirs — a poll that lands mid-rewrite can fail at ANALYSIS
+    // (dir listed, files moved → schema inference fails) or at EXECUTION
+    // (task reads a just-deleted part file → SparkException); treat any
+    // non-fatal throw as not-yet and re-poll. The success decision comes
+    // from a poll that genuinely evaluated true — the old form re-ran
+    // the condition inside the final assert, which could race all over
+    // again after the loop had already seen it hold.
     def poll(): Boolean =
       try cond
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
-    while (!poll() && System.currentTimeMillis() < deadline) Thread.sleep(100)
-    assert(cond, s"condition not met within ${timeoutMs}ms")
+      catch { case scala.util.control.NonFatal(_) => false }
+    var ok = poll()
+    while (!ok && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      ok = poll()
+    }
+    assert(ok, s"condition not met within ${timeoutMs}ms")
   }
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
