@@ -94,6 +94,16 @@ object GraphServing {
     * alone does not bound on a high-degree graph). Past it the refresh
     * delegates to the fold like an over-cap churn: a quarter-million
     * Catalyst literals is driver work, not a pruned read.
+    *
+    * Pushdown honesty: parquet rewrites an In predicate above
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) into a
+    * single min/max RANGE check per row group, so for a large id set
+    * SCATTERED across the keyspace the row-group pruning degrades to
+    * that range check — what the caps still buy is bounded driver
+    * planning state and a map-side isin that never materializes the
+    * corpus, and the src-sorted files keep the range check biting when
+    * churn is id-clustered (the common CDC shape). The genuinely pruned
+    * reads are the bucket-partition filters beside these predicates.
     */
   val IdInlineCap = 131072
 
@@ -165,31 +175,41 @@ object GraphServing {
         s"$outDir/cents", metaDir(outDir))
       .foreach(clearDirsAbove(spark, _, committed))
     val next = committed + 1
+    // checkpoints release on exit: a long-lived maintainer loop calling
+    // build/refresh on a cadence must not stack dead executor blocks
+    // between ContextCleaner GC cycles (the Handle.close() lesson on the
+    // write side)
     val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
       .localCheckpoint() // normalized once; feeds adjacency AND seeds
-    val n = e.count()
-    // the undirected closure — the build-time half of HNSW's
-    // bidirectional linking, computed once per graph epoch instead of
-    // once per serving call — with the DST vector collocated on the edge
-    val g = KnnGraphBuild.readEdges(spark, graphDir)
-    val adj = undirected(g, g)
-      .join(e.select(col("vec_id").as("dst"), col("embedding"), col("nrm")),
-        "dst")
-      .withColumn("bucket", bucketOfId(col("src"), buckets))
-    writeAdj(spark, adj, adjDir(outDir, next), buckets, empty = n == 0)
-    // the seed GEOMETRY is re-derived at build/fold epochs and PINNED
-    // under cents/ — what refresh's churn-proportional seed maintenance
-    // assigns against (the FAISS add()-never-retrains contract)
-    val cents = packCentroids(spark, graphDir, e, nSeeds, centroidsOverride)
-      .localCheckpoint()
-    writeCents(cents, outDir, next)
-    seedRows(e, cents).coalesce(1)
-      .write.mode("overwrite").parquet(seedsDir(outDir, next))
-    val (beam, iters) = GraphSearch.adaptiveWalkParams(n)
-    writeMeta(spark, outDir, ServeMeta(next,
-      KnnGraphBuild.epochOf(spark, graphDir), n, beam, iters, buckets,
-      base = next, graphToken = KnnGraphBuild.tokenOf(spark, graphDir)))
-    next
+    var cents: DataFrame = null
+    try {
+      val n = e.count()
+      // the undirected closure — the build-time half of HNSW's
+      // bidirectional linking, computed once per graph epoch instead of
+      // once per serving call — with the DST vector collocated on the edge
+      val g = KnnGraphBuild.readEdges(spark, graphDir)
+      val adj = undirected(g, g)
+        .join(e.select(col("vec_id").as("dst"), col("embedding"), col("nrm")),
+          "dst")
+        .withColumn("bucket", bucketOfId(col("src"), buckets))
+      writeAdj(spark, adj, adjDir(outDir, next), buckets, empty = n == 0)
+      // the seed GEOMETRY is re-derived at build/fold epochs and PINNED
+      // under cents/ — what refresh's churn-proportional seed maintenance
+      // assigns against (the FAISS add()-never-retrains contract)
+      cents = packCentroids(spark, graphDir, e, nSeeds, centroidsOverride)
+        .localCheckpoint()
+      writeCents(cents, outDir, next)
+      seedRows(e, cents).coalesce(1)
+        .write.mode("overwrite").parquet(seedsDir(outDir, next))
+      val (beam, iters) = GraphSearch.adaptiveWalkParams(n)
+      writeMeta(spark, outDir, ServeMeta(next,
+        KnnGraphBuild.epochOf(spark, graphDir), n, beam, iters, buckets,
+        base = next, graphToken = KnnGraphBuild.tokenOf(spark, graphDir)))
+      next
+    } finally {
+      e.unpersist()
+      if (cents != null) cents.unpersist()
+    }
   }
 
   /** CHANGE-PROPORTIONAL refresh: bring the pack up to the graph's
@@ -238,16 +258,18 @@ object GraphServing {
     * pass each, the pack reads prune to the ids' buckets AND row-groups
     * (src-sorted files), the embedding arrays are read for exactly the
     * affected dst set, and the seed set is maintained incrementally
-    * under the pack's pinned quantizer ([[refreshSeeds]]). The
-    * remaining corpus-proportional touches are metadata-class: the
-    * scalar `vec_id` count and the edge scans' streamed (pruned)
-    * column reads.
+    * under the pack's pinned quantizer ([[refreshSeeds]]). `ServeMeta.n`
+    * rides the graph's arithmetically-maintained vertex count
+    * ([[KnnGraphBuild.Meta.vecCount]]) — no per-refresh corpus count.
+    * The remaining corpus-proportional touch is the edge scans'
+    * streamed (pruned) column reads.
     */
   def refresh(spark: SparkSession, graphDir: String, embeddings: DataFrame,
       outDir: String, nSeeds: Int = 32, foldEvery: Int = 4,
       churnCap: Int = RefreshChurnCap): Int = {
     val m = readMeta(spark, outDir)
-    val (g1, gTok) = KnnGraphBuild.lineageOf(spark, graphDir) // one meta read
+    val gm = KnnGraphBuild.graphMeta(spark, graphDir) // one meta read
+    val (g1, gTok) = (gm.epoch, gm.token)
     val sameLineage = m.graphToken == 0L || gTok == 0L || gTok == m.graphToken
     if (m.graphEpoch == g1 && sameLineage) return m.epoch // already fresh
     // a lineage-token mismatch or a graph epoch BELOW the pack's build
@@ -260,8 +282,18 @@ object GraphServing {
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
     if (m.epoch - m.base + 1 >= foldEvery)
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
-    val changed = KnnGraphBuild.changedSince(spark, graphDir, m.graphEpoch)
-      .select(col("vec_id").as("id")).localCheckpoint()
+    // every intermediate localCheckpoint below registers here and is
+    // RELEASED on exit (including the over-cap delegations' early
+    // returns) — a maintainer loop refreshing on a cadence must not
+    // accumulate dead executor storage blocks between ContextCleaner GC
+    // cycles (the Handle.close() lesson applied to the write side)
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
+    }
+    try {
+    val changed = ck(KnnGraphBuild.changedSince(spark, graphDir, m.graphEpoch)
+      .select(col("vec_id").as("id")))
     val changedIds = changed.limit(churnCap + 1)
       .collect().map(_.getLong(0))
     // the closures below amplify the churn by the graph degree (dIds,
@@ -285,8 +317,7 @@ object GraphServing {
       if (ids.isEmpty) edges.limit(0)
       else {
         val in = ids.map(x => x: Any)
-        edges.filter(col("a_id").isin(in: _*) || col("b_id").isin(in: _*))
-          .localCheckpoint()
+        ck(edges.filter(col("a_id").isin(in: _*) || col("b_id").isin(in: _*)))
       }
     // undirected rows with src ∈ ids, from a `touching` slice
     def mirror(t: DataFrame, ids: Array[Long]): DataFrame =
@@ -315,8 +346,8 @@ object GraphServing {
           .select("src", "dst")
       }
     val tC = touching(changedIds)
-    val oldC = oldRows(changedIds).localCheckpoint()
-    val newC = mirror(tC, changedIds).localCheckpoint()
+    val oldC = ck(oldRows(changedIds))
+    val newC = ck(mirror(tC, changedIds))
     // step 1: the one-hop superset of every src whose DIRECTED list
     // changed (scaladoc dominance argument)
     val dIds = (changedIds ++
@@ -327,8 +358,8 @@ object GraphServing {
     // step 2: every changed undirected edge has an endpoint in D — diff
     // D's old and new row sets and take the changed pairs' endpoints.
     // Both sides are churn × degree bounded scalar frames.
-    val oldU = oldRows(dIds).localCheckpoint()
-    val newU = mirror(touching(dIds), dIds).localCheckpoint()
+    val oldU = ck(oldRows(dIds))
+    val newU = ck(mirror(touching(dIds), dIds))
     val cp = newU.except(oldU).unionByName(oldU.except(newU))
     // a RE-EMBEDDED id's SURVIVING pairs change no pair set, but each
     // surviving neighbor's row still collocates the id's now-stale
@@ -348,13 +379,12 @@ object GraphServing {
     // bounded dst id set prunes that read (NOT sliced from newU: a
     // changed pair's dst endpoint need not be in D, but its full row
     // set must still land)
-    val und = mirror(touching(affectedIds), affectedIds).localCheckpoint()
+    val und = ck(mirror(touching(affectedIds), affectedIds))
     val needIds = (und.select("dst").distinct()
       .collect().map(_.getLong(0)) ++ changedIds).distinct
     if (overCap(needIds))
       return build(spark, graphDir, embeddings, outDir, nSeeds, m.buckets)
-    val eNeed = VectorQueries.nrmFrame(boundedVecs(embeddings, needIds))
-      .localCheckpoint()
+    val eNeed = ck(VectorQueries.nrmFrame(boundedVecs(embeddings, needIds)))
     val rows = broadcast(und)
       .join(eNeed.select(col("vec_id").as("dst"), col("embedding"), col("nrm")),
         "dst")
@@ -368,13 +398,22 @@ object GraphServing {
         affectedIds.toSeq.toDF("src")
       }
     srcsOut.coalesce(1).write.mode("overwrite").parquet(srcsDir(outDir, next))
-    val n = embeddings.select("vec_id").count() // scalar-only metadata scan
+    // ServeMeta.n rides the graph's arithmetically-maintained vertex
+    // count ([[KnnGraphBuild.Meta.vecCount]] — already in hand from the
+    // staleness probe's one meta read), so a refresh touches NO
+    // corpus-proportional job at all; a pre-tracking graph (−1) pays the
+    // caller corpus's scalar count once, the same upgrade path edgeCount
+    // took
+    val n =
+      if (gm.vecCount >= 0) gm.vecCount
+      else embeddings.select("vec_id").count()
     refreshSeeds(spark, graphDir, embeddings, eNeed, changedIds,
       outDir, m, next, nSeeds)
     val (beam, iters) = GraphSearch.adaptiveWalkParams(n)
     writeMeta(spark, outDir,
       ServeMeta(next, g1, n, beam, iters, m.buckets, m.base, gTok))
     next
+    } finally cps.foreach(_.unpersist())
   }
 
   /** The live rows of a BOUNDED id set from the caller's corpus frame —
@@ -486,30 +525,37 @@ object GraphServing {
     val haveCents = fsOf(spark, outDir).exists(
       new org.apache.hadoop.fs.Path(centsDir(outDir, m.epoch)))
     val oldSeeds = spark.read.parquet(seedsDir(outDir, m.epoch))
-    if (!haveCents || !oldSeeds.schema.fieldNames.contains("cell")) {
-      val e = VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
-        .localCheckpoint()
-      val cents = packCentroids(spark, graphDir, e, nSeeds, null)
-        .localCheckpoint()
-      writeCents(cents, outDir, next)
-      seedRows(e, cents).coalesce(1)
-        .write.mode("overwrite").parquet(seedsDir(outDir, next))
-      return
+    // like refresh: release the checkpoints on exit, both paths
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); cps += c; c
     }
-    val cents = spark.read.parquet(centsDir(outDir, m.epoch)).localCheckpoint()
-    writeCents(cents, outDir, next) // carried forward — a |cents|-row copy
-    val in = changedIds.map(x => x: Any)
-    val seedChurned = changedIds.nonEmpty &&
-      !oldSeeds.filter(col("vec_id").isin(in: _*)).isEmpty
-    val cands =
-      if (seedChurned)
-        VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
-      else if (changedIds.isEmpty) oldSeeds.select("vec_id", "embedding", "nrm")
-      else oldSeeds.select("vec_id", "embedding", "nrm")
-        .unionByName(eNeed.filter(col("vec_id").isin(in: _*))
-          .select("vec_id", "embedding", "nrm"))
-    seedRows(cands, cents).coalesce(1)
-      .write.mode("overwrite").parquet(seedsDir(outDir, next))
+    try {
+      if (!haveCents || !oldSeeds.schema.fieldNames.contains("cell")) {
+        val e = ck(VectorQueries.nrmFrame(
+          embeddings.select("vec_id", "embedding")))
+        val cents = ck(packCentroids(spark, graphDir, e, nSeeds, null))
+        writeCents(cents, outDir, next)
+        seedRows(e, cents).coalesce(1)
+          .write.mode("overwrite").parquet(seedsDir(outDir, next))
+        return
+      }
+      val cents = ck(spark.read.parquet(centsDir(outDir, m.epoch)))
+      writeCents(cents, outDir, next) // carried forward — a |cents|-row copy
+      val in = changedIds.map(x => x: Any)
+      val seedChurned = changedIds.nonEmpty &&
+        !oldSeeds.filter(col("vec_id").isin(in: _*)).isEmpty
+      val cands =
+        if (seedChurned)
+          VectorQueries.nrmFrame(embeddings.select("vec_id", "embedding"))
+        else if (changedIds.isEmpty)
+          oldSeeds.select("vec_id", "embedding", "nrm")
+        else oldSeeds.select("vec_id", "embedding", "nrm")
+          .unionByName(eNeed.filter(col("vec_id").isin(in: _*))
+            .select("vec_id", "embedding", "nrm"))
+      seedRows(cands, cents).coalesce(1)
+        .write.mode("overwrite").parquet(seedsDir(outDir, next))
+    } finally cps.foreach(_.unpersist())
   }
 
   private def writeMeta(spark: SparkSession, outDir: String,
@@ -642,6 +688,45 @@ object GraphServing {
   final class Handle private[queries] (spark: SparkSession, val meta: ServeMeta,
       adj: DataFrame, seedVecs: DataFrame, pinned: Boolean) {
 
+    /** Memoized auto-widen factor per allowlist FRAME (identity-keyed —
+      * a caller serving a stream of batches against one tenant allowlist
+      * reuses the same frame, so the selectivity measurement runs ONCE
+      * per (handle, allowlist), not once per call; the r16 form paid a
+      * count job on every default-beam filtered call).
+      */
+    private val widenCache =
+      new java.util.IdentityHashMap[DataFrame, Int]()
+
+    /** The auto-widen factor for an allowlist: measured LIVE selectivity
+      * f = |allowlist ∩ pack vertices| / n — the intersection matters
+      * because real allowlists carry dead ids (stale tenant lists,
+      * superset predicates), and counting them would inflate f and
+      * silently under-widen below the recall floor. The vertex-set probe
+      * reads only the pack's scalar src column (arrays pruned), once per
+      * allowlist per handle. When the 8× cap BINDS (f < 1/64 — recall
+      * below the documented floor is possible), that is surfaced on
+      * `graft_filtered_widen_capped_total` rather than swallowed: the
+      * caller's move is an explicit beam or a pre-restricted corpus.
+      */
+    private def widenFor(a: DataFrame): Int = widenCache.synchronized {
+      val hit = widenCache.get(a)
+      if (hit != 0) hit
+      else {
+        val live = a.select("vec_id").distinct()
+          .join(adj.select(col("src").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .count()
+        val f = math.max(live.toDouble / meta.n.toDouble, 1e-9)
+        val raw = math.max(1, math.ceil(1.0 / (8.0 * f)).toInt)
+        if (raw > 8)
+          graft.pipeline.Metrics.global.inc(
+            "graft_filtered_widen_capped_total")
+        val w = math.min(8, raw)
+        widenCache.put(a, w)
+        w
+      }
+    }
+
     /** Release the handle's pinned executor state (the seed-vector
       * checkpoint; the RAM tier's adjacency) EAGERLY. Without this a
       * superseded handle's blocks linger until the driver's periodic
@@ -732,12 +817,18 @@ object GraphServing {
       *
       * An explicit `beam` PINS the walk width — the cost-envelope
       * override. At the default (`beam = -1`) the handle widens the
-      * beam ITSELF from measured selectivity (one count on the
-      * allowlist; the filtered-ANN search-width rule — a filter keeping
-      * fraction f of the corpus leaves ~f of the scored set eligible,
-      * so holding recall needs more scored mass; DiskANN serves
-      * filtered queries with a larger search list L for the same
-      * reason). Measured on the sf0.001 fixture: the pinned beam holds
+      * beam ITSELF from measured selectivity (the filtered-ANN
+      * search-width rule — a filter keeping fraction f of the corpus
+      * leaves ~f of the scored set eligible, so holding recall needs
+      * more scored mass; DiskANN serves filtered queries with a larger
+      * search list L for the same reason). f is the LIVE fraction —
+      * the allowlist intersected with the pack's vertex set, so dead
+      * ids cannot inflate it and suppress the widening — measured ONCE
+      * per (handle, allowlist) and memoized ([[widenFor]]): a batch
+      * stream reusing one tenant allowlist pays no per-call job. When
+      * the 8× widen cap binds (f < 1/64), the
+      * `graft_filtered_widen_capped_total` counter surfaces it.
+      * Measured on the sf0.001 fixture: the pinned beam holds
       * 0.95 recall at f = 1/3 but 0.77 at f = 1/15, where 2× restores
       * 0.95 (GraphFilteredWalkSpec asserts the ≥ 0.8 floors at both
       * operating points through the DEFAULT path — no caller knob).
@@ -778,14 +869,11 @@ object GraphServing {
       // DiskANN's larger-L-for-filtered-queries rule). Measured on the
       // fixture: 1× holds 0.95 recall at f = 1/3; f = 1/15 needs 2×
       // (GraphFilteredWalkSpec asserts both floors THROUGH this default
-      // path). One cheap count on the caller's allowlist buys a
-      // safe-by-default API; an explicit `beam` stays the override, and
-      // f ≥ 1/8 leaves the plan byte-identical (widen = 1).
+      // path). The measurement is LIVE-intersected and memoized per
+      // allowlist ([[widenFor]]); an explicit `beam` stays the override,
+      // and f ≥ 1/8 leaves the plan byte-identical (widen = 1).
       val widen = allowedIds match {
-        case Some(a) if beam <= 0 && meta.n > 0 =>
-          val f = math.max(a.select("vec_id").distinct().count().toDouble /
-            meta.n.toDouble, 1e-9)
-          math.min(8, math.max(1, math.ceil(1.0 / (8.0 * f)).toInt))
+        case Some(a) if beam <= 0 && meta.n > 0 => widenFor(a)
         case _ => 1
       }
       val beamN = if (beam > 0) beam else meta.beam * widen

@@ -88,10 +88,18 @@ object KnnGraphBuild {
     * verb (old − rows under re-claimed lists + rows written) so
     * returning it never pays a base+shards merge scan; −1 = a
     * pre-tracking state (the next verb counts once and starts tracking).
+    * `vecCount` is the LIVE VERTEX count under the same discipline
+    * (build counts the corpus it already passes over; a delta adds its
+    * new ids — not-live by contract; a delete subtracts the dead ids
+    * that were actually live), so a derived artifact sizing itself on n
+    * ([[GraphServing]]'s adaptive walk params) reads it from the meta
+    * instead of paying a per-refresh corpus count; −1 = pre-tracking
+    * (the next verb counts the live scalar id column once).
     */
   final case class Meta(bits: Int, tables: Int, k: Int, maxVecId: Long,
       epoch: Int, method: String = "lsh", nprobe: Int = 0,
-      edgesBase: Int = 0, token: Long = 0L, edgeCount: Long = -1L)
+      edgesBase: Int = 0, token: Long = 0L, edgeCount: Long = -1L,
+      vecCount: Long = -1L)
 
   /** Fresh lineage token for a full build — distinct across rebuilds of
     * the same path with overwhelming probability; never 0 (the legacy
@@ -116,9 +124,10 @@ object KnnGraphBuild {
   def build(spark: SparkSession, embeddings: DataFrame, outDir: String,
       k: Int = 5, tables: Int = 6, bitsOverride: Int = 0): Long = {
     val e = embeddings.select("vec_id", "embedding")
+    val nVecs = e.count() // also seeds the arithmetic Meta.vecCount
     val bits =
       if (bitsOverride > 0) bitsOverride
-      else VectorQueries.adaptiveBits(e.count())
+      else VectorQueries.adaptiveBits(nVecs)
     // the SAME shared pipeline as the q_sim_knn_graph catalog query —
     // one copy of the candidate/scoring logic (spec-pinned equivalence)
     val sigs = VectorQueries.sigFrame(e, bits, tables).localCheckpoint()
@@ -134,7 +143,7 @@ object KnnGraphBuild {
     val cnt = edges.count()
     commitEpoch(spark, sigs, edges,
       Meta(bits, tables, k, maxId(sigs), epoch = 0, token = newToken(),
-        edgeCount = cnt), outDir)
+        edgeCount = cnt, vecCount = nVecs), outDir)
     cnt
   }
 
@@ -157,16 +166,16 @@ object KnnGraphBuild {
       centroidsOverride: DataFrame = null,
       trainCapPerCell: Long = 256L): Long = {
     val e = embeddings.select("vec_id", "embedding")
+    val nVecs = e.count() // also seeds the arithmetic Meta.vecCount
     val sigs = VectorQueries.nrmFrame(e).localCheckpoint()
     val centroids =
       if (centroidsOverride != null) centroidsOverride
       else {
-        val n = e.count()
         val cells =
           if (cellsOverride > 0) cellsOverride
-          else VectorQueries.ivfCellCount(n)
+          else VectorQueries.ivfCellCount(nVecs)
         graft.functions.VectorIndex.kmeansCentroids(spark,
-          VectorQueries.trainFrame(sigs, n, cells, trainCapPerCell),
+          VectorQueries.trainFrame(sigs, nVecs, cells, trainCapPerCell),
           cells, iters = 1) // matches knnGraphIvf (spec-pinned identity)
       }
     val assign = VectorQueries.ivfAssign(sigs, centroids, nprobe).localCheckpoint()
@@ -183,7 +192,7 @@ object KnnGraphBuild {
     commitEpoch(spark, sigs, edges,
       Meta(bits = 0, tables = 0, k, maxId(sigs), epoch = 0,
         method = "ivf", nprobe = nprobe, token = newToken(),
-        edgeCount = cnt),
+        edgeCount = cnt, vecCount = nVecs),
       outDir, assignShard = Some(assign))
     cnt
   }
@@ -217,6 +226,14 @@ object KnnGraphBuild {
     val m = readMeta(spark, stateDir(outDir))
     (m.epoch, m.token)
   }
+
+  /** The full committed meta from ONE read — for a derived artifact that
+    * needs lineage AND the tracked counts in the same probe
+    * ([[GraphServing.refresh]] reads epoch, token, and vecCount together;
+    * separate accessors would triple the committed-epoch listing).
+    */
+  private[queries] def graphMeta(spark: SparkSession, outDir: String): Meta =
+    readMeta(spark, stateDir(outDir))
 
   /** The committed epoch of the persisted graph state — what a DERIVED
     * artifact ([[GraphServing]]'s pack) records at build time so its
@@ -345,6 +362,15 @@ object KnnGraphBuild {
     if (meta.edgeCount >= 0) meta.edgeCount
     else servedEdges(spark, st, meta).count()
 
+  /** The live vertex count without a scan when the meta tracks it; the
+    * one-time upgrade count (scalar vec_id column over the live shard
+    * view — arrays pruned) for pre-tracking states.
+    */
+  private def liveVecCount(spark: SparkSession, st: String,
+      meta: Meta): Long =
+    if (meta.vecCount >= 0) meta.vecCount
+    else liveShards(spark, st, "sigs", meta.epoch).select("vec_id").count()
+
   /** IVF incremental build: absorb `newVecs` under the STORED quantizer —
     * no old-old re-scoring, no retraining. New-vs-new candidates pair
     * within shared cells among the delta's assignments; new-vs-old from
@@ -416,7 +442,9 @@ object KnnGraphBuild {
       shardLists.count()
     val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, changedA, shardLists,
       meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
-        epoch = meta.epoch + 1, edgeCount = cnt))
+        epoch = meta.epoch + 1, edgeCount = cnt,
+        // every delta id is net-new by the NOT-LIVE contract
+        vecCount = liveVecCount(spark, st, meta) + newSigs.count()))
     commitEpoch(spark, newSigs, edgeFrame.localCheckpoint(), m2, outDir,
       assignShard = Some(newAssign), edgeClaims = eclaims)
     cnt
@@ -492,7 +520,9 @@ object KnnGraphBuild {
       shardLists.count()
     val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, changedA, shardLists,
       meta.copy(maxVecId = math.max(meta.maxVecId, maxId(newSigs)),
-        epoch = meta.epoch + 1, edgeCount = cnt))
+        epoch = meta.epoch + 1, edgeCount = cnt,
+        // every delta id is net-new by the NOT-LIVE contract
+        vecCount = liveVecCount(spark, st, meta) + newSigs.count()))
     commitEpoch(spark, newSigs, edgeFrame.localCheckpoint(), m2, outDir,
       edgeClaims = eclaims)
     cnt
@@ -623,8 +653,16 @@ object KnnGraphBuild {
     val cnt = servedCount(spark, st, meta) -
       restrictByKey(served, claims, "a_id").count() +
       victimEdges.count()
+    // only dead ids that were actually LIVE leave the vertex count —
+    // deleting a not-live id is a documented no-op (CDC replays), and a
+    // replayed delete must not double-subtract. One bounded semi-count
+    // over the scalar live view (arrays pruned).
+    val deadLive = restrictByKey(
+      liveShards(spark, st, "sigs", meta.epoch).select("vec_id"),
+      dead, "vec_id").count()
     val (edgeFrame, eclaims, m2) = edgeCommitPlan(served, claims,
-      victimEdges, meta.copy(epoch = meta.epoch + 1, edgeCount = cnt))
+      victimEdges, meta.copy(epoch = meta.epoch + 1, edgeCount = cnt,
+        vecCount = liveVecCount(spark, st, meta) - deadLive))
     commitEpoch(spark, liveS.limit(0), edgeFrame.localCheckpoint(), m2, outDir,
       assignShard =
         if (meta.method == "ivf")
@@ -645,7 +683,7 @@ object KnnGraphBuild {
     */
   final case class GraphStats(epoch: Int, edgesBase: Int, edgeShards: Int,
       method: String, k: Int, maxVecId: Long, sigShards: Int,
-      tombEpochs: Int, edges: Long)
+      tombEpochs: Int, edges: Long, vertices: Long = -1L)
 
   def describe(spark: SparkSession, outDir: String): GraphStats = {
     val st = stateDir(outDir)
@@ -661,10 +699,10 @@ object KnnGraphBuild {
     GraphStats(meta.epoch, meta.edgesBase, meta.epoch - meta.edgesBase,
       meta.method, meta.k, meta.maxVecId, epochDirs("sigs"),
       epochDirs("tombs"),
-      // the arithmetically-maintained served count ([[Meta.edgeCount]]);
-      // −1 on a pre-tracking state — describe stays a pure listing, the
-      // next verb upgrades it
-      meta.edgeCount)
+      // the arithmetically-maintained served counts ([[Meta.edgeCount]] /
+      // [[Meta.vecCount]]); −1 on a pre-tracking state — describe stays
+      // a pure listing, the next verb upgrades them
+      meta.edgeCount, meta.vecCount)
   }
 
   /** The delta id contract, relaxed from append-only to NOT-LIVE: ids past
@@ -813,9 +851,10 @@ object KnnGraphBuild {
     edgesOut.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
     val metaPath = s"$st/meta/e${meta.epoch}"
     Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch,
-        meta.method, meta.nprobe, meta.edgesBase, meta.token, meta.edgeCount))
+        meta.method, meta.nprobe, meta.edgesBase, meta.token, meta.edgeCount,
+        meta.vecCount))
       .toDF("bits", "tables", "k", "max_vec_id", "epoch", "method", "nprobe",
-        "edges_base", "token", "edge_count")
+        "edges_base", "token", "edge_count", "vec_count")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val marker = new org.apache.hadoop.fs.Path(metaPath, CommitMarker)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -850,13 +889,15 @@ object KnnGraphBuild {
     val hasBase = df.schema.fieldNames.contains("edges_base")
     val hasToken = df.schema.fieldNames.contains("token")
     val hasCount = df.schema.fieldNames.contains("edge_count")
+    val hasVecs = df.schema.fieldNames.contains("vec_count")
     Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
       r.getAs[Long]("max_vec_id"), e,
       if (hasMethod) r.getAs[String]("method") else "lsh",
       if (hasMethod) r.getAs[Int]("nprobe") else 0,
       if (hasBase) r.getAs[Int]("edges_base") else e,
       if (hasToken) r.getAs[Long]("token") else 0L,
-      if (hasCount) r.getAs[Long]("edge_count") else -1L)
+      if (hasCount) r.getAs[Long]("edge_count") else -1L,
+      if (hasVecs) r.getAs[Long]("vec_count") else -1L)
   }
 
   /** `runMain graft.queries.KnnGraphBuild [outDir]` over SPARK_GRAFT_SF_DIR;

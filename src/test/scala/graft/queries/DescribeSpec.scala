@@ -120,6 +120,8 @@ class DescribeSpec extends SparkSpec {
       s0.tombEpochs == 0)
     // the meta-tracked served edge count — introspection without a scan
     assert(s0.edges == KnnGraphBuild.readGraph(spark, d).count())
+    // ... and the meta-tracked live vertex count (Meta.vecCount)
+    assert(s0.vertices == e.count(), s"vertices ${s0.vertices}")
     // a delta appends an edge change shard; a delete adds a tombstone epoch
     val ins = e.orderBy("vec_id").limit(3)
       .withColumn("vec_id", col("vec_id") + 800000L)
@@ -131,8 +133,15 @@ class DescribeSpec extends SparkSpec {
       s"$s2")
     assert(s2.edges == KnnGraphBuild.readGraph(spark, d).count(),
       "tracked count must survive the delta + delete verbs")
+    // +3 inserted, −1 deleted — arithmetic, no scan; a delete of a
+    // NOT-live id must not double-subtract (the replay no-op contract)
+    assert(s2.vertices == e.count() + 3 - 1, s"vertices ${s2.vertices}")
+    KnnGraphBuild.deleteVecs(spark, Seq(4L).toDF("vec_id"), d)
+    val sR = KnnGraphBuild.describe(spark, d)
+    assert(sR.vertices == e.count() + 3 - 1,
+      "a replayed delete of an already-dead id must not move the count")
     // vacuum keeps live shards (below-base only) — stats unchanged
     KnnGraphBuild.vacuum(spark, d)
-    assert(KnnGraphBuild.describe(spark, d) == s2.copy())
+    assert(KnnGraphBuild.describe(spark, d) == sR.copy())
   }
 }

@@ -114,6 +114,76 @@ class GraphFilteredWalkSpec extends SparkSpec {
       rows.map(_.toSeq.mkString("|")).sorted.toSeq)
   }
 
+  /** Jobs the body runs — listener-counted with an async-bus settle. */
+  private def jobsRun(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = n.get(); var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = n.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      last
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("the widen comes from the LIVE fraction — stale allowlist ids cannot suppress it — and is memoized per allowlist frame") {
+    // a real tenant allowlist carries dead ids (stale lists, superset
+    // predicates): 1000 ids that exist nowhere in the corpus. Counting
+    // them would say f > 1 (no widening, recall ~0.77); the live
+    // intersection says f ≈ 1/15 (widen 2×), so the served rows must be
+    // BYTE-IDENTICAL to the pure-live allowlist's
+    val pred = col("vec_id") % 15 === 1
+    val pure = emb.filter(pred).select("vec_id").localCheckpoint()
+    val withStale = pure.unionByName(spark.range(1000)
+      .select((col("id") + 10000000L).as("vec_id"))).localCheckpoint()
+    val purRows = handle.topK(queries, kk, pure).collect()
+    val staleRows = handle.topK(queries, kk, withStale).collect()
+    assert(staleRows.map(_.toSeq.mkString("|")).sorted.toSeq ==
+      purRows.map(_.toSeq.mkString("|")).sorted.toSeq,
+      "stale ids changed the answer — the widen must use the live fraction")
+    val rec = recallOf(staleRows, filteredBrute(pred))
+    info(f"stale-augmented allowlist recall@$kk = $rec%.3f")
+    assert(rec >= 0.8, f"recall $rec%.3f < 0.8 — stale ids suppressed the widen")
+    // memoized: a SECOND call with the SAME frame skips the selectivity
+    // measurement — strictly fewer jobs (the walk's own job count is
+    // deterministic for identical inputs on this handle)
+    val fresh = emb.filter(pred).select("vec_id").localCheckpoint()
+    val first = jobsRun(handle.topK(queries, kk, fresh).collect())
+    val second = jobsRun(handle.topK(queries, kk, fresh).collect())
+    info(s"filtered-call jobs: first = $first, repeat = $second")
+    assert(second < first,
+      s"repeat call with the same allowlist must skip the selectivity job " +
+        s"(first $first, second $second)")
+  }
+
+  test("a binding widen cap is SURFACED, not swallowed") {
+    // 5 live ids of 500: f = 0.01 < 1/64, the 8x cap binds — the counter
+    // must say so (the caller's cue to pass an explicit beam), and the
+    // memoized repeat must not double-count
+    val tiny = emb.filter(col("vec_id") < 5).select("vec_id").localCheckpoint()
+    val c0 = graft.pipeline.Metrics.global
+      .value("graft_filtered_widen_capped_total")
+    val rows = handle.topK(queries, kk, tiny).collect()
+    assert(rows.forall(_.getLong(2) < 5), "a result escaped the allowlist")
+    assert(graft.pipeline.Metrics.global
+      .value("graft_filtered_widen_capped_total") == c0 + 1,
+      "a binding widen cap must increment graft_filtered_widen_capped_total")
+    handle.topK(queries, kk, tiny).collect()
+    assert(graft.pipeline.Metrics.global
+      .value("graft_filtered_widen_capped_total") == c0 + 1,
+      "the memoized repeat must not re-measure (and not re-count)")
+  }
+
   test("an unfiltered call is unchanged by the filtered API's existence") {
     // the None path ranks the beam exactly as before — parity with the
     // frame-based walk is GraphServingSpec's pin; here just determinism

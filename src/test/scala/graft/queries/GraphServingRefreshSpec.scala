@@ -98,6 +98,11 @@ class GraphServingRefreshSpec extends SparkSpec {
     // ONE refresh reconciles all four graph epochs into one shard
     assert(GraphServing.refresh(spark, gd, live, pdA) == 1)
     assert(GraphServing.isFresh(spark, gd, pdA))
+    // ServeMeta.n rides the graph's ARITHMETIC vertex count (insert +7,
+    // delete −2, upsert −1+1 across the four epochs) — no per-refresh
+    // corpus count — and lands exactly on the live corpus size
+    assert(GraphServing.readMeta(spark, pdA).n == live.count(),
+      "refreshed meta.n must track the graph's arithmetic vertex count")
     // the independent rebuild over the same graph + corpus, under the
     // pack's own PINNED seed geometry (entry-point geometry is pack
     // state — the FAISS add()-never-retrains contract; an unconstrained
