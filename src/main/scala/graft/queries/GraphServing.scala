@@ -207,8 +207,8 @@ object GraphServing {
         base = next, graphToken = KnnGraphBuild.tokenOf(spark, graphDir)))
       next
     } finally {
-      e.unpersist()
-      if (cents != null) cents.unpersist()
+      graft.Release.checkpoint(e)
+      if (cents != null) graft.Release.checkpoint(cents)
     }
   }
 
@@ -413,7 +413,7 @@ object GraphServing {
     writeMeta(spark, outDir,
       ServeMeta(next, g1, n, beam, iters, m.buckets, m.base, gTok))
     next
-    } finally cps.foreach(_.unpersist())
+    } finally cps.foreach(graft.Release.checkpoint)
   }
 
   /** The live rows of a BOUNDED id set from the caller's corpus frame —
@@ -555,7 +555,7 @@ object GraphServing {
             .select("vec_id", "embedding", "nrm"))
       seedRows(cands, cents).coalesce(1)
         .write.mode("overwrite").parquet(seedsDir(outDir, next))
-    } finally cps.foreach(_.unpersist())
+    } finally cps.foreach(graft.Release.checkpoint)
   }
 
   private def writeMeta(spark: SparkSession, outDir: String,
@@ -736,8 +736,8 @@ object GraphServing {
       * short-lived handles; unusable after close.
       */
     def close(): Unit = {
-      seedVecs.unpersist()
-      if (pinned) adj.unpersist()
+      graft.Release.checkpoint(seedVecs)
+      if (pinned) graft.Release.checkpoint(adj)
     }
 
     /** The frontier's out-edges — candidates WITH their collocated
