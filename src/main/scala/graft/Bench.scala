@@ -88,28 +88,47 @@ object Bench {
     // warm the sentinel's own codegen/JIT to steady state before the
     // recorded passes — a decaying first reading would mimic host noise
     (1 to 3).foreach(_ => sentinel())
-    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
-    val passes: Seq[Map[String, Double]] = (1 to iterations).map { _ =>
-      sentinels += math.round(sentinel() * 1000.0) / 1000.0
-      named.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        name -> (try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-                 catch { case _: Throwable => -1.0 })
-      }.toMap
+    // One timed ATTEMPT = `iterations` full interleaved catalog passes
+    // with a sentinel reading per pass. The steady-state spread (passes
+    // 2+ — the FIRST sentinel runs on a warm quiet heap and is
+    // systematically faster, which is measurement context, not noise)
+    // is the quiet-window gate: the repo's own comparison bar is < 2.
+    def timedAttempt()
+        : (Seq[Map[String, Double]], Seq[Double], Double, Double) = {
+      val sents = scala.collection.mutable.ArrayBuffer[Double]()
+      val ps: Seq[Map[String, Double]] = (1 to iterations).map { _ =>
+        sents += math.round(sentinel() * 1000.0) / 1000.0
+        named.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          name -> (try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+                   catch { case _: Throwable => -1.0 })
+        }.toMap
+      }
+      val spread =
+        math.round(sents.max / math.max(sents.min, 1e-9) * 100.0) / 100.0
+      val steady = if (sents.length > 1) sents.drop(1) else sents
+      val spreadSteady =
+        math.round(steady.max / math.max(steady.min, 1e-9) * 100.0) / 100.0
+      (ps, sents.toSeq, spread, spreadSteady)
     }
-    val sentinelJson = sentinels.mkString("[", ",", "]")
-    val sentinelSpread =
-      math.round(sentinels.max / math.max(sentinels.min, 1e-9) * 100.0) / 100.0
-    // the FIRST recorded sentinel runs right after the warmup loop with
-    // hot caches and a quiet heap; the later ones carry the catalog
-    // passes' GC/cache pressure and are systematically ~3-4× slower on
-    // this host (measured across recordings — the drift is measurement
-    // CONTEXT, not host noise). Report the steady-state spread (passes
-    // 2+) beside the raw one so a reader can tell drift from a genuine
-    // noise window: raw >> steady ⇒ the warm first pass, not noise.
-    val steady = if (sentinels.length > 1) sentinels.drop(1) else sentinels
-    val sentinelSpreadSteady =
-      math.round(steady.max / math.max(steady.min, 1e-9) * 100.0) / 100.0
+    // SENTINEL-GATED recording (r16 verdict, process): a recording taken
+    // in a noisy host window (steady spread >= 2) is retried — bounded —
+    // and the QUIETEST attempt is kept; if every attempt was noisy the
+    // record carries "noisy":true so a reader never mistakes window
+    // inflation for a plan regression. The r16 end-of-round record
+    // (spread 5.22, uniformly ~1.23x the quiet snapshot) is exactly the
+    // artifact this gate retires.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_QUIET_ATTEMPTS", "3").toInt
+    var best = timedAttempt()
+    var attempts = 1
+    while (best._4 >= 2.0 && attempts < maxAttempts) {
+      val next = timedAttempt()
+      if (next._4 < best._4) best = next
+      attempts += 1
+    }
+    val (passes, sentinelSeq, sentinelSpread, sentinelSpreadSteady) = best
+    val noisy = sentinelSpreadSteady >= 2.0
+    val sentinelJson = sentinelSeq.mkString("[", ",", "]")
     val results = named.map { case (name, _) =>
       val times = passes.map(_(name))
       name -> (if (times.exists(_ < 0)) -1.0
@@ -158,6 +177,13 @@ object Bench {
     // choosing between the brute/IVF/graph regimes actually compares)
     val qpsWalk = if (only.isDefined) -1.0
       else graphsearchThroughput(spark, sfDir, pipelineIterations)
+    // the STREAMING serving loop's rate (WalkServe): queries/s absorbed
+    // end to end — per-batch staleness probe, the walk, marker-committed
+    // result writes, and the in-loop fold+vacuum cadence all inside the
+    // measured window (the number a deployment sizing the serving tier
+    // compares against graphsearch_queries_per_s's bare-walk rate)
+    val qpsServe = if (only.isDefined) -1.0
+      else walkserveThroughput(spark, sfDir)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
@@ -165,9 +191,11 @@ object Bench {
       s""""lexsync_docs_per_s":$docsLex,""" +
       s""""mvsync_rows_per_s":$rowsMv,""" +
       s""""graphsearch_queries_per_s":$qpsWalk,""" +
+      s""""walkserve_queries_per_s":$qpsServe,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
       s""""sentinel_sec":$sentinelJson,"sentinel_spread":$sentinelSpread,""" +
       s""""sentinel_spread_steady":$sentinelSpreadSteady,""" +
+      s""""noisy":$noisy,"attempts":$attempts,"git_sha":"${gitSha()}",""" +
       s""""stat":"min","sf":"$sfDir"}"""
     println(line)
     // Tail-capture defense: BENCH_r04/r05 both recorded `parsed: null`
@@ -197,8 +225,10 @@ object Bench {
       s""""lexsync_docs_per_s":$docsLex,""" +
       s""""mvsync_rows_per_s":$rowsMv,""" +
       s""""graphsearch_queries_per_s":$qpsWalk,""" +
+      s""""walkserve_queries_per_s":$qpsServe,""" +
       s""""sentinel_spread":$sentinelSpread,""" +
       s""""sentinel_spread_steady":$sentinelSpreadSteady,""" +
+      s""""noisy":$noisy,"attempts":$attempts,"git_sha":"${gitSha()}",""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
@@ -476,10 +506,87 @@ object Bench {
       val n = h.topK(q, k = 5).count()
       if (n <= 0) Double.MaxValue else (System.nanoTime() - t0) / 1e9
     }.min
+    h.close() // the RAM tier pinned the whole pack — release it eagerly
+    graft.Release.checkpoint(e)
+    graft.Release.checkpoint(q)
     Seq(graphDir, packDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     if (best == Double.MaxValue) -1.0 else math.round(nQ / best * 10.0) / 10.0
   }
+
+  /** The STREAMING serving loop's sustained rate: query micro-batches
+    * absorbed through [[graft.pipeline.WalkServe.start]] over a warm
+    * pack with the FOLD CADENCE ON (foldEvery = 4) — each batch pays the
+    * staleness meta probe, the pruned walk, the marker-committed result
+    * write, and its share of the in-loop fold + vacuum, so the rate
+    * prices the deployment loop, not just the walk
+    * ([[graphsearchThroughput]] prices that). Fixture (graph + pack +
+    * checkpoint) is untimed, as in the other loop probes. Query ids are
+    * unique per chunk so MemoryStream batch coalescing cannot undercount
+    * the distinct-per-batch completion tally.
+    */
+  private def walkserveThroughput(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val graphDir =
+      java.nio.file.Files.createTempDirectory("bench_wserve_g").toString
+    val packDir =
+      java.nio.file.Files.createTempDirectory("bench_wserve_p").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("bench_wserve_o").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("bench_wserve_c").toString
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .localCheckpoint()
+    graft.queries.KnnGraphBuild.build(spark, e, graphDir, k = 5)
+    graft.queries.GraphServing.build(spark, graphDir, e, packDir)
+    val vecs = e.filter(col("vec_id") < 200).collect()
+      .map(_.getSeq[Float](1))
+    val batches = 10
+    val n = batches * vecs.length
+    val before = graft.pipeline.Metrics.global
+      .value("graft_walkserve_queries_total")
+    def served(): Long = graft.pipeline.Metrics.global
+      .value("graft_walkserve_queries_total") - before
+    val src = MemoryStream[(Long, Seq[Float])]
+    val serving = graft.pipeline.WalkServe.start(
+      src.toDS().toDF("q_id", "q_emb"), packDir, outDir, ckpt,
+      k = 5, triggerMs = 50, foldEvery = 4)
+    val t0 = System.nanoTime()
+    try {
+      (0 until batches).foreach { b =>
+        src.addData(vecs.zipWithIndex.map { case (v, j) =>
+          (b * 1000L + j, v.toSeq) }.toSeq: _*)
+      }
+      val deadline = System.currentTimeMillis() + 120000
+      while (served() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally serving.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.Release.checkpoint(e)
+    Seq(graphDir, packDir, outDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    if (served() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
+  }
+
+  /** The tree the record was taken from — SPARK_GRAFT_GIT_SHA when the
+    * caller pins it, else `git rev-parse HEAD` of the cwd ("" when
+    * unavailable). Recorded so a committed BENCH snapshot is checkable
+    * against the round's HEAD (the r16 process gap: the quiet recordings
+    * predated the final commits and nothing said so).
+    */
+  private[graft] def gitSha(): String =
+    sys.env.get("SPARK_GRAFT_GIT_SHA").getOrElse {
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
+      } catch { case _: Exception => "" }
+    }
 
   /** Upserts per payload = createdAt fields: exactly one per instance and,
     * for the bench fixture built above (labels = Map("i" -> n), annotations

@@ -85,8 +85,21 @@ object ScaleProbe {
     // (fixed overhead is a large fraction of their absolute time), and a
     // third interleaved pass pulls the min reliably out of noise spikes.
     val passes = 3
+    // the same fixed-computation noise sentinel Bench records, one
+    // reading per interleaved pass (plus one after the probes), so a
+    // BENCH_scale recording carries its own quiet-window evidence — the
+    // r16 verdict's recording gate applies to the scale probe too
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("sum(cast(hash(id) as bigint))").collect()
+      math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
+    }
+    (1 to 3).foreach(_ => sentinel()) // JIT to steady state
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val times = scala.collection.mutable.Map[(String, String), Double]()
     (1 to passes).foreach { _ =>
+      sentinels += sentinel()
       Probed.foreach { name =>
         Seq(base, scaled).foreach { dir =>
           val t0 = System.nanoTime()
@@ -323,9 +336,14 @@ object ScaleProbe {
       (rows :+ refreshRow :+
         s""""graph_walk_recall_x$factor":$walkRecallX""").mkString(",")
     }
+    sentinels += sentinel() // one reading after the heavy probes too
+    val sentinelSpread = math.round(
+      sentinels.max / math.max(sentinels.min, 1e-9) * 100.0) / 100.0
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
       s""""knn_recall_x$factor":$knnRecallX,""" +
       s""""knn_ivf_recall_x$factor":$knnIvfRecallX,$autoJson,$servingJson,""" +
+      s""""sentinel_sec":${sentinels.mkString("[", ",", "]")},""" +
+      s""""sentinel_spread":$sentinelSpread,"git_sha":"${Bench.gitSha()}",""" +
       s""""stat":"min","queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_scale.json"), (json + "\n").getBytes("UTF-8"))

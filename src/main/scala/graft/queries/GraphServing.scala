@@ -712,6 +712,11 @@ object GraphServing {
       val hit = widenCache.get(a)
       if (hit != 0) hit
       else {
+        // a caller minting a FRESH allowlist frame per call would grow an
+        // identity cache forever on a long-lived handle — the same
+        // unbounded-accumulation class close()/fold() exist to prevent.
+        // The cache is a memo, not state: dropping it only re-measures.
+        if (widenCache.size >= 64) widenCache.clear()
         val live = a.select("vec_id").distinct()
           .join(adj.select(col("src").as("vec_id")), Seq("vec_id"),
             "left_semi")
