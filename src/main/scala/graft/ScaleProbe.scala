@@ -339,11 +339,21 @@ object ScaleProbe {
     sentinels += sentinel() // one reading after the heavy probes too
     val sentinelSpread = math.round(
       sentinels.max / math.max(sentinels.min, 1e-9) * 100.0) / 100.0
+    // the FIRST reading runs on a warm post-JIT quiet heap and is
+    // systematically faster than the ones taken under probe GC/cache
+    // pressure (Bench.scala's measured drift) — the steady spread
+    // (readings 2+) is the comparable quiet-window gate, same as Bench's
+    val steadySent =
+      if (sentinels.length > 1) sentinels.drop(1) else sentinels.toSeq
+    val sentinelSpreadSteady = math.round(
+      steadySent.max / math.max(steadySent.min, 1e-9) * 100.0) / 100.0
     val json = s"""{"factor":$factor,"base":"$base","passes":$passes,""" +
       s""""knn_recall_x$factor":$knnRecallX,""" +
       s""""knn_ivf_recall_x$factor":$knnIvfRecallX,$autoJson,$servingJson,""" +
       s""""sentinel_sec":${sentinels.mkString("[", ",", "]")},""" +
-      s""""sentinel_spread":$sentinelSpread,"git_sha":"${Bench.gitSha()}",""" +
+      s""""sentinel_spread":$sentinelSpread,""" +
+      s""""sentinel_spread_steady":$sentinelSpreadSteady,""" +
+      s""""git_sha":"${Bench.gitSha()}",""" +
       s""""stat":"min","queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_scale.json"), (json + "\n").getBytes("UTF-8"))
