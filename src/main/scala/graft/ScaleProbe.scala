@@ -286,37 +286,55 @@ object ScaleProbe {
       val refreshRow = {
         // (delta sec, delta shard rows, graph base rows,
         //  refresh sec, pack shard rows, pack base rows)
+        // MIN-OF-2 churn rounds per dir (round 17): a single-shot 4-6 s
+        // measurement swung the exponent ±0.15 between recording windows.
+        // Round 2 applies a SECOND fixed 200-vector churn to the
+        // once-refreshed state — the production steady state, the same
+        // measured quantity — and the min per dir survives a noise spike
+        // on either round. Row receipts come from round 1 (comparable
+        // across recordings; round 2's shard carries the same churn).
         def probe(dir: String): (Double, Long, Long, Double, Long, Long) = {
           val (graphDir, packDir, _, _) = fx(dir)
           val e0 = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-          // fixed-work churn: replica-0 low ids exist identically in both
-          // dirs; the sign mask (seed family far outside every in-use
-          // plane family, see replicaEmb) makes the directions novel
-          val mask = typedLit(graft.functions.VectorFunctions
-            .lshPlane(2000000, 64).map(_.toFloat))
-          val delta = e0.orderBy("vec_id").limit(200)
-            .withColumn("vec_id", col("vec_id") + 500000000L)
-            .withColumn("embedding",
-              zip_with(col("embedding"), mask, (x, s) => (x * s).cast("float")))
-            .localCheckpoint()
-          // the graph's own delta — shard-committed since round 15, so
-          // its write is the changed lists, never the full edge list
-          val tD0 = System.nanoTime()
-          graft.queries.KnnGraphBuild.delta(spark, delta, graphDir)
-          val secD = (System.nanoTime() - tD0) / 1e9
-          val gEp = graft.queries.KnnGraphBuild.epochOf(spark, graphDir)
-          val gShard = spark.read
-            .parquet(s"$graphDir/_graft_state/edges/e$gEp").count()
-          val gBase = spark.read
-            .parquet(s"$graphDir/_graft_state/edges/e0").count()
-          val live = e0.unionByName(delta)
-          val t0 = System.nanoTime()
-          graft.queries.GraphServing.refresh(spark, graphDir, live, packDir)
-          val sec = (System.nanoTime() - t0) / 1e9
-          val m = graft.queries.GraphServing.readMeta(spark, packDir)
-          (secD, gShard, gBase, sec,
-            spark.read.parquet(s"$packDir/adj/e${m.epoch}").count(),
-            spark.read.parquet(s"$packDir/adj/e${m.base}").count())
+          var live = e0
+          def round(i: Int): (Double, Long, Long, Double, Long, Long) = {
+            // fixed-work churn: replica-0 low ids exist identically in
+            // both dirs; the sign mask (seed family far outside every
+            // in-use plane family, see replicaEmb) makes the directions
+            // novel, and a distinct mask + id range per round keeps the
+            // second churn as novel as the first
+            val mask = typedLit(graft.functions.VectorFunctions
+              .lshPlane(2000000 + i, 64).map(_.toFloat))
+            val delta = e0.orderBy("vec_id").limit(200)
+              .withColumn("vec_id",
+                col("vec_id") + 500000000L + i * 1000000L)
+              .withColumn("embedding",
+                zip_with(col("embedding"), mask,
+                  (x, s) => (x * s).cast("float")))
+              .localCheckpoint()
+            // the graph's own delta — shard-committed since round 15, so
+            // its write is the changed lists, never the full edge list
+            val tD0 = System.nanoTime()
+            graft.queries.KnnGraphBuild.delta(spark, delta, graphDir)
+            val secD = (System.nanoTime() - tD0) / 1e9
+            val gEp = graft.queries.KnnGraphBuild.epochOf(spark, graphDir)
+            val gShard = spark.read
+              .parquet(s"$graphDir/_graft_state/edges/e$gEp").count()
+            val gBase = spark.read
+              .parquet(s"$graphDir/_graft_state/edges/e0").count()
+            live = live.unionByName(delta)
+            val t0 = System.nanoTime()
+            graft.queries.GraphServing.refresh(spark, graphDir, live, packDir)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val m = graft.queries.GraphServing.readMeta(spark, packDir)
+            (secD, gShard, gBase, sec,
+              spark.read.parquet(s"$packDir/adj/e${m.epoch}").count(),
+              spark.read.parquet(s"$packDir/adj/e${m.base}").count())
+          }
+          val r1 = round(0)
+          val r2 = round(1)
+          (math.min(r1._1, r2._1), r1._2, r1._3,
+            math.min(r1._4, r2._4), r1._5, r1._6)
         }
         val (tdB, gsB, gbB, tB, sB, bB) = probe(base)
         val (tdX, gsX, gbX, tX, sX, bX) = probe(scaled)
