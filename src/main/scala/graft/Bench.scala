@@ -171,19 +171,24 @@ object Bench {
     val rowsMv = if (only.isDefined) -1.0
       else (1 to pipelineIterations)
         .map(_ => mvsyncThroughput(spark, sfDir)).max
-    // the graph-walk SERVING rate: beam search over the persisted k-NN
-    // graph (the q_sim_topk_graph catalog row hides the walk behind its
-    // inline build — this field prices the walk ALONE, the number a user
-    // choosing between the brute/IVF/graph regimes actually compares)
-    val qpsWalk = if (only.isDefined) -1.0
-      else graphsearchThroughput(spark, sfDir, pipelineIterations)
-    // the STREAMING serving loop's rate (WalkServe): queries/s absorbed
-    // end to end — per-batch staleness probe, the walk, marker-committed
-    // result writes, and the in-loop fold+vacuum cadence all inside the
-    // measured window (the number a deployment sizing the serving tier
-    // compares against graphsearch_queries_per_s's bare-walk rate)
-    val qpsServe = if (only.isDefined) -1.0
-      else walkserveThroughput(spark, sfDir)
+    // the graph-walk SERVING rates: the bare walk (beam search through a
+    // warm handle — the number a user choosing between the brute/IVF/
+    // graph regimes compares) and the full STREAMING loop (WalkServe:
+    // staleness probe + walk + marker-committed writes + in-loop
+    // fold/vacuum per batch — what a deployment sizing the serving tier
+    // pays). ONE untimed fixture (graph + pack) serves both probes —
+    // building it twice was the bench's most expensive redundancy.
+    val (qpsWalk, qpsServe) =
+      if (only.isDefined) (-1.0, -1.0)
+      else {
+        val (gDir, pDir) = serveFixture(spark, sfDir)
+        val walk = graphsearchThroughput(spark, sfDir, pipelineIterations, pDir)
+        val serve = walkserveThroughput(spark, sfDir, pDir)
+        Seq(gDir, pDir).foreach(d =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+        (walk, serve)
+      }
+    val sha = gitSha() // once — both JSON lines carry it
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
       s""""pipeline_upserts_per_s_executor_sink":$upsExec,""" +
@@ -195,7 +200,7 @@ object Bench {
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
       s""""sentinel_sec":$sentinelJson,"sentinel_spread":$sentinelSpread,""" +
       s""""sentinel_spread_steady":$sentinelSpreadSteady,""" +
-      s""""noisy":$noisy,"attempts":$attempts,"git_sha":"${gitSha()}",""" +
+      s""""noisy":$noisy,"attempts":$attempts,"git_sha":"$sha",""" +
       s""""stat":"min","sf":"$sfDir"}"""
     println(line)
     // Tail-capture defense: BENCH_r04/r05 both recorded `parsed: null`
@@ -228,7 +233,7 @@ object Bench {
       s""""walkserve_queries_per_s":$qpsServe,""" +
       s""""sentinel_spread":$sentinelSpread,""" +
       s""""sentinel_spread_steady":$sentinelSpreadSteady,""" +
-      s""""noisy":$noisy,"attempts":$attempts,"git_sha":"${gitSha()}",""" +
+      s""""noisy":$noisy,"attempts":$attempts,"git_sha":"$sha",""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
@@ -465,24 +470,14 @@ object Bench {
     if (committed() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
   }
 
-  /** The graph-walk serving rate: queries/s answered by a warm
-    * [[graft.queries.GraphServing.Handle]] over a persisted
-    * [[graft.queries.KnnGraphBuild]] graph — the index-regime serving
-    * path (bucket-pruned adjacency + vector point lookups, pinned
-    * centroid seeds and walk parameters). The graph and its serving pack
-    * are FIXTURE state built once untimed and the handle opens once
-    * untimed (IndexSync + a pack refresh maintain them in production),
-    * so the timed region is EXACTLY the walk rounds — previously the
-    * per-call corpus-sized setup (adjacency closure, norm frame, count)
-    * sat inside the timer and overstated the walk's cost. Runs `passes`×,
-    * best kept (the throughput noise treatment). Relating the regimes:
-    * brute touches the whole corpus per batch, IVF reads nprobe cells,
-    * the walk reads its frontier's buckets and scores beam×degree×iters
-    * candidates per query — the serving cost a user actually compares.
+  /** The shared UNTIMED serving fixture: a persisted k-NN graph and its
+    * serving pack over the bench corpus (IndexSync + refresh maintain
+    * them in production — fixture cost must not ride a serving rate).
+    * Returns (graphDir, packDir); the caller deletes both after the
+    * probes that share them.
     */
-  private def graphsearchThroughput(spark: SparkSession, sfDir: String,
-      passes: Int): Double = {
-    import org.apache.spark.sql.functions.col
+  private def serveFixture(spark: SparkSession,
+      sfDir: String): (String, String) = {
     val graphDir =
       java.nio.file.Files.createTempDirectory("bench_gsearch").toString
     val packDir =
@@ -491,6 +486,24 @@ object Bench {
       .localCheckpoint()
     graft.queries.KnnGraphBuild.build(spark, e, graphDir, k = 5)
     graft.queries.GraphServing.build(spark, graphDir, e, packDir)
+    graft.Release.checkpoint(e)
+    (graphDir, packDir)
+  }
+
+  /** The graph-walk serving rate: queries/s answered by a warm
+    * [[graft.queries.GraphServing.Handle]] over the shared
+    * [[serveFixture]] pack — the index-regime serving path
+    * (bucket-pruned adjacency + vector point lookups, pinned centroid
+    * seeds and walk parameters). The timed region is EXACTLY the walk
+    * rounds. Runs `passes`×, best kept (the throughput noise treatment).
+    * Relating the regimes: brute touches the whole corpus per batch, IVF
+    * reads nprobe cells, the walk reads its frontier's buckets and
+    * scores beam×degree×iters candidates per query — the serving cost a
+    * user actually compares.
+    */
+  private def graphsearchThroughput(spark: SparkSession, sfDir: String,
+      passes: Int, packDir: String): Double = {
+    import org.apache.spark.sql.functions.col
     // the RAM serving tier (pin = true): the pack loads into cluster
     // memory once at open — what a hot deployment runs, and the tier
     // whose per-round shape matches the pre-pack recordings; the disk
@@ -498,7 +511,8 @@ object Bench {
     // graph_walk_serve probe
     val h = graft.queries.GraphServing.open(spark, packDir, pin = true)
     val nQ = 200
-    val q = e.filter(col("vec_id") < nQ)
+    val q = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .filter(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint()
     val best = (1 to passes).map { _ =>
@@ -507,10 +521,7 @@ object Bench {
       if (n <= 0) Double.MaxValue else (System.nanoTime() - t0) / 1e9
     }.min
     h.close() // the RAM tier pinned the whole pack — release it eagerly
-    graft.Release.checkpoint(e)
     graft.Release.checkpoint(q)
-    Seq(graphDir, packDir).foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     if (best == Double.MaxValue) -1.0 else math.round(nQ / best * 10.0) / 10.0
   }
 
@@ -520,30 +531,24 @@ object Bench {
     * staleness meta probe, the pruned walk, the marker-committed result
     * write, and its share of the in-loop fold + vacuum, so the rate
     * prices the deployment loop, not just the walk
-    * ([[graphsearchThroughput]] prices that). Fixture (graph + pack +
-    * checkpoint) is untimed, as in the other loop probes. Query ids are
+    * ([[graphsearchThroughput]] prices that). Runs over the shared
+    * untimed [[serveFixture]] pack. Query ids are
     * unique per chunk so MemoryStream batch coalescing cannot undercount
     * the distinct-per-batch completion tally.
     */
-  private def walkserveThroughput(spark: SparkSession, sfDir: String): Double = {
+  private def walkserveThroughput(spark: SparkSession, sfDir: String,
+      packDir: String): Double = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
     implicit val s: SparkSession = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import s.implicits._
-    val graphDir =
-      java.nio.file.Files.createTempDirectory("bench_wserve_g").toString
-    val packDir =
-      java.nio.file.Files.createTempDirectory("bench_wserve_p").toString
     val outDir =
       java.nio.file.Files.createTempDirectory("bench_wserve_o").toString
     val ckpt =
       java.nio.file.Files.createTempDirectory("bench_wserve_c").toString
-    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-      .localCheckpoint()
-    graft.queries.KnnGraphBuild.build(spark, e, graphDir, k = 5)
-    graft.queries.GraphServing.build(spark, graphDir, e, packDir)
-    val vecs = e.filter(col("vec_id") < 200).collect()
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .filter(col("vec_id") < 200).collect()
       .map(_.getSeq[Float](1))
     val batches = 10
     val n = batches * vecs.length
@@ -566,8 +571,7 @@ object Bench {
         Thread.sleep(100)
     } finally serving.stop()
     val secs = (System.nanoTime() - t0) / 1e9
-    graft.Release.checkpoint(e)
-    Seq(graphDir, packDir, outDir, ckpt).foreach(d =>
+    Seq(outDir, ckpt).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     if (served() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
   }

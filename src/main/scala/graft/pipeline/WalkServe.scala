@@ -82,7 +82,20 @@ object WalkServe {
       implicit spark: SparkSession): Serving = {
     val handleRef = new java.util.concurrent.atomic.AtomicReference(
       GraphServing.open(spark, packDir))
-    val query = queries.writeStream
+    val closer = () => {
+      val h = handleRef.getAndSet(null)
+      if (h != null) h.close()
+    }
+    // the loop is the FOLD WRITER when foldEvery > 0 (the store's
+    // single-writer contract — see fold()), so the fold watermark and
+    // the committed-batch count live in LOOP-LOCAL state, initialized
+    // once from disk: the cadence check costs no per-trigger meta-read
+    // job and no per-trigger listing (the r17 review's hot-path finding
+    // — at a 100 ms trigger those were ~10 driver jobs + O(dirs)
+    // exists() probes per second)
+    var loopThrough = -1L
+    var loopLive = -1 // lazy init below — avoids the I/O when foldEvery=0
+    val query = try { queries.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -128,20 +141,31 @@ object WalkServe {
           Metrics.global.inc("graft_walkserve_queries_total",
             rows.map(_.getLong(0)).distinct.length.toLong)
           if (foldEvery > 0) {
-            val (_, through) = foldState(spark, outDir)
-            if (committedBatchEpochs(spark, outDir).count(_ > through)
-                >= foldEvery) {
+            if (loopLive < 0) { // once per (re)start: recover from disk
+              val (_, through) = foldState(spark, outDir)
+              loopThrough = through
+              loopLive = committedBatchEpochs(spark, outDir)
+                .count(_ > through)
+            } else if (epochId > loopThrough) loopLive += 1
+            // a REPLAYED epoch at or below the watermark rewrote its dir
+            // but its rows already live in the fold — it must not count
+            if (loopLive >= foldEvery) {
               fold(spark, outDir)
               vacuum(spark, outDir)
+              loopThrough = epochId
+              loopLive = 0
             }
           }
         }
         ()
       }
       .start()
-    val closer = () => {
-      val h = handleRef.getAndSet(null)
-      if (h != null) h.close()
+    } catch {
+      case t: Throwable =>
+        // a start-time failure (unwritable checkpoint, rejected plan)
+        // must not leak the pre-opened handle's pinned blocks — the
+        // exact leak class close()/Release exist to prevent
+        closer(); throw t
     }
     // abnormal-termination hook: a query that dies on an exception (or is
     // stopped via spark.streams) must not leave the handle's checkpoint
@@ -160,6 +184,10 @@ object WalkServe {
         }
     }
     spark.streams.addListener(listener)
+    // the listener registers after start() by necessity (it filters on
+    // the query id) — close the miss window where a query self-terminated
+    // in between (closer is idempotent)
+    if (!query.isActive) closer()
     new Serving(query, closer, spark, outDir)
   }
 
@@ -208,6 +236,12 @@ object WalkServe {
     * [[results]] ignores it — its rows already live in the fold, so a
     * replay can never duplicate. Returns the committed fold epoch (the
     * previous one when there was nothing new to fold).
+    *
+    * SINGLE FOLD WRITER per outDir — the same single-writer contract
+    * every store in the engine carries: with `foldEvery > 0` the serving
+    * loop IS that writer (it tracks the watermark loop-locally), so an
+    * external maintainer must not fold the same outDir concurrently; two
+    * concurrent folds would race the same next epoch dir.
     */
   def fold(spark: SparkSession, outDir: String): Int = {
     val (fEpoch, through) = foldState(spark, outDir)
@@ -231,10 +265,14 @@ object WalkServe {
     next
   }
 
-  /** Drop what the committed fold superseded: batch dirs at or below the
-    * fold watermark (their rows live in the folded store — including any
-    * a replay re-minted) and folded/foldmeta epochs below the committed
-    * one. Returns dirs removed.
+  /** Drop what the committed fold superseded: COMMITTED batch dirs at or
+    * below the fold watermark (their rows live in the folded store —
+    * including any a replay re-minted) and folded/foldmeta epochs below
+    * the committed one. Marker-less dirs are never touched: one is
+    * either a crashed write whose stream epoch will replay (the replay
+    * overwrites it) or a dir from a pre-marker layout, and deleting the
+    * latter would drop rows no fold ever consolidated. Same single-writer
+    * contract as [[fold]]. Returns dirs removed.
     */
   def vacuum(spark: SparkSession, outDir: String): Int = {
     val (fEpoch, through) = foldState(spark, outDir)
@@ -246,7 +284,8 @@ object WalkServe {
       else fs.listStatus(root).map(_.getPath).toSeq.filter { p =>
         val n = p.getName
         n.length > 1 && n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
-          n.drop(1).toLong <= through
+          n.drop(1).toLong <= through &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker))
       }
     }
     batches.foreach(p =>
@@ -264,6 +303,13 @@ object WalkServe {
     * fold watermark. Uncommitted dirs (mid-write, mid-replay) and
     * below-watermark replays are invisible. Empty (schema-bearing)
     * before the first commit, rather than a path error.
+    *
+    * The frame is a LISTING-TIME SNAPSHOT over concrete paths — the
+    * contract every vacuuming store's direct read has: under an active
+    * fold cadence, evaluate it promptly (or re-call on a
+    * FileNotFoundException) rather than holding it across a later
+    * fold + vacuum, which may delete the listed batch dirs after their
+    * rows moved into the folded store.
     */
   def results(spark: SparkSession, outDir: String): DataFrame = {
     val (fEpoch, through) = foldState(spark, outDir)

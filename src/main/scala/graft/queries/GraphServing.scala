@@ -688,14 +688,22 @@ object GraphServing {
   final class Handle private[queries] (spark: SparkSession, val meta: ServeMeta,
       adj: DataFrame, seedVecs: DataFrame, pinned: Boolean) {
 
-    /** Memoized auto-widen factor per allowlist FRAME (identity-keyed —
-      * a caller serving a stream of batches against one tenant allowlist
-      * reuses the same frame, so the selectivity measurement runs ONCE
-      * per (handle, allowlist), not once per call; the r16 form paid a
-      * count job on every default-beam filtered call).
+    /** Memoized auto-widen factor per allowlist FRAME (identity-keyed:
+      * Dataset does not override equals, so map equality IS reference
+      * equality — a caller serving a stream of batches against one
+      * tenant allowlist reuses the same frame, so the selectivity
+      * measurement runs ONCE per (handle, allowlist), not once per call;
+      * the r16 form paid a count job on every default-beam filtered
+      * call). Access-ordered with eldest-entry EVICTION: a caller
+      * minting a fresh frame per call cannot grow driver state on a
+      * long-lived handle, and eviction sheds only the coldest allowlist
+      * instead of wiping the hot tenants' memos.
       */
     private val widenCache =
-      new java.util.IdentityHashMap[DataFrame, Int]()
+      new java.util.LinkedHashMap[DataFrame, Int](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[DataFrame, Int]): Boolean = size() > 64
+      }
 
     /** The auto-widen factor for an allowlist: measured LIVE selectivity
       * f = |allowlist ∩ pack vertices| / n — the intersection matters
@@ -712,11 +720,6 @@ object GraphServing {
       val hit = widenCache.get(a)
       if (hit != 0) hit
       else {
-        // a caller minting a FRESH allowlist frame per call would grow an
-        // identity cache forever on a long-lived handle — the same
-        // unbounded-accumulation class close()/fold() exist to prevent.
-        // The cache is a memo, not state: dropping it only re-measures.
-        if (widenCache.size >= 64) widenCache.clear()
         val live = a.select("vec_id").distinct()
           .join(adj.select(col("src").as("vec_id")), Seq("vec_id"),
             "left_semi")
