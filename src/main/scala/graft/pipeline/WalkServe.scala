@@ -38,9 +38,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   *   - FILTERED serving: a non-null `allowedIds` routes every batch
   *     through [[graft.queries.GraphServing.Handle.topK]]'s
   *     metadata-filtered overload — tenant-scoped retrieval through the
-  *     stream. The handle's auto-widen selectivity measurement is
-  *     memoized per allowlist frame, so the stream pays it once per
-  *     handle, not once per trigger.
+  *     stream — and [[startTenants]] serves a MULTI-TENANT stream (a
+  *     tenant column routes each query to its own allowlist,
+  *     fail-closed for unknown tenants). The handle's auto-widen
+  *     selectivity measurement is memoized per allowlist frame, so the
+  *     stream pays it once per handle per tenant, not once per trigger.
   *
   * At 100 TB this is the deployment shape: a query stream (partitioned by
   * tenant/shard) hits a fleet of warm handles; maintenance cost lives
@@ -79,6 +81,80 @@ object WalkServe {
   def start(queries: DataFrame, packDir: String, outDir: String,
       checkpointDir: String, k: Int = 5, triggerMs: Long = 100,
       allowedIds: DataFrame = null, foldEvery: Int = 0)(
+      implicit spark: SparkSession): Serving =
+    serveLoop(queries, packDir, outDir, checkpointDir, triggerMs, foldEvery,
+      collectBatch = b => b
+        .select(org.apache.spark.sql.functions.col("q_id").cast("long"),
+          org.apache.spark.sql.functions.col("q_emb").cast("array<float>"))
+        .collect(),
+      answer = (handle, rows) => {
+        import spark.implicits._
+        val local = rows.toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .toDF("q_id", "q_emb")
+        Some((
+          if (allowedIds != null) handle.topK(local, k, allowedIds)
+          else handle.topK(local, k),
+          rows.map(_.getLong(0)).distinct.length.toLong))
+      })
+
+  /** MULTI-TENANT filtered serving: `queries` carries (q_id LONG,
+    * q_emb ARRAY<FLOAT>, tenant STRING) and every tenant's queries
+    * answer through [[graft.queries.GraphServing.Handle.topK]]'s
+    * allowlist overload under THAT tenant's allowlist — the
+    * tenant-scoped retrieval deployment, one warm handle and one output
+    * store for the whole fleet of tenants. Results carry the `tenant`
+    * column beside (q_id, rnk, vec_id, cos, batch). Tenant isolation
+    * fails CLOSED: rows whose tenant has no allowlist are DROPPED (and
+    * counted on `graft_walkserve_unknown_tenant_total`), never answered
+    * unfiltered. The handle memoizes each allowlist's widen factor by
+    * frame identity, so reuse the SAME map values across the stream's
+    * lifetime (a per-call measurement is exactly what the memo
+    * retires). One serving MODE per outDir — the tenant column must be
+    * present in every dir [[fold]] unions.
+    */
+  def startTenants(queries: DataFrame, packDir: String, outDir: String,
+      checkpointDir: String, allowlists: Map[String, DataFrame],
+      k: Int = 5, triggerMs: Long = 100, foldEvery: Int = 0)(
+      implicit spark: SparkSession): Serving =
+    serveLoop(queries, packDir, outDir, checkpointDir, triggerMs, foldEvery,
+      collectBatch = b => b
+        .select(org.apache.spark.sql.functions.col("q_id").cast("long"),
+          org.apache.spark.sql.functions.col("q_emb").cast("array<float>"),
+          org.apache.spark.sql.functions.col("tenant").cast("string"))
+        .collect(),
+      answer = (handle, rows) => {
+        import spark.implicits._
+        val (known, unknown) =
+          rows.partition(r => allowlists.contains(r.getString(2)))
+        if (unknown.nonEmpty)
+          Metrics.global.inc("graft_walkserve_unknown_tenant_total",
+            unknown.length.toLong)
+        val perTenant = known.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+          .map { case (tenant, trs) =>
+            val local = trs.toSeq
+              .map(r => (r.getLong(0), r.getSeq[Float](1)))
+              .toDF("q_id", "q_emb")
+            handle.topK(local, k, allowlists(tenant))
+              .withColumn("tenant",
+                org.apache.spark.sql.functions.lit(tenant))
+          }
+        perTenant.reduceOption(_ unionByName _).map(df =>
+          // served-query count excludes the dropped unknown tenants
+          (df, known.map(r => (r.getString(2), r.getLong(0)))
+            .distinct.length.toLong))
+      })
+
+  /** The shared micro-batch serving loop behind [[start]] and
+    * [[startTenants]]: per batch — collect (broadcast-small by the
+    * Handle contract), staleness-aware reopen, answer, marker-committed
+    * epoch dir, counters, and the loop-local fold cadence.
+    */
+  private def serveLoop(queries: DataFrame, packDir: String, outDir: String,
+      checkpointDir: String, triggerMs: Long, foldEvery: Int,
+      collectBatch: DataFrame => Array[org.apache.spark.sql.Row],
+      answer: (GraphServing.Handle, Array[org.apache.spark.sql.Row])
+        => Option[(DataFrame, Long)])(
       implicit spark: SparkSession): Serving = {
     val handleRef = new java.util.concurrent.atomic.AtomicReference(
       GraphServing.open(spark, packDir))
@@ -105,10 +181,7 @@ object WalkServe {
         // counter, and the walk's own internal collect all come from
         // these rows instead of three separate source re-reads per
         // trigger (a file/Kafka source re-reads its data per evaluation)
-        val rows = batch
-          .select(org.apache.spark.sql.functions.col("q_id").cast("long"),
-            org.apache.spark.sql.functions.col("q_emb").cast("array<float>"))
-          .collect()
+        val rows = collectBatch(batch)
         if (rows.nonEmpty) {
           val committed = GraphServing.readMeta(spark, packDir).epoch
           if (committed != handleRef.get().meta.epoch) {
@@ -120,40 +193,34 @@ object WalkServe {
             old.close()
             Metrics.global.inc("graft_walkserve_reopens_total")
           }
-          import spark.implicits._
-          val local = rows.toSeq
-            .map(r => (r.getLong(0), r.getSeq[Float](1)))
-            .toDF("q_id", "q_emb")
-          val handle = handleRef.get()
-          val answered =
-            if (allowedIds != null) handle.topK(local, k, allowedIds)
-            else handle.topK(local, k)
-          val dir = batchDir(outDir, epochId)
-          answered
-            .withColumn("batch", org.apache.spark.sql.functions.lit(epochId))
-            .write.mode("overwrite").parquet(dir)
-          // marker AFTER the data: a concurrent results()/fold() listing
-          // mid-write (or mid-replay-overwrite) skips the uncommitted dir
-          // instead of reading partial rows
-          fsOf(spark, dir).create(
-            new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
-          Metrics.global.inc("graft_walkserve_batches_total")
-          Metrics.global.inc("graft_walkserve_queries_total",
-            rows.map(_.getLong(0)).distinct.length.toLong)
-          if (foldEvery > 0) {
-            if (loopLive < 0) { // once per (re)start: recover from disk
-              val (_, through) = foldState(spark, outDir)
-              loopThrough = through
-              loopLive = committedBatchEpochs(spark, outDir)
-                .count(_ > through)
-            } else if (epochId > loopThrough) loopLive += 1
-            // a REPLAYED epoch at or below the watermark rewrote its dir
-            // but its rows already live in the fold — it must not count
-            if (loopLive >= foldEvery) {
-              fold(spark, outDir)
-              vacuum(spark, outDir)
-              loopThrough = epochId
-              loopLive = 0
+          answer(handleRef.get(), rows).foreach { case (answered, served) =>
+            val dir = batchDir(outDir, epochId)
+            answered
+              .withColumn("batch",
+                org.apache.spark.sql.functions.lit(epochId))
+              .write.mode("overwrite").parquet(dir)
+            // marker AFTER the data: a concurrent results()/fold() listing
+            // mid-write (or mid-replay-overwrite) skips the uncommitted
+            // dir instead of reading partial rows
+            fsOf(spark, dir).create(
+              new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
+            Metrics.global.inc("graft_walkserve_batches_total")
+            Metrics.global.inc("graft_walkserve_queries_total", served)
+            if (foldEvery > 0) {
+              if (loopLive < 0) { // once per (re)start: recover from disk
+                val (_, through) = foldState(spark, outDir)
+                loopThrough = through
+                loopLive = committedBatchEpochs(spark, outDir)
+                  .count(_ > through)
+              } else if (epochId > loopThrough) loopLive += 1
+              // a REPLAYED epoch at or below the watermark rewrote its
+              // dir but its rows already live in the fold — must not count
+              if (loopLive >= foldEvery) {
+                fold(spark, outDir)
+                vacuum(spark, outDir)
+                loopThrough = epochId
+                loopLive = 0
+              }
             }
           }
         }

@@ -172,6 +172,66 @@ class WalkServeSpec extends SparkSpec {
     assert(rec >= 0.8, f"streamed filtered recall $rec%.3f < 0.8")
   }
 
+  test("MULTI-TENANT serving: each tenant answers within ITS OWN allowlist (parity with direct filtered calls), unknown tenants fail CLOSED") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmp("wserve_out6")
+    val ckpt = tmp("wserve_ckpt6")
+    // tenant a: a dense allowlist; tenant b: the sparse f ≈ 1/15 one
+    // (its queries must ride the auto-widened walk THROUGH the stream)
+    val allowA = emb.filter(col("vec_id") % 3 === 0)
+      .select("vec_id").localCheckpoint()
+    val allowB = emb.filter(col("vec_id") % 15 === 1)
+      .select("vec_id").localCheckpoint()
+    val vecs = emb.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val unknown0 = Metrics.global
+      .value("graft_walkserve_unknown_tenant_total")
+    val src = MemoryStream[(Long, Seq[Float], String)]
+    val serving = WalkServe.startTenants(
+      src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
+      allowlists = Map("a" -> allowA, "b" -> allowB), k = kk)
+    try {
+      // one batch: 10 queries per tenant (same vectors, disjoint q_ids)
+      // plus two rows for an unprovisioned tenant — those must VANISH
+      src.addData(
+        vecs.map { case (id, v) => (id, v, "a") } ++
+          vecs.map { case (id, v) => (id + 1000L, v, "b") } ++
+          vecs.take(2).map { case (id, v) => (id + 2000L, v, "z") }: _*)
+      serving.query.processAllAvailable()
+    } finally serving.stop()
+    val rows = WalkServe.results(spark, outDir).collect()
+    val byTenant = rows.groupBy(_.getString(4))
+    assert(byTenant.keySet == Set("a", "b"),
+      s"unknown tenant leaked into results: ${byTenant.keySet}")
+    assert(byTenant("a").forall(_.getLong(2) % 3 == 0),
+      "a result escaped tenant a's allowlist")
+    assert(byTenant("b").forall(_.getLong(2) % 15 == 1),
+      "a result escaped tenant b's allowlist")
+    assert(byTenant("b").groupBy(_.getLong(0)).forall(_._2.length == kk),
+      "the sparse tenant under-filled k — the auto-widen must ride the stream")
+    assert(Metrics.global.value("graft_walkserve_unknown_tenant_total") ==
+      unknown0 + 2, "dropped unknown-tenant rows must be surfaced")
+    // parity per tenant with the DIRECT filtered call under the same
+    // allowlist frames (the widen memo keys on frame identity)
+    val directH = GraphServing.open(spark, packDir)
+    val qA = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assert(canon(WalkServe.results(spark, outDir)
+        .filter(col("tenant") === "a")
+        .drop("tenant", "batch")) ==
+      canon(directH.topK(qA, kk, allowA)),
+      "tenant a diverged from the direct filtered call")
+    val qB = qA.withColumn("q_id", col("q_id") + 1000L)
+    assert(canon(WalkServe.results(spark, outDir)
+        .filter(col("tenant") === "b")
+        .drop("tenant", "batch")) ==
+      canon(directH.topK(qB, kk, allowB)),
+      "tenant b diverged from the direct filtered call")
+    directH.close()
+  }
+
   test("fold + vacuum give the result dirs a lifecycle: row-identical across the fold, superseded dirs dropped, a below-watermark replay cannot re-enter results()") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
