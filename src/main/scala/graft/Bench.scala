@@ -79,12 +79,7 @@ object Bench {
     // sentinel_spread of 2-3× says the per-query numbers carry the same
     // inflation and must be judged against BENCH_scale / a re-run, not
     // read as regressions. Recorded in every BENCH JSON from now on.
-    def sentinel(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 50000000L, 1L, cpus.toInt)
-        .selectExpr("sum(cast(hash(id) as bigint))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def sentinel(): Double = sentinelSec(spark, cpus.toInt)
     // warm the sentinel's own codegen/JIT to steady state before the
     // recorded passes — a decaying first reading would mimic host noise
     (1 to 3).foreach(_ => sentinel())
@@ -178,16 +173,22 @@ object Bench {
     // fold/vacuum per batch — what a deployment sizing the serving tier
     // pays). ONE untimed fixture (graph + pack) serves both probes —
     // building it twice was the bench's most expensive redundancy.
-    val (qpsWalk, qpsServe) =
-      if (only.isDefined) (-1.0, -1.0)
+    val (qpsWalk, walkPassSec, walkSentinel, qpsServe, qpsTenants) =
+      if (only.isDefined) (-1.0, Seq.empty[Double], -1.0, -1.0, -1.0)
       else {
         val (gDir, pDir) = serveFixture(spark, sfDir)
-        val walk = graphsearchThroughput(spark, sfDir, pipelineIterations, pDir)
+        val (walk, passSec, sentAdj) =
+          graphsearchThroughput(spark, sfDir, pipelineIterations, pDir,
+            cpus.toInt)
         val serve = walkserveThroughput(spark, sfDir, pDir)
+        val tenants = walkserveTenantsThroughput(spark, sfDir, pDir)
         Seq(gDir, pDir).foreach(d =>
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-        (walk, serve)
+        (walk, passSec, sentAdj, serve, tenants)
       }
+    val walkReceipt =
+      s""""graphsearch_pass_sec":${walkPassSec.mkString("[", ",", "]")},""" +
+      s""""graphsearch_sentinel_sec":$walkSentinel,"""
     val sha = gitSha() // once — both JSON lines carry it
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
@@ -195,8 +196,9 @@ object Bench {
       s""""indexsync_upserts_per_s":$upsIdx,""" +
       s""""lexsync_docs_per_s":$docsLex,""" +
       s""""mvsync_rows_per_s":$rowsMv,""" +
-      s""""graphsearch_queries_per_s":$qpsWalk,""" +
+      s""""graphsearch_queries_per_s":$qpsWalk,""" + walkReceipt +
       s""""walkserve_queries_per_s":$qpsServe,""" +
+      s""""walkserve_tenants_queries_per_s":$qpsTenants,""" +
       s""""iterations":$iterations,"pipeline_iterations":$pipelineIterations,""" +
       s""""sentinel_sec":$sentinelJson,"sentinel_spread":$sentinelSpread,""" +
       s""""sentinel_spread_steady":$sentinelSpreadSteady,""" +
@@ -229,14 +231,30 @@ object Bench {
       s""""indexsync_upserts_per_s":$upsIdx,""" +
       s""""lexsync_docs_per_s":$docsLex,""" +
       s""""mvsync_rows_per_s":$rowsMv,""" +
-      s""""graphsearch_queries_per_s":$qpsWalk,""" +
+      s""""graphsearch_queries_per_s":$qpsWalk,""" + walkReceipt +
       s""""walkserve_queries_per_s":$qpsServe,""" +
+      s""""walkserve_tenants_queries_per_s":$qpsTenants,""" +
       s""""sentinel_spread":$sentinelSpread,""" +
       s""""sentinel_spread_steady":$sentinelSpreadSteady,""" +
       s""""noisy":$noisy,"attempts":$attempts,"git_sha":"$sha",""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
+  }
+
+  /** The noise sentinel as a reusable probe: a fixed in-memory
+    * computation (no I/O, no shuffle variance, identical work every
+    * time) whose duration is a direct read of host noise at the moment
+    * it runs — taken once per catalog pass AND adjacent to the
+    * walk-serving probe (whose min-of-passes rate is driver-job-latency
+    * bound and so swings hard with the host window; the r17 107.8 → 80
+    * move was unexplainable without a reading taken NEXT TO the probe).
+    */
+  private def sentinelSec(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 50000000L, 1L, cpus)
+      .selectExpr("sum(cast(hash(id) as bigint))").collect()
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** BASELINE.md pipeline gate: sustain ≥100 upserts/s (10× the reference's
@@ -502,7 +520,8 @@ object Bench {
     * user actually compares.
     */
   private def graphsearchThroughput(spark: SparkSession, sfDir: String,
-      passes: Int, packDir: String): Double = {
+      passes: Int, packDir: String, cpus: Int)
+      : (Double, Seq[Double], Double) = {
     import org.apache.spark.sql.functions.col
     // the RAM serving tier (pin = true): the pack loads into cluster
     // memory once at open — what a hot deployment runs, and the tier
@@ -515,14 +534,83 @@ object Bench {
       .filter(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint()
-    val best = (1 to passes).map { _ =>
+    val times = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       val n = h.topK(q, k = 5).count()
       if (n <= 0) Double.MaxValue else (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    // the NOISE RECEIPT (VERDICT r17 item 3): this probe's timed region
+    // is ~2 s of walk rounds driven by ~6-8 driver jobs, so a slow host
+    // phase inflates it far more than the catalog's long queries — a
+    // sentinel reading taken IMMEDIATELY beside the probe (plus the raw
+    // per-pass times) lets a reader separate a serving regression (pass
+    // times up, sentinel quiet) from a window artifact (both up)
+    val sentAdj = sentinelSec(spark, cpus)
     h.close() // the RAM tier pinned the whole pack — release it eagerly
     graft.Release.checkpoint(q)
-    if (best == Double.MaxValue) -1.0 else math.round(nQ / best * 10.0) / 10.0
+    val best = times.min
+    val rate =
+      if (best == Double.MaxValue) -1.0
+      else math.round(nQ / best * 10.0) / 10.0
+    (rate,
+      times.map(t => if (t == Double.MaxValue) -1.0
+        else math.round(t * 1000.0) / 1000.0),
+      math.round(sentAdj * 1000.0) / 1000.0)
+  }
+
+  /** The MULTI-TENANT streaming loop's sustained rate: every micro-batch
+    * mixes queries from 8 tenants (distinct allowlists, fail-closed
+    * routing) and must answer them in ONE walk
+    * ([[graft.pipeline.WalkServe.startTenants]] →
+    * [[graft.queries.GraphServing.Handle.topKTenants]]) — the rate a
+    * tenant fleet's serving tier is sized by, and the number that keeps
+    * the batched-walk path honest against the single-tenant
+    * `walkserve_queries_per_s` (the r17 serial form paid O(tenants)
+    * walks per batch; this loop would have priced it).
+    */
+  private def walkserveTenantsThroughput(spark: SparkSession, sfDir: String,
+      packDir: String): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import s.implicits._
+    val outDir =
+      java.nio.file.Files.createTempDirectory("bench_wserve_t_o").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("bench_wserve_t_c").toString
+    val nT = 8
+    val allows = (0 until nT).map(i => s"t$i" ->
+      Tables.embeddings(spark, sfDir).select("vec_id")
+        .filter(col("vec_id") % nT === i).localCheckpoint()).toMap
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .filter(col("vec_id") < 200).collect()
+      .map(_.getSeq[Float](1))
+    val batches = 10
+    val n = batches * vecs.length
+    val before = graft.pipeline.Metrics.global
+      .value("graft_walkserve_queries_total")
+    def served(): Long = graft.pipeline.Metrics.global
+      .value("graft_walkserve_queries_total") - before
+    val src = MemoryStream[(Long, Seq[Float], String)]
+    val serving = graft.pipeline.WalkServe.startTenants(
+      src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
+      allowlists = allows, k = 5, triggerMs = 50, foldEvery = 4)
+    val t0 = System.nanoTime()
+    try {
+      (0 until batches).foreach { b =>
+        src.addData(vecs.zipWithIndex.map { case (v, j) =>
+          (b * 1000L + j, v.toSeq, s"t${j % nT}") }.toSeq: _*)
+      }
+      val deadline = System.currentTimeMillis() + 120000
+      while (served() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally serving.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    allows.values.foreach(graft.Release.checkpoint)
+    Seq(outDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    if (served() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
   }
 
   /** The STREAMING serving loop's sustained rate: query micro-batches

@@ -694,16 +694,15 @@ object GraphServing {
       * tenant allowlist reuses the same frame, so the selectivity
       * measurement runs ONCE per (handle, allowlist), not once per call;
       * the r16 form paid a count job on every default-beam filtered
-      * call). Access-ordered with eldest-entry EVICTION: a caller
-      * minting a fresh frame per call cannot grow driver state on a
-      * long-lived handle, and eviction sheds only the coldest allowlist
-      * instead of wiping the hot tenants' memos.
+      * call). WEAK keys: the memo must never be the thing keeping a
+      * discarded allowlist frame (and, for a localCheckpointed one, its
+      * pinned executor blocks) reachable — the bounded-LRU form retained
+      * up to 64 frames strongly, the exact leak class Release/close()
+      * exist to prevent. A caller minting a fresh frame per call sheds
+      * its memo with the frame at the next GC; the values are Ints, so
+      * the map itself is never meaningful driver state.
       */
-    private val widenCache =
-      new java.util.LinkedHashMap[DataFrame, Int](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[DataFrame, Int]): Boolean = size() > 64
-      }
+    private val widenCache = new java.util.WeakHashMap[DataFrame, Integer]()
 
     /** The auto-widen factor for an allowlist: measured LIVE selectivity
       * f = |allowlist ∩ pack vertices| / n — the intersection matters
@@ -715,10 +714,16 @@ object GraphServing {
       * below the documented floor is possible), that is surfaced on
       * `graft_filtered_widen_capped_total` rather than swallowed: the
       * caller's move is an explicit beam or a pre-restricted corpus.
+      *
+      * The count JOB runs OUTSIDE the cache lock — holding it for a
+      * Spark job would block every concurrent topK on this handle that
+      * touches any other allowlist for the measurement's duration. A
+      * racing duplicate measurement is benign and idempotent (both
+      * compute the same factor; last put wins).
       */
-    private def widenFor(a: DataFrame): Int = widenCache.synchronized {
-      val hit = widenCache.get(a)
-      if (hit != 0) hit
+    private def widenFor(a: DataFrame): Int = {
+      val hit = widenCache.synchronized(widenCache.get(a))
+      if (hit != null) hit.intValue
       else {
         val live = a.select("vec_id").distinct()
           .join(adj.select(col("src").as("vec_id")), Seq("vec_id"),
@@ -730,13 +735,46 @@ object GraphServing {
           graft.pipeline.Metrics.global.inc(
             "graft_filtered_widen_capped_total")
         val w = math.min(8, raw)
-        widenCache.put(a, w)
+        widenCache.synchronized(widenCache.put(a, Integer.valueOf(w)))
         w
       }
     }
 
+    /** Memoized fleet allowlist union — ONE pinned (tenant, vec_id)
+      * frame per allowlist MAP (key equality: structural on tenants,
+      * identity on frames — Dataset does not override equals/hashCode —
+      * so a serving loop passing the same map every batch hits, and a
+      * rebuilt-per-epoch map misses exactly once). Collapsing the
+      * per-tenant union into one checkpointed scan matters for the
+      * per-batch JOB COUNT: a T-branch union costs ~T AQE
+      * stage-materialization jobs per batch (driver latency that scales
+      * with the fleet — the serial-walk problem in miniature), where the
+      * pinned frame costs one scan at any T. Weak keys: a discarded map
+      * sheds its entry; its checkpoint blocks fall to the
+      * ContextCleaner's GC-driven cleanup, and [[close]] releases the
+      * live entries eagerly.
+      */
+    private val pairsCache =
+      new java.util.WeakHashMap[Map[String, DataFrame], DataFrame]()
+
+    private def pairsFor(allowlists: Map[String, DataFrame]): DataFrame = {
+      val hit = pairsCache.synchronized(pairsCache.get(allowlists))
+      if (hit != null) hit
+      else {
+        val p = allowlists.toSeq.sortBy(_._1).map { case (t, ids) =>
+            ids.select("vec_id").distinct().withColumn("tenant", lit(t))
+          }
+          .reduce(_ unionByName _).select("tenant", "vec_id")
+          .localCheckpoint() // a racing duplicate build is benign: the
+        // loser's checkpoint is dropped and GC-cleaned
+        pairsCache.synchronized(pairsCache.put(allowlists, p))
+        p
+      }
+    }
+
     /** Release the handle's pinned executor state (the seed-vector
-      * checkpoint; the RAM tier's adjacency) EAGERLY. Without this a
+      * checkpoint; the RAM tier's adjacency; the fleet allowlist-pair
+      * checkpoints) EAGERLY. Without this a
       * superseded handle's blocks linger until the driver's periodic
       * ContextCleaner GC — a long-lived server that reopens on every
       * pack refresh ([[graft.pipeline.WalkServe]]) would transiently
@@ -746,6 +784,11 @@ object GraphServing {
     def close(): Unit = {
       graft.Release.checkpoint(seedVecs)
       if (pinned) graft.Release.checkpoint(adj)
+      pairsCache.synchronized {
+        import scala.jdk.CollectionConverters._
+        pairsCache.values.asScala.foreach(graft.Release.checkpoint)
+        pairsCache.clear()
+      }
     }
 
     /** The frontier's out-edges — candidates WITH their collocated
@@ -855,9 +898,82 @@ object GraphServing {
         allowedIds: DataFrame): DataFrame =
       walkTopK(queries, k, -1, -1, Some(allowedIds))
 
+    /** MULTI-TENANT filtered walk — a mixed-tenant query batch answered
+      * in ONE walk invocation (the per-tenant serial loop was a per-batch
+      * O(tenants) latency multiplier on the hot serving path; the walk's
+      * rounds are all partitioned by q_id, so unrelated queries ride one
+      * set of Spark jobs for free). `queries` carries (q_id, q_emb,
+      * tenant); every tenant present must have an allowlist (the caller
+      * routes/fail-closes unknown tenants — [[graft.pipeline.WalkServe]]
+      * does), and q_id must be UNIQUE across the batch: q_id keys the
+      * walk, and the walk's self-match exclusion (q_id ≠ vec_id) must
+      * see the caller's real ids, so a synthetic remap is not an option.
+      *
+      * Tenant isolation composes exactly like the single-allowlist form,
+      * one column wider: the fleet's allowlists union into ONE memoized,
+      * pinned (tenant, vec_id) frame ([[pairsFor]] — a single scan per
+      * batch at any tenant count), result selection semi-joins the walk's
+      * bounded scored set — tagged with each query's tenant via the
+      * broadcast-small (q_id, tenant) map — on (tenant, vec_id), and the
+      * per-query top-k ranks inside that. EXPANSION stays unfiltered and
+      * SHARED: all tenants' queries walk the same connectivity in the
+      * same rounds (filtered-DiskANN's expansion rule, unchanged).
+      *
+      * The beam auto-widens to the batch's SPARSEST tenant (max of the
+      * memoized per-tenant factors — each measured once per handle, so a
+      * stream reuses them): recall for denser tenants can only improve
+      * under a wider beam, and parity with a solo filtered call is exact
+      * whenever the factors agree (the uniform-fleet case). Output
+      * carries `tenant` beside (q_id, rnk, vec_id, cos).
+      */
+    def topKTenants(queries: DataFrame, k: Int,
+        allowlists: Map[String, DataFrame]): DataFrame = {
+      import spark.implicits._
+      val rows = queries.select(col("q_id").cast("long"),
+          col("q_emb").cast("array<float>"), col("tenant").cast("string"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2)))
+      if (rows.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("q_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rnk",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cos",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("tenant",
+              org.apache.spark.sql.types.StringType))))
+      val tenants = rows.map(_._3).distinct.sorted
+      tenants.foreach(t => require(allowlists.contains(t),
+        s"tenant '$t' has no allowlist — route or drop unknown tenants " +
+          "before the walk (fail-closed)"))
+      require(rows.map(_._1).distinct.length == rows.length,
+        "q_id must be unique across a tenanted batch — it keys the walk")
+      val widen =
+        if (meta.n > 0) tenants.map(t => widenFor(allowlists(t))).max else 1
+      val qt = rows.toSeq.map(r => (r._1, r._3)).toDF("q_id", "tenant")
+      // the fleet's pairs frame is memoized + pinned once per allowlist
+      // map ([[pairsFor]]); rows for tenants absent from this batch
+      // simply never match the broadcast side
+      val allowPairs = pairsFor(allowlists)
+      // (tenant, vec_id) pairs are distinct per tenant and q_id → tenant
+      // is functional, so the semi-join cannot duplicate a scored row
+      val filter = (scored: DataFrame) => allowPairs
+        .join(broadcast(scored.join(broadcast(qt), "q_id")),
+          Seq("tenant", "vec_id"))
+        .select("q_id", "vec_id", "cos_r")
+      walkCore(rows.map(r => (r._1, r._2)), k, -1, -1, widen, Some(filter))
+        .join(broadcast(qt), "q_id")
+        .select("q_id", "rnk", "vec_id", "cos", "tenant")
+        .orderBy("q_id", "rnk")
+    }
+
     private def walkTopK(queries: DataFrame, k: Int, beam: Int,
         iters: Int, allowedIds: Option[DataFrame]): DataFrame = {
-      import spark.implicits._
       // the query batch is broadcast-small by contract — COLLECT it once:
       // nQ, the prune decision, and the broadcast side all derive from
       // the local rows, so a serving call pays no per-call count job and
@@ -869,7 +985,6 @@ object GraphServing {
       val qRows = queries.select(col("q_id").cast("long"),
           col("q_emb").cast("array<float>")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val nQ = qRows.length
       // FILTERED calls at the pack's default operating point widen the
       // beam from MEASURED selectivity (the filtered search-width rule:
       // a predicate keeping fraction f of the corpus leaves ~f of the
@@ -884,6 +999,25 @@ object GraphServing {
         case Some(a) if beam <= 0 && meta.n > 0 => widenFor(a)
         case _ => 1
       }
+      // the allowlist composes on the walk's bounded scored set: the
+      // scored side broadcasts (it is queries × beam × degree × rounds),
+      // the allowlist streams — any-size predicates, no walk shuffle
+      val resultFilter = allowedIds.map(allowed =>
+        (scored: DataFrame) => allowed.select("vec_id").distinct()
+          .join(broadcast(scored), "vec_id")
+          .select("q_id", "vec_id", "cos_r"))
+      walkCore(qRows, k, beam, iters, widen, resultFilter)
+    }
+
+    /** One copy of the round mechanics behind every topK form —
+      * single-allowlist, multi-tenant, and unfiltered all feed the same
+      * scored-seed/prune/score/walk pipeline, so they cannot drift.
+      */
+    private def walkCore(qRows: Array[(Long, Seq[Float])], k: Int,
+        beam: Int, iters: Int, widen: Int,
+        resultFilter: Option[DataFrame => DataFrame]): DataFrame = {
+      import spark.implicits._
+      val nQ = qRows.length
       val beamN = if (beam > 0) beam else meta.beam * widen
       val itersN = if (iters >= 0) iters else meta.iters
       val q = broadcast(qRows.toSeq.toDF("q_id", "q_emb")
@@ -905,13 +1039,6 @@ object GraphServing {
       // round 0: every query scores the pinned seed vectors — no reads
       val seedScored = score(q.select("q_id").crossJoin(
         seedVecs.select("vec_id", "embedding", "nrm")))
-      // the allowlist composes on the walk's bounded scored set: the
-      // scored side broadcasts (it is queries × beam × degree × rounds),
-      // the allowlist streams — any-size predicates, no walk shuffle
-      val resultFilter = allowedIds.map(allowed =>
-        (scored: DataFrame) => allowed.select("vec_id").distinct()
-          .join(broadcast(scored), "vec_id")
-          .select("q_id", "vec_id", "cos_r"))
       GraphSearch.walk(seedScored,
         if (prune) prunedAdj else lazyAdj, score, beamN, itersN, k,
         resultFilter)

@@ -193,12 +193,18 @@ class WalkServeSpec extends SparkSpec {
       src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
       allowlists = Map("a" -> allowA, "b" -> allowB), k = kk)
     try {
-      // one batch: 10 queries per tenant (same vectors, disjoint q_ids)
-      // plus two rows for an unprovisioned tenant — those must VANISH
+      // one SINGLE-TENANT batch per tenant (same vectors, disjoint
+      // q_ids): a mixed-selectivity batch widens BOTH tenants to the
+      // sparsest one's factor — by design, recall only improves — so
+      // exact parity with each tenant's solo direct call (which widens
+      // to its OWN factor) needs per-tenant batches; the mixed-batch
+      // regime is the 8-tenant test's subject. The unknown-tenant rows
+      // ride batch 1 and must VANISH
       src.addData(
         vecs.map { case (id, v) => (id, v, "a") } ++
-          vecs.map { case (id, v) => (id + 1000L, v, "b") } ++
           vecs.take(2).map { case (id, v) => (id + 2000L, v, "z") }: _*)
+      serving.query.processAllAvailable()
+      src.addData(vecs.map { case (id, v) => (id + 1000L, v, "b") }: _*)
       serving.query.processAllAvailable()
     } finally serving.stop()
     val rows = WalkServe.results(spark, outDir).collect()
@@ -230,6 +236,261 @@ class WalkServeSpec extends SparkSpec {
       canon(directH.topK(qB, kk, allowB)),
       "tenant b diverged from the direct filtered call")
     directH.close()
+  }
+
+  /** Jobs the body runs — listener-counted with an async-bus settle
+    * (the GraphFilteredWalkSpec idiom).
+    */
+  private def jobsRun(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = n.get(); var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = n.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      last
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("a mixed batch of 8 tenants answers in ONE walk: per-tenant parity with direct filtered calls, job count does not scale with the tenant count") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmp("wserve_out7")
+    val ckpt = tmp("wserve_ckpt7")
+    val nT = 8
+    // uniformly DENSE allowlists (f ≈ 1/4 ⇒ widen 1 for every tenant —
+    // robustly, since ceil(1/(8f)) = 1 for any f > 1/8): the batched
+    // walk's beam then equals each direct call's, so parity is EXACT.
+    // A mixed-SELECTIVITY batch instead widens everyone to the sparsest
+    // tenant's factor (recall can only improve; the 2-tenant test
+    // covers that regime per-batch) — 8 distinct frames, 4 distinct
+    // contents, which also exercises the per-frame widen memo
+    val allows = (0 until nT).map(i =>
+      i -> emb.filter(col("vec_id") % 4 === i % 4)
+        .select("vec_id").localCheckpoint()).toMap
+    val vecs = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val collisions0 = Metrics.global
+      .value("graft_walkserve_qid_collision_batches_total")
+    val src = MemoryStream[(Long, Seq[Float], String)]
+    val serving = WalkServe.startTenants(
+      src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
+      allowlists = allows.map { case (i, a) => s"t$i" -> a }, k = kk)
+    try {
+      // ONE micro-batch mixing all 8 tenants (5 queries each) plus one
+      // unknown-tenant row that must vanish
+      src.addData(
+        (0 until nT).flatMap(i => vecs.map { case (id, v) =>
+          (i * 1000L + id, v, s"t$i") }) ++
+          Seq((99000L, vecs.head._2, "zz")): _*)
+      serving.query.processAllAvailable()
+    } finally serving.stop()
+    val rows = WalkServe.results(spark, outDir)
+    assert(rows.filter(col("tenant") === "zz").count() == 0,
+      "unknown tenant leaked through the batched walk")
+    assert(Metrics.global
+      .value("graft_walkserve_qid_collision_batches_total") == collisions0,
+      "disjoint q_ids must ride the single-walk path, not the fallback")
+    val directH = GraphServing.open(spark, packDir)
+    (0 until nT).foreach { i =>
+      val qi = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + i * 1000L).as("q_id"),
+          col("embedding").as("q_emb"))
+      assert(canon(rows.filter(col("tenant") === s"t$i")
+          .drop("tenant", "batch")) ==
+        canon(directH.topK(qi, kk, allows(i))),
+        s"tenant t$i diverged from its direct filtered call")
+    }
+    // the JOB COUNT must not scale with tenants: same 16 queries split
+    // across 2 vs 8 tenants runs the same walk jobs (widens pre-memoized
+    // by the warm calls; the serial form paid ~4x here)
+    val q16 = emb.filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def qFrameFor(groups: Int): org.apache.spark.sql.DataFrame =
+      q16.zipWithIndex.toSeq.map { case ((id, v), j) =>
+        (id + 100000L, v, s"t${j % groups}") }
+        .toDF("q_id", "q_emb", "tenant")
+    val m8 = allows.map { case (i, a) => s"t$i" -> a }
+    val m2 = m8.view.filterKeys(Set("t0", "t1")).toMap
+    directH.topKTenants(qFrameFor(2), kk, m2).collect() // warm + memoize
+    directH.topKTenants(qFrameFor(8), kk, m8).collect()
+    val j2 = jobsRun(directH.topKTenants(qFrameFor(2), kk, m2).collect())
+    val j8 = jobsRun(directH.topKTenants(qFrameFor(8), kk, m8).collect())
+    info(s"walk jobs: 2 tenants = $j2, 8 tenants = $j8")
+    assert(j8 <= j2 + 2,
+      s"job count scaled with tenant count ($j2 -> $j8) — the batch must walk once")
+    directH.close()
+  }
+
+  test("tenant-mode results() is a TYPED empty frame before the first commit: tenant selectable, unionByName-compatible") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmp("wserve_out8")
+    val ckpt = tmp("wserve_ckpt8")
+    val allowA = emb.filter(col("vec_id") % 3 === 0)
+      .select("vec_id").localCheckpoint()
+    val src = MemoryStream[(Long, Seq[Float], String)]
+    val serving = WalkServe.startTenants(
+      src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
+      allowlists = Map("a" -> allowA), k = kk)
+    try {
+      val res = WalkServe.results(spark, outDir)
+      assert(res.schema.fieldNames.toSeq ==
+        Seq("q_id", "rnk", "vec_id", "cos", "tenant", "batch"),
+        s"tenant-mode empty schema wrong: ${res.schema.fieldNames.toSeq}")
+      assert(res.schema("cos").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      // the pre-first-commit consumer's two moves, both of which the
+      // untyped fallback broke: filter on tenant, and union with a
+      // later real-results frame
+      assert(res.filter(col("tenant") === "a").count() == 0)
+      val real = Seq((1L, 1, 2L, 0.5, "a", 0L))
+        .toDF("q_id", "rnk", "vec_id", "cos", "tenant", "batch")
+      assert(res.unionByName(real).count() == 1)
+    } finally serving.stop()
+  }
+
+  test("retain() bounds the folded store's ROWS: below-watermark answers dropped, results identical above, a retained epoch's replay stays invisible") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmp("wserve_out9")
+    val ckpt = tmp("wserve_ckpt9")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val serving = WalkServe.start(src.toDS().toDF("q_id", "q_emb"),
+      packDir, outDir, ckpt, k = kk)
+    try {
+      qRows(3).foreach { q =>
+        src.addData(q); serving.query.processAllAvailable()
+      }
+    } finally serving.stop()
+    val before = WalkServe.results(spark, outDir).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(before.size == 3 * kk)
+    // drop everything served before batch 2 (epochs 0 and 1)
+    val dropped = WalkServe.retain(spark, outDir, belowBatch = 2L)
+    assert(dropped == 2L * kk, s"expected ${2 * kk} dropped, got $dropped")
+    val after = WalkServe.results(spark, outDir)
+    assert(after.count() == kk)
+    assert(canon(after) == before.filter(_.split("\\|").last == "2"),
+      "retention must keep above-watermark rows byte-identical")
+    // the fold WATERMARK survived retention: a replay of retained epoch 0
+    // re-mints its dir but stays invisible
+    Seq((0L, 1, 999999L, 0.5, 0L))
+      .toDF("q_id", "rnk", "vec_id", "cos", "batch")
+      .write.mode("overwrite").parquet(s"$outDir/b0")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/b0",
+      "_graft_committed"), true).close()
+    assert(canon(WalkServe.results(spark, outDir)) == canon(after),
+      "a retained epoch's replay re-entered results()")
+    // idempotent: nothing left below the watermark (and the replay dir
+    // is swept by retain's vacuum)
+    assert(WalkServe.retain(spark, outDir, belowBatch = 2L) == 0L)
+    assert(new java.io.File(outDir).list().count(_.startsWith("b")) == 0)
+    assert(canon(WalkServe.results(spark, outDir)) == canon(after))
+  }
+
+  test("DYNAMIC provisioning: a tenant added mid-stream serves from the next boundary, a revoked one fails closed; pre-pickup rows are dropped and counted") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmp("wserve_outA")
+    val ckpt = tmp("wserve_ckptA")
+    val tdir = tmp("wserve_tenants")
+    val allowA = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val allowB = emb.filter(col("vec_id") % 3 === 1).select("vec_id")
+    TenantRegistry.provision(spark, tdir, "a", allowA)
+    val vec = emb.filter(col("vec_id") === 3L).head.getSeq[Float](1).toSeq
+    val unknown0 = Metrics.global
+      .value("graft_walkserve_unknown_tenant_total")
+    val reloads0 = Metrics.global
+      .value("graft_walkserve_tenant_reloads_total")
+    val src = MemoryStream[(Long, Seq[Float], String)]
+    val serving = WalkServe.startTenantsDynamic(
+      src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
+      tenantsDir = tdir, k = kk)
+    try {
+      // batch 1: a answers, b is not provisioned yet — fail closed
+      src.addData((1L, vec, "a"), (2L, vec, "b"))
+      serving.query.processAllAvailable()
+      // provision b, then batch 2: BOTH answer, each in its own list
+      TenantRegistry.provision(spark, tdir, "b", allowB)
+      src.addData((3L, vec, "a"), (4L, vec, "b"))
+      serving.query.processAllAvailable()
+      // revoke a, then batch 3: a fails closed at the boundary, b serves
+      TenantRegistry.revoke(spark, tdir, "a")
+      src.addData((5L, vec, "a"), (6L, vec, "b"))
+      serving.query.processAllAvailable()
+    } finally serving.stop()
+    val rows = WalkServe.results(spark, outDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 3L, 4L, 6L),
+      s"served q_ids must be exactly the provisioned-at-the-time ones, got ${byQ.keySet}")
+    assert(byQ(1L).forall(_.getLong(2) % 3 == 0))
+    assert(byQ(3L).forall(_.getLong(2) % 3 == 0))
+    assert(byQ(4L).forall(_.getLong(2) % 3 == 1))
+    assert(byQ(6L).forall(_.getLong(2) % 3 == 1))
+    assert(Metrics.global.value("graft_walkserve_unknown_tenant_total") ==
+      unknown0 + 2, "pre-pickup and post-revoke rows must be dropped AND counted")
+    // one reload per observed registry epoch (initial + provision + revoke)
+    assert(Metrics.global.value("graft_walkserve_tenant_reloads_total") ==
+      reloads0 + 3)
+    // registry lifecycle: three committed snapshots, vacuum keeps the head
+    assert(TenantRegistry.epochOf(spark, tdir) == 2)
+    assert(TenantRegistry.vacuum(spark, tdir) == 2)
+    assert(TenantRegistry.read(spark, tdir).select("tenant").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("a reused outDir under a RESET checkpoint fails fast: the stream-identity stamp distinguishes replay from reset") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val outDir = tmp("wserve_outB")
+    val src1 = MemoryStream[(Long, Seq[Float])]
+    val s1 = WalkServe.start(src1.toDS().toDF("q_id", "q_emb"),
+      packDir, outDir, tmp("wserve_ckptB1"), k = kk)
+    try {
+      qRows(2).foreach { q =>
+        src1.addData(q); s1.query.processAllAvailable()
+      }
+    } finally s1.stop()
+    // a maintainer folds — the watermark now sits at epoch 1
+    WalkServe.fold(spark, outDir)
+    WalkServe.vacuum(spark, outDir)
+    val before = canon(WalkServe.results(spark, outDir))
+    // the ops misstep: same outDir, FRESH checkpoint — epochs restart at
+    // 0 below the watermark; without the identity stamp batch 0 would be
+    // served, invisible to results(), and then vacuumed (silent loss)
+    val src2 = MemoryStream[(Long, Seq[Float])]
+    val s2 = WalkServe.start(src2.toDS().toDF("q_id", "q_emb"),
+      packDir, outDir, tmp("wserve_ckptB2"), k = kk)
+    try {
+      src2.addData(qRows(1).head)
+      val thrown = try { s2.query.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+      assert(thrown || s2.query.exception.isDefined,
+        "a reset stream over a folded outDir must fail fast")
+      val msg = s2.query.exception.map(_.getMessage + "").getOrElse("")
+      assert(msg.contains("different stream"),
+        s"failure must name the identity mismatch, got: $msg")
+    } finally s2.stop()
+    assert(canon(WalkServe.results(spark, outDir)) == before,
+      "the refused stream must not have committed anything")
   }
 
   test("fold + vacuum give the result dirs a lifecycle: row-identical across the fold, superseded dirs dropped, a below-watermark replay cannot re-enter results()") {
