@@ -642,7 +642,8 @@ object WalkServe {
     */
   final case class ServeLoopStats(foldEpoch: Int, foldedThrough: Long,
       liveBatchDirs: Int, batches: Long, queries: Long, reopens: Long,
-      folds: Long)
+      folds: Long, unknownTenants: Long = 0L, qidCollisions: Long = 0L,
+      tenantReloads: Long = 0L, retainedRows: Long = 0L)
 
   def describe(spark: SparkSession, outDir: String): ServeLoopStats = {
     val (fEpoch, through) = foldState(spark, outDir)
@@ -651,6 +652,10 @@ object WalkServe {
       Metrics.global.value("graft_walkserve_batches_total"),
       Metrics.global.value("graft_walkserve_queries_total"),
       Metrics.global.value("graft_walkserve_reopens_total"),
-      Metrics.global.value("graft_walkserve_folds_total"))
+      Metrics.global.value("graft_walkserve_folds_total"),
+      Metrics.global.value("graft_walkserve_unknown_tenant_total"),
+      Metrics.global.value("graft_walkserve_qid_collision_batches_total"),
+      Metrics.global.value("graft_walkserve_tenant_reloads_total"),
+      Metrics.global.value("graft_walkserve_retained_rows_total"))
   }
 }
