@@ -177,9 +177,11 @@ object Bench {
       if (only.isDefined) (-1.0, Seq.empty[Double], -1.0, -1.0, -1.0)
       else {
         val (gDir, pDir) = serveFixture(spark, sfDir)
+        // 3 timed passes (one more than the other probes): this rate is
+        // min-of-~2 s passes and the most window-sensitive number in the
+        // record — the extra pass materially stabilizes the min
         val (walk, passSec, sentAdj) =
-          graphsearchThroughput(spark, sfDir, pipelineIterations, pDir,
-            cpus.toInt)
+          graphsearchThroughput(spark, sfDir, 3, pDir, cpus.toInt)
         val serve = walkserveThroughput(spark, sfDir, pDir)
         val tenants = walkserveTenantsThroughput(spark, sfDir, pDir)
         Seq(gDir, pDir).foreach(d =>
@@ -534,6 +536,11 @@ object Bench {
       .filter(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint()
+    // one UNTIMED warmup: the walk's codegen units compile on the first
+    // pass over this fixture (the catalog warmup never touches the pack
+    // plans), and every recorded round's pass-1 reading was inflated by
+    // exactly that — warm first, then time, like the catalog does
+    h.topK(q, k = 5).count()
     val times = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       val n = h.topK(q, k = 5).count()
