@@ -471,8 +471,11 @@ object WalkServe {
       if (es.isEmpty) (-1, -1L)
       else {
         val e = es.max
-        val r = spark.read.parquet(s"${foldMetaDir(outDir)}/e$e").head
-        (e, r.getAs[Long]("folded_through"))
+        // driver-side read (MetaIO): the fold watermark is consulted by
+        // results()/fold()/vacuum() — no Spark job for a one-row record
+        val r = graft.queries.MetaIO.readHead(
+          spark, s"${foldMetaDir(outDir)}/e$e")
+        (e, r.getLong("folded_through"))
       }
     }
   }
@@ -506,10 +509,9 @@ object WalkServe {
        else Nil)
     parts.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(foldedDir(outDir, next))
-    import spark.implicits._
     val mp = s"${foldMetaDir(outDir)}/e$next"
-    Seq((next, fresh.max)).toDF("epoch", "folded_through")
-      .coalesce(1).write.mode("overwrite").parquet(mp)
+    graft.queries.MetaIO.writeRow(spark, mp,
+      "epoch" -> next, "folded_through" -> fresh.max)
     fsOf(spark, mp).create(
       new org.apache.hadoop.fs.Path(mp, CommitMarker), true).close()
     Metrics.global.inc("graft_walkserve_folds_total")
@@ -623,10 +625,9 @@ object WalkServe {
     // engine's empty-write idiom), so results() keeps its schema
     (if (keptN == 0) kept.coalesce(1) else kept)
       .write.mode("overwrite").parquet(foldedDir(outDir, next))
-    import spark.implicits._
     val mp = s"${foldMetaDir(outDir)}/e$next"
-    Seq((next, through)).toDF("epoch", "folded_through")
-      .coalesce(1).write.mode("overwrite").parquet(mp)
+    graft.queries.MetaIO.writeRow(spark, mp,
+      "epoch" -> next, "folded_through" -> through)
     fsOf(spark, mp).create(
       new org.apache.hadoop.fs.Path(mp, CommitMarker), true).close()
     vacuum(spark, outDir)

@@ -179,8 +179,8 @@ object CorpusBuild {
     // this batch lands — the integrity expectation runDelta verifies (sigs
     // is checkpointed, so the count is a cache scan)
     val nSigs = baseNSigs + sigs.count()
-    def writeMeta(): Unit = Seq((maxId, nSigs)).toDF("max_doc_id", "n_sigs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
+    def writeMeta(): Unit = MetaIO.writeRow(spark, s"$st/meta",
+      "max_doc_id" -> maxId, "n_sigs" -> nSigs)
     if (append) writeMeta()
 
     val kept = docs.join(
@@ -233,12 +233,11 @@ object CorpusBuild {
   private def readState(spark: SparkSession, st: String): (Map[(String, String), Long], Long, Long) = {
     val totals = spark.read.parquet(s"$st/totals").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val metaDf = spark.read.parquet(s"$st/meta")
-    require(metaDf.columns.contains("n_sigs"),
+    val meta = MetaIO.readHead(spark, s"$st/meta")
+    require(meta.has("n_sigs"),
       s"state at $st was written by an older build (meta lacks n_sigs) — " +
         "re-run a full build before applying deltas")
-    val meta = metaDf.head
-    (totals, meta.getAs[Long]("max_doc_id"), meta.getAs[Long]("n_sigs"))
+    (totals, meta.getLong("max_doc_id"), meta.getLong("n_sigs"))
   }
 
   /** `runMain graft.queries.CorpusBuild [outDir]` over SPARK_GRAFT_SF_DIR;

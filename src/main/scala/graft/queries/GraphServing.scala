@@ -560,32 +560,30 @@ object GraphServing {
 
   private def writeMeta(spark: SparkSession, outDir: String,
       m: ServeMeta): Unit = {
-    import spark.implicits._
     val mp = s"${metaDir(outDir)}/e${m.epoch}"
-    Seq((m.epoch, m.graphEpoch, m.n, m.beam, m.iters, m.buckets, m.base,
-        m.graphToken))
-      .toDF("epoch", "graph_epoch", "n", "beam", "iters", "buckets", "base",
-        "graph_token")
-      .coalesce(1).write.mode("overwrite").parquet(mp)
+    // driver-side single-row write (MetaIO): no Spark job per verb — this
+    // rides every refresh AND the serving loop's staleness probe path
+    MetaIO.writeRow(spark, mp, "epoch" -> m.epoch,
+      "graph_epoch" -> m.graphEpoch, "n" -> m.n, "beam" -> m.beam,
+      "iters" -> m.iters, "buckets" -> m.buckets, "base" -> m.base,
+      "graph_token" -> m.graphToken)
     fsOf(spark, mp).create(
       new org.apache.hadoop.fs.Path(mp, CommitMarker), true).close()
   }
 
   def readMeta(spark: SparkSession, outDir: String): ServeMeta = {
     val e = committedEpochs(spark, metaDir(outDir), "serving pack").max
-    val df = spark.read.parquet(s"${metaDir(outDir)}/e$e")
-    val r = df.head
+    val r = MetaIO.readHead(spark, s"${metaDir(outDir)}/e$e")
     // packs persisted before the fan-out/base were meta state carry
     // neither column — they were written under the then-constant 16 with
     // a full base per epoch; reading them must keep serving correctly
     // (the layout-determining parameter must NEVER come from the code's
     // current default)
-    val fields = df.schema.fieldNames.toSet
-    ServeMeta(r.getAs[Int]("epoch"), r.getAs[Int]("graph_epoch"),
-      r.getAs[Long]("n"), r.getAs[Int]("beam"), r.getAs[Int]("iters"),
-      if (fields("buckets")) r.getAs[Int]("buckets") else 16,
-      if (fields("base")) r.getAs[Int]("base") else e,
-      if (fields("graph_token")) r.getAs[Long]("graph_token") else 0L)
+    ServeMeta(r.getInt("epoch"), r.getInt("graph_epoch"),
+      r.getLong("n"), r.getInt("beam"), r.getInt("iters"),
+      if (r.has("buckets")) r.getInt("buckets") else 16,
+      if (r.has("base")) r.getInt("base") else e,
+      if (r.has("graph_token")) r.getLong("graph_token") else 0L)
   }
 
   /** The pinned entry seeds (vec_id, embedding, nrm) of the committed

@@ -43,10 +43,9 @@ object IndexedLayout {
 
   private def writeMeta(spark: SparkSession, outDir: String,
       epoch: Int, maxVecId: Long): Unit = {
-    import spark.implicits._
     val p = s"${metaDir(outDir)}/e$epoch"
-    Seq((epoch, maxVecId)).toDF("epoch", "max_vec_id")
-      .coalesce(1).write.mode("overwrite").parquet(p)
+    // driver-side single-row write (MetaIO): no Spark job per verb
+    MetaIO.writeRow(spark, p, "epoch" -> epoch, "max_vec_id" -> maxVecId)
     val marker = new org.apache.hadoop.fs.Path(p, CommitMarker)
     fsOf(spark, p).create(marker, true).close()
   }
@@ -54,7 +53,7 @@ object IndexedLayout {
   /** (epoch, high-water vec_id) of the newest COMMITTED epoch. */
   private def readMeta(spark: SparkSession, outDir: String): (Int, Long) = {
     val e = committedEpochs(spark, metaDir(outDir), "layout").max
-    (e, spark.read.parquet(s"${metaDir(outDir)}/e$e").head.getAs[Long]("max_vec_id"))
+    (e, MetaIO.readHead(spark, s"${metaDir(outDir)}/e$e").getLong("max_vec_id"))
   }
 
   /** File-name epoch of a cell file: `e<K>-*` (a delta's rows) or

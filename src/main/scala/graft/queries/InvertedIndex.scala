@@ -117,10 +117,10 @@ object InvertedIndex {
 
   private def writeMeta(spark: SparkSession, outDir: String, epoch: Int,
       nDocs: Long, tokTotal: Long): Unit = {
-    import spark.implicits._
     val p = s"${metaDir(outDir)}/e$epoch"
-    Seq((epoch, nDocs, tokTotal)).toDF("epoch", "n_docs", "tok_total")
-      .coalesce(1).write.mode("overwrite").parquet(p)
+    // driver-side single-row write (MetaIO): no Spark job per verb
+    MetaIO.writeRow(spark, p, "epoch" -> epoch, "n_docs" -> nDocs,
+      "tok_total" -> tokTotal)
     val marker = new org.apache.hadoop.fs.Path(p, CommitMarker)
     fsOf(spark, p).create(marker, true).close()
   }
@@ -128,8 +128,8 @@ object InvertedIndex {
   /** (epoch, n_docs, Σdl) of the newest COMMITTED epoch. */
   def readMeta(spark: SparkSession, outDir: String): (Int, Long, Long) = {
     val e = committedEpochs(spark, metaDir(outDir), "index").max
-    val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
-    (e, r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"))
+    val r = MetaIO.readHead(spark, s"${metaDir(outDir)}/e$e")
+    (e, r.getLong("n_docs"), r.getLong("tok_total"))
   }
 
   /** The (n_docs, Σdl) stats AS OF a committed epoch — old meta dirs are
@@ -142,8 +142,8 @@ object InvertedIndex {
     require(fsOf(spark, p).exists(
       new org.apache.hadoop.fs.Path(p, CommitMarker)),
       s"epoch $e was never committed under ${metaDir(outDir)}")
-    val r = spark.read.parquet(p).head
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"))
+    val r = MetaIO.readHead(spark, p)
+    (r.getLong("n_docs"), r.getLong("tok_total"))
   }
 
   private def floorDir(outDir: String) = s"$outDir/_index/floor"

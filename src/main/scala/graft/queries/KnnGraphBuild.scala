@@ -850,12 +850,13 @@ object KnnGraphBuild {
       else edges
     edgesOut.write.mode("overwrite").parquet(edgesPath(st, meta.epoch))
     val metaPath = s"$st/meta/e${meta.epoch}"
-    Seq((meta.bits, meta.tables, meta.k, meta.maxVecId, meta.epoch,
-        meta.method, meta.nprobe, meta.edgesBase, meta.token, meta.edgeCount,
-        meta.vecCount))
-      .toDF("bits", "tables", "k", "max_vec_id", "epoch", "method", "nprobe",
-        "edges_base", "token", "edge_count", "vec_count")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    // driver-side single-row write (MetaIO): no Spark job per verb
+    MetaIO.writeRow(spark, metaPath, "bits" -> meta.bits,
+      "tables" -> meta.tables, "k" -> meta.k, "max_vec_id" -> meta.maxVecId,
+      "epoch" -> meta.epoch, "method" -> meta.method,
+      "nprobe" -> meta.nprobe, "edges_base" -> meta.edgesBase,
+      "token" -> meta.token, "edge_count" -> meta.edgeCount,
+      "vec_count" -> meta.vecCount)
     val marker = new org.apache.hadoop.fs.Path(metaPath, CommitMarker)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(marker, true).close()
@@ -876,28 +877,23 @@ object KnnGraphBuild {
 
   private def readMeta(spark: SparkSession, st: String): Meta = {
     val e = currentEpoch(spark, st)
-    val df = spark.read.parquet(s"$st/meta/e$e")
-    val r = df.head
+    // driver-side read (MetaIO): no Spark job on this every-verb hot path
+    val r = MetaIO.readHead(spark, s"$st/meta/e$e")
     // states persisted before the IVF build existed carry no method/nprobe
     // columns — they are LSH by construction (the only build there was);
-    // reading them must keep working, not demand a rebuild
-    val hasMethod = df.schema.fieldNames.contains("method")
-    // likewise states persisted before the edge shards: they wrote the
+    // reading them must keep working, not demand a rebuild.
+    // Likewise states persisted before the edge shards: they wrote the
     // full list EVERY epoch, so the committed epoch is its own base.
     // Pre-token states read 0 (lineage checks degrade to epoch order);
     // pre-tracking states read −1 (the next verb counts once).
-    val hasBase = df.schema.fieldNames.contains("edges_base")
-    val hasToken = df.schema.fieldNames.contains("token")
-    val hasCount = df.schema.fieldNames.contains("edge_count")
-    val hasVecs = df.schema.fieldNames.contains("vec_count")
-    Meta(r.getAs[Int]("bits"), r.getAs[Int]("tables"), r.getAs[Int]("k"),
-      r.getAs[Long]("max_vec_id"), e,
-      if (hasMethod) r.getAs[String]("method") else "lsh",
-      if (hasMethod) r.getAs[Int]("nprobe") else 0,
-      if (hasBase) r.getAs[Int]("edges_base") else e,
-      if (hasToken) r.getAs[Long]("token") else 0L,
-      if (hasCount) r.getAs[Long]("edge_count") else -1L,
-      if (hasVecs) r.getAs[Long]("vec_count") else -1L)
+    Meta(r.getInt("bits"), r.getInt("tables"), r.getInt("k"),
+      r.getLong("max_vec_id"), e,
+      if (r.has("method")) r.getString("method") else "lsh",
+      if (r.has("method")) r.getInt("nprobe") else 0,
+      if (r.has("edges_base")) r.getInt("edges_base") else e,
+      if (r.has("token")) r.getLong("token") else 0L,
+      if (r.has("edge_count")) r.getLong("edge_count") else -1L,
+      if (r.has("vec_count")) r.getLong("vec_count") else -1L)
   }
 
   /** `runMain graft.queries.KnnGraphBuild [outDir]` over SPARK_GRAFT_SF_DIR;

@@ -56,11 +56,12 @@ object MatView {
   private def writeMeta(spark: SparkSession, outDir: String, epoch: Int,
       floor: Int, keys: Seq[String], vals: Seq[String],
       streamEpoch: Long): Unit = {
-    import spark.implicits._
     val p = s"${metaDir(outDir)}/e$epoch"
-    Seq((epoch, floor, keys, vals, streamEpoch))
-      .toDF("epoch", "floor", "keys", "vals", "stream_epoch")
-      .coalesce(1).write.mode("overwrite").parquet(p)
+    // driver-side single-row write (MetaIO): a one-row record needs no
+    // Spark job and no Hadoop commit — the marker below is the commit point
+    MetaIO.writeRow(spark, p, "epoch" -> epoch, "floor" -> floor,
+      "keys" -> MetaIO.Strs(keys), "vals" -> MetaIO.Strs(vals),
+      "stream_epoch" -> streamEpoch)
     val marker = new org.apache.hadoop.fs.Path(p, CommitMarker)
     fsOf(spark, p).create(marker, true).close()
   }
@@ -85,18 +86,19 @@ object MatView {
         k
       case None => epochs.max
     }
-    val r = spark.read.parquet(s"${metaDir(outDir)}/e$e").head
+    // driver-side read (MetaIO): no Spark job on this every-verb hot path
+    val r = MetaIO.readHead(spark, s"${metaDir(outDir)}/e$e")
     if (at.isDefined && e != epochs.max) {
       // a past epoch whose deltas compaction has already dropped is gone —
       // same history-floor contract as the index stores' time travel
-      val live = spark.read.parquet(s"${metaDir(outDir)}/e${epochs.max}").head
-      require(r.getAs[Int]("floor") >= live.getAs[Int]("floor"),
-        s"epoch $e predates the compaction floor ${live.getAs[Int]("floor")}")
+      val live = MetaIO.readHead(spark, s"${metaDir(outDir)}/e${epochs.max}")
+      require(r.getInt("floor") >= live.getInt("floor"),
+        s"epoch $e predates the compaction floor ${live.getInt("floor")}")
     }
-    Meta(e, r.getAs[Int]("floor"),
-      r.getSeq[String](r.fieldIndex("keys")),
-      r.getSeq[String](r.fieldIndex("vals")),
-      r.getAs[Long]("stream_epoch"))
+    Meta(e, r.getInt("floor"),
+      r.getStringSeq("keys"),
+      r.getStringSeq("vals"),
+      r.getLong("stream_epoch"))
   }
 
   /** Committed (epoch, floor, keys, vals); `at` pins a past epoch for

@@ -77,22 +77,23 @@ object ZOrderLayout {
 
   private def writeMeta(spark: SparkSession, outDir: String,
       m: LayoutMeta): Unit = {
-    import spark.implicits._
     val p = s"${metaRoot(outDir)}/e${m.epoch}"
-    Seq((m.epoch, m.bits, m.colX, m.colY, m.splitsX.toSeq, m.splitsY.toSeq))
-      .toDF("epoch", "bits", "col_x", "col_y", "splits_x", "splits_y")
-      .coalesce(1).write.mode("overwrite").parquet(p)
+    // driver-side single-row write (MetaIO): no Spark job per verb
+    MetaIO.writeRow(spark, p, "epoch" -> m.epoch, "bits" -> m.bits,
+      "col_x" -> m.colX, "col_y" -> m.colY,
+      "splits_x" -> MetaIO.Dbls(m.splitsX.toSeq),
+      "splits_y" -> MetaIO.Dbls(m.splitsY.toSeq))
     fsOf(spark, p).create(
       new org.apache.hadoop.fs.Path(p, CommitMarker), true).close()
   }
 
   private def readMeta(spark: SparkSession, outDir: String): LayoutMeta = {
     val e = committedEpochs(spark, metaRoot(outDir), "z-order layout").max
-    val r = spark.read.parquet(s"${metaRoot(outDir)}/e$e").head
-    LayoutMeta(e, r.getAs[Int]("bits"),
-      r.getAs[String]("col_x"), r.getAs[String]("col_y"),
-      r.getSeq[Double](r.fieldIndex("splits_x")).toArray,
-      r.getSeq[Double](r.fieldIndex("splits_y")).toArray)
+    val r = MetaIO.readHead(spark, s"${metaRoot(outDir)}/e$e")
+    LayoutMeta(e, r.getInt("bits"),
+      r.getString("col_x"), r.getString("col_y"),
+      r.getDoubleSeq("splits_x").toArray,
+      r.getDoubleSeq("splits_y").toArray)
   }
 
   /** The one clustering pipeline both [[write]] and [[append]] run: pinned
