@@ -167,7 +167,10 @@ object KnnGraphBuild {
       trainCapPerCell: Long = 256L): Long = {
     val e = embeddings.select("vec_id", "embedding")
     val nVecs = e.count() // also seeds the arithmetic Meta.vecCount
-    val sigs = VectorQueries.nrmFrame(e).localCheckpoint()
+    // spread before the checkpoint (the sigFrame rationale): a one-split
+    // local corpus would serialize every downstream map side on one core
+    val sigs = VectorQueries.nrmFrame(e.repartition(
+      spark.sparkContext.defaultParallelism)).localCheckpoint()
     val centroids =
       if (centroidsOverride != null) centroidsOverride
       else {

@@ -182,13 +182,20 @@ object MatView {
     // stream epochs must not reset the replay gate)
     val hwm = math.max(streamEpoch, prevHwm)
     val next = epoch + 1
-    val delta = partials(inserts, keys, vals, 1)
-      .unionByName(partials(retracts, keys, vals, -1))
+    // ONE map-side-combined shuffle of the signed raw rows (guide §2.4):
+    // the previous form aggregated each side separately and re-aggregated
+    // the union — three exchanges on the group key for one delta. Summing
+    // sign-weighted rows directly is bit-identical: mv_cnt = Σ(±1) equals
+    // (count·sign)+(count·−sign), and the DECIMAL(28,10) sums are EXACT
+    // (no rounding), so regrouping the addition cannot change a digit.
+    val delta = inserts.withColumn("_sgn", lit(1))
+      .unionByName(retracts.withColumn("_sgn", lit(-1)))
       .groupBy(keys.map(col): _*)
       .agg(
-        sum("mv_cnt").as("mv_cnt"),
-        vals.map(v => sum(s"mv_sum_$v").cast(DecimalType(28, 10))
-          .as(s"mv_sum_$v")): _*)
+        sum("_sgn").as("mv_cnt"),
+        vals.map(v => sum((col(v).cast(DecimalType(28, 10)) * col("_sgn"))
+            .cast(DecimalType(28, 10)))
+          .cast(DecimalType(28, 10)).as(s"mv_sum_$v")): _*)
       .filter(col("mv_cnt") =!= 0 ||
         vals.map(v => col(s"mv_sum_$v") =!= 0).foldLeft(lit(false))(_ || _))
     delta.write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e$next")

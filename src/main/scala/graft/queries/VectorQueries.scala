@@ -33,12 +33,23 @@ object VectorQueries {
     * graph build and its incremental form both start from. The signature
     * function is DETERMINISTIC in (bits, tables), which is what makes the
     * incremental build exact (KnnGraphBuild).
+    *
+    * Repartition BEFORE the projection (the minhashSigs rationale): a
+    * small local corpus is one input split, which would run the CPU-bound
+    * bits×tables hyperplane projections — and the whole downstream
+    * explode/join map side up to the first exchange — on a single core.
+    * At warehouse scale the scan is already many splits and the
+    * round-robin spread is a cheap row-count-proportional shuffle. Safe
+    * for exactness: every signature/cosine is a per-row deterministic
+    * expression and cos_r rounds to 6 decimals before any top-k, so
+    * partitioning cannot reorder ties.
     */
   private[queries] def sigFrame(e: org.apache.spark.sql.DataFrame,
       bits: Int, tables: Int): org.apache.spark.sql.DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"),
-      lshSignatures(col("embedding"), bits, tables).as("sigs"))
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"),
+        lshSignatures(col("embedding"), bits, tables).as("sigs"))
 
   /** One row per (vec, table): the exact bucket. */
   private[queries] def bucketsOf(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -107,11 +118,23 @@ object VectorQueries {
     * two-phase TopKPerKey operator (bounded heaps; only k rows per
     * (vec, map partition) cross the final shuffle — a window would sort
     * every edge). Returns (a_id, b_id, cos_r) — a_id is the query vertex.
+    *
+    * The mirror is an EXPLODE of each scored row into its two directions,
+    * not a self-union: `scored` is a whole candidate-generation +
+    * scoring pipeline, and a union would execute that subtree twice
+    * (Catalyst does not CSE across union branches — the plan carried two
+    * full Generate→join→distinct→score chains; measured ~2× the query's
+    * scoring cost at sf0.1). One pass, same multiset of rows, nothing
+    * materialized.
     */
   private[queries] def topKEdges(scored: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
-    val directed = scored.union(scored.select(
-      col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_r")))
+    val directed = scored.select(explode(array(
+        struct(col("a_id"), col("b_id"), col("cos_r")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"),
+          col("cos_r")))).as("e"))
+      .select(col("e.a_id").as("a_id"), col("e.b_id").as("b_id"),
+        col("e.cos_r").as("cos_r"))
     graft.plans.TopKPerKey(directed,
       Seq(col("a_id")), Seq(col("cos_r").desc, col("b_id").asc), k)
   }
@@ -230,7 +253,11 @@ object VectorQueries {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = if (nHint >= 0) nHint else e.count()
     val cells = if (cellsOverride > 0) cellsOverride else ivfCellCount(n)
-    val sigs = nrmFrame(e).localCheckpoint()
+    // spread before the checkpoint (the sigFrame rationale): a one-split
+    // local corpus would otherwise run every map side — centroid assign,
+    // candidate generation, pair scoring — on a single core
+    val sigs = nrmFrame(
+      e.repartition(s.sparkContext.defaultParallelism)).localCheckpoint()
     val centroids = VectorIndex.kmeansCentroids(s,
       // one Lloyd pass by default, like the other IVF/PQ trainers: recall
       // is set by nprobe co-residence, not quantizer polish (measured:
