@@ -78,7 +78,13 @@ object SourceQueries {
             map(lit("u"), col("user_id").cast("string")).as("labels"),
             lit(null).cast("map<string,string>").as("annotations"),
             col("ts").as("createdAt"))
-          .coalesce(4).write.mode("overwrite").json(out)
+          // repartition, not coalesce: the local events scan is ONE split
+          // and coalesce cannot raise a partition count, so the JSON encode
+          // ran single-core and the read-back saw one file. The spread also
+          // gives the DSv2 read one split per file. Row placement across
+          // files is irrelevant to the aggregation the query returns.
+          .repartition(s.sparkContext.defaultParallelism)
+          .write.mode("overwrite").json(out)
         s.read.format("graft.sources.EventLogSource").load(out)
           .groupBy("kind")
           .agg(

@@ -719,7 +719,18 @@ object TextQueries {
         // order can't flip a rank (the q_hybrid_rrf contract). idf is the
         // Robertson/Lucene ln(1 + (N−df+0.5)/(df+0.5)) form, which never
         // goes negative. Top-10 docs per query, ties on doc_id.
+        // repartition before tokenizing (the minhash_pairs rationale): the
+        // local scan is one split, which would run the CPU-bound tokenize+
+        // explode — and every consumer's map side over the 1-partition
+        // checkpoint — on a single core. CAPPED at 8: this checkpoint has
+        // FIVE concurrent consumers (dl, stats, tf, idf, qTok — their
+        // broadcast builds launch together), so partitions multiply across
+        // jobs and a full-width spread was measured task-overhead-bound
+        // (32-way: 1.65 s; 8-way: 1.30 s; 1-way: 1.43 s at sf0.1). The
+        // count stays cluster-proportional (cores/4, floor 8) so a real
+        // deployment still spreads — only the 5× fan-out factor is damped.
         val toks = Tables.documents(s, dir)
+          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .localCheckpoint() // feeds dl, tf, df AND the query side
         val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))

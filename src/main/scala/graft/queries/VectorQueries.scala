@@ -889,7 +889,12 @@ object VectorQueries {
         import graft.functions.VectorIndex
         val m = 8; val dim = 64; val kcb = 16; val shortlist = 320
         val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val unit = e.withColumn("n", l2Norm(col("embedding")))
+        // spread the one-split local scan before the normalize/encode/ADC
+        // chain (the sigFrame rationale); a vector's m sub-rows stay
+        // contiguous in one partition, so the per-(q, vec) ADC partial
+        // sums combine the same 8 addends in the same order — bit-stable
+        val unit = e.repartition(s.sparkContext.defaultParallelism)
+          .withColumn("n", l2Norm(col("embedding")))
           .select(col("vec_id"),
             when(col("n") === 0, col("embedding").cast("array<double>"))
               .otherwise(transform(col("embedding"),
