@@ -21,11 +21,39 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Inferred parquet schema per path — the metastore a deployment would
+    * have (guide §6 caches listings for the same reason). A bare
+    * `spark.read.parquet(p)` runs a schema-inference JOB on every call,
+    * so each catalog query paid ~25 ms × its table count × every bench
+    * pass re-deriving the same immutable fixture schemas. Keyed by path
+    * (warmup and target sf dirs differ); holds SCHEMAS only — data is
+    * re-scanned from parquet on every action, nothing result-shaped is
+    * memoized.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  /** Footer ts-is-NANOS decision per events path — same immutable-fixture
+    * metadata class as [[schemaCache]].
+    */
+  private val nanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
+  private def readCached(spark: SparkSession, p: String): DataFrame = {
+    val cached = schemaCache.get(p)
+    if (cached != null) spark.read.schema(cached).parquet(p)
+    else {
+      val df = spark.read.parquet(p)
+      schemaCache.put(p, df.schema)
+      df
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftExpressions.register(spark)
     name match {
       case "events" => events(spark, dir)
-      case _        => spark.read.parquet(path(dir, name))
+      case _        => readCached(spark, path(dir, name))
     }
   }
 
@@ -127,8 +155,11 @@ object Tables {
       }
     }
 
-    if (tsIsNanos) return readNanosAsLong()
-    val raw = spark.read.parquet(p)
+    // cache the footer decision per path (immutable fixtures; the probe
+    // re-opens a footer per events load otherwise)
+    val nanos = nanosCache.computeIfAbsent(p, _ => tsIsNanos)
+    if (nanos) return readNanosAsLong()
+    val raw = readCached(spark, p)
 
     raw.schema("ts").dataType match {
       case TimestampType    => raw
