@@ -35,19 +35,48 @@ object GraphQueries {
   private[graft] def fulfillmentEdges(s: org.apache.spark.sql.SparkSession,
       dir: String,
       edgePred: org.apache.spark.sql.Column = lit(true),
-      replicaStride: Long = 0L): org.apache.spark.sql.DataFrame = {
+      replicaStride: Long = 0L,
+      wide: Boolean = true): org.apache.spark.sql.DataFrame = {
     val eo = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir).filter(edgePred)
       .select("l_orderkey", "l_suppkey")
     val off =
       if (replicaStride <= 0) lit(0L)
       else expr(s"(o_orderkey DIV ${replicaStride}L) * ${replicaStride}L")
-    val cs = li.join(eo, col("l_orderkey") === col("o_orderkey"))
+    // Mirror by EXPLODE before the dedup, then make the distinct's OWN
+    // exchange the full-width spread. Two problems with the old
+    // `cs.distinct()` + self-union form, one fix each:
+    //   - the union re-executed the whole join+distinct pipeline per
+    //     branch (Catalyst does not CSE across union branches) — the
+    //     explode emits both directions in one pass (same multiset:
+    //     cust ids are even, supplier ids odd, so a mirrored pair can
+    //     never collide with a forward pair in the dedup);
+    //   - AQE coalesced the distinct's output to ~5 partitions (the edge
+    //     frame is a few MB locally), and every Pregel round of BOTH graph
+    //     queries replays its map side over exactly those partitions —
+    //     measured 5-task rounds at 650-950 ms. An explicit
+    //     repartition(n, src, dst) immediately below the distinct
+    //     satisfies its ClusteredDistribution, so the plan carries ONE
+    //     exchange (user-pinned width, not AQE-coalescible) and the
+    //     checkpointed edges come out cluster-wide for every round.
+    // `wide = false` (the components call: a highly selective edgePred)
+    // keeps the plain AQE-coalesced distinct — for a subgraph of a few
+    // thousand edges the pinned width is pure task overhead (measured
+    // +0.5 s over 8 round-jobs), and AQE's size-derived coalesce IS the
+    // scale-adaptive choice for whatever the predicate leaves.
+    val mirrored = li
+      .join(eo, col("l_orderkey") === col("o_orderkey"))
       .select(((col("o_custkey") + off) * 2).as("c"),
         ((col("l_suppkey") + off) * 2 + 1).as("sn"))
+      .select(explode(array(
+        struct(col("c").as("src"), col("sn").as("dst")),
+        struct(col("sn").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    (if (wide)
+      mirrored.repartition(
+        s.sparkContext.defaultParallelism, col("src"), col("dst"))
+     else mirrored)
       .distinct()
-    cs.select(col("c").as("src"), col("sn").as("dst"))
-      .unionByName(cs.select(col("sn").as("src"), col("c").as("dst")))
       .localCheckpoint()
   }
 
@@ -197,7 +226,8 @@ object GraphQueries {
         // broadcasts exactly like the rank vector. Output: the 20 largest
         // label groups after round 3.
         val edges = fulfillmentEdges(s, dir,
-          edgePred = col("l_quantity") <= 2 && col("l_discount") > 0.08)
+          edgePred = col("l_quantity") <= 2 && col("l_discount") > 0.08,
+          wide = false)
         val nodes = edges.select(col("src").as("node")).distinct()
           .localCheckpoint()
         var labels = nodes.select(col("node"), col("node").as("label"))
