@@ -167,10 +167,9 @@ object KnnGraphBuild {
       trainCapPerCell: Long = 256L): Long = {
     val e = embeddings.select("vec_id", "embedding")
     val nVecs = e.count() // also seeds the arithmetic Meta.vecCount
-    // spread before the checkpoint (the sigFrame rationale): a one-split
-    // local corpus would serialize every downstream map side on one core
-    val sigs = VectorQueries.nrmFrame(e.repartition(
-      spark.sparkContext.defaultParallelism)).localCheckpoint()
+    // no pre-spread: l2Norm is too cheap to parallelize and the forced
+    // width made every downstream IVF stage micro-tasks (see knnGraphIvf)
+    val sigs = VectorQueries.nrmFrame(e).localCheckpoint()
     val centroids =
       if (centroidsOverride != null) centroidsOverride
       else {

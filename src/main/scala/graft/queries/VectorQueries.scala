@@ -256,8 +256,16 @@ object VectorQueries {
     // spread before the checkpoint (the sigFrame rationale): a one-split
     // local corpus would otherwise run every map side — centroid assign,
     // candidate generation, pair scoring — on a single core
-    val sigs = nrmFrame(
-      e.repartition(s.sparkContext.defaultParallelism)).localCheckpoint()
+    // NO pre-spread here (deliberate asymmetry with sigFrame): nrmFrame is
+    // one cheap l2Norm per row — there is no CPU-bound projection for a
+    // spread to parallelize — and at local corpus scale a forced
+    // defaultParallelism-wide checkpoint turns every downstream IVF stage
+    // (train, assign, cell join, scoring) into core-count micro-tasks:
+    // measured 2.47 -> 3.39 s REGRESSION in matched subset runs when this
+    // carried the sigFrame repartition (r18 midpoint), reverted on that
+    // evidence. At warehouse scale the scan is already many splits, so the
+    // spread would be a no-op there anyway.
+    val sigs = nrmFrame(e).localCheckpoint()
     val centroids = VectorIndex.kmeansCentroids(s,
       // one Lloyd pass by default, like the other IVF/PQ trainers: recall
       // is set by nprobe co-residence, not quantizer polish (measured:
