@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Canon, Tables}
 import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -38,6 +39,33 @@ object QualityQueries {
         ELSE list_transform(range(1, len($duckToks) - 3),
              i -> array_to_string(($duckToks)[i:i+4], ' ')) END"""
 
+  /** Run-length counts of a SORTED array — the per-document multiset
+    * histogram an explode → groupBy(doc_id, value) used to produce,
+    * computed row-locally with zero exchanges (r18, guide §2.4): starts
+    * are the 1-based boundaries where the sorted value changes; pairing
+    * each start with the next gives the run lengths. `srt` must be a
+    * projected ATTRIBUTE (not an inline array_sort) so the sort runs once
+    * per row, not once per lambda element.
+    */
+  private def runCounts(srt: Column): Column = {
+    val n = size(srt)
+    val starts = filter(sequence(lit(1), n),
+      i => (i === 1) || element_at(srt, i) =!= element_at(srt, i - 1))
+    zip_with(starts,
+      concat(slice(starts, lit(2), size(starts)), array(n + 1)),
+      (a, b) => (b - a).cast("long"))
+  }
+
+  /** Σ round(ln n, 6)·n over run-length counts, accumulated in exact
+    * DECIMAL — the same terms the doc_id groupBy summed; decimal addition
+    * is exact, so regrouping cannot change a digit.
+    */
+  private def lnSum(counts: Column): Column =
+    aggregate(counts, lit(0).cast(DecimalType(38, 6)),
+      (acc, c) => (acc +
+        round(log(c.cast("double")), 6).cast(DecimalType(18, 6)) * c)
+        .cast(DecimalType(38, 6)))
+
   val qs: Seq[GQuery] = Seq(
     GQuery(
       "q_text_repetition",
@@ -46,27 +74,30 @@ object QualityQueries {
         // bigram instances claimed by the single most frequent bigram, the
         // fraction belonging to any repeated bigram, and the distinct-token
         // ratio. High repetition = low-quality generation/boilerplate.
-        // Two shuffles, both keyed by doc_id with map-side partial counts —
-        // per-doc state never exceeds the doc's own bigram vocabulary, so
-        // the shape is flat at any corpus size.
-        val d = Tables.documents(s, dir)
+        // ONE map pass, zero joins (r18, guide §2.4): the old form exploded
+        // bigrams into a corpus-sized shuffle, aggregated twice by doc_id,
+        // and joined back — all to compute PER-DOCUMENT quantities. The
+        // bigram histogram is row-local ([[runCounts]] over the sorted
+        // bigram array): top_n = max run, n_bigrams = array size, dup_n =
+        // Σ runs ≥ 2. Identical integers, so the rounded ratios are the
+        // same bit pattern; the only remaining distributed step is the
+        // output sort the row contract requires.
+        Tables.documents(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("t"))
-        val bg = d
-          .select(col("doc_id"), explode(shingles(col("t"), 2)).as("b"))
-          .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-        val rep = bg.groupBy("doc_id").agg(
-          max("n").as("top_n"),
-          sum("n").as("n_bigrams"),
-          sum(when(col("n") >= 2, col("n")).otherwise(lit(0L))).as("dup_n"))
-        d.select(
-            col("doc_id"),
+          .select(col("doc_id"),
             size(col("t")).as("n_toks"),
-            size(array_distinct(col("t"))).as("n_uniq"))
-          .join(rep, "doc_id")
+            size(array_distinct(col("t"))).as("n_uniq"),
+            array_sort(shingles(col("t"), 2)).as("bs"))
+          .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+            size(col("bs")).cast("long").as("n_bigrams"),
+            runCounts(col("bs")).as("cnts"))
           .select(
             col("doc_id"),
-            r4(col("top_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
-            r4(col("dup_n").cast("double") / col("n_bigrams")).as("dup_bigram_frac"),
+            r4(array_max(col("cnts")).cast("double") / col("n_bigrams"))
+              .as("top_bigram_frac"),
+            r4(aggregate(col("cnts"), lit(0L),
+                (a, c) => a + when(c >= 2, c).otherwise(lit(0L)))
+              .cast("double") / col("n_bigrams")).as("dup_bigram_frac"),
             r4(col("n_uniq").cast("double") / col("n_toks")).as("uniq_tok_ratio"))
           .orderBy("doc_id")
       },
@@ -89,21 +120,24 @@ object QualityQueries {
       "q_text_entropy",
       (s, dir) => {
         // Token-distribution Shannon entropy per doc, via the algebraic
-        // form H = ln(N) - (Σ n·ln n)/N — one explode + two doc_id-keyed
-        // aggregations, no per-doc window. Each ln-term is rounded to 6
+        // form H = ln(N) - (Σ n·ln n)/N. Each ln-term is rounded to 6
         // decimals and summed in exact decimal (see object scaladoc).
-        val counts = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-        counts.groupBy("doc_id")
-          .agg(
-            sum("n").as("n_toks"),
-            sum(round(log(col("n")), 6).cast(DecimalType(18, 6)) * col("n"))
-              .as("s"))
+        // ONE map pass, zero shuffles except the output sort (r18, guide
+        // §2.4): the token histogram each doc needs is row-local
+        // ([[runCounts]] over the sorted token array) — the old explode +
+        // two doc_id-keyed aggregations shuffled the corpus's full token
+        // volume to compute a per-document quantity. Decimal accumulation
+        // is exact, so the regrouped Σ is the identical value.
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_toks"),
+            array_sort(col("t")).as("ts"))
           .select(
             col("doc_id"),
             col("n_toks"),
-            r4(log(col("n_toks")) - col("s").cast("double") / col("n_toks"))
+            r4(log(col("n_toks")) -
+              lnSum(runCounts(col("ts"))).cast("double") / col("n_toks"))
               .as("entropy"))
           .orderBy("doc_id")
       },
@@ -183,42 +217,46 @@ object QualityQueries {
         // The dataset-card rollup: per (lang, split), document count, token
         // volume, mean entropy, mean quality score, and how many docs carry
         // any repeated bigram — the summary table a training run's data
-        // sheet reports. Three per-doc frames (base stats, entropy,
-        // repetition flag) join on doc_id, then one (lang, split) rollup.
-        // Means of rounded per-doc scores use the integer micro-unit
-        // average (see q_lm_score) so the 4-decimal result is the same
-        // bit pattern in any engine.
-        // the doc frame feeds three derivations — staged ONCE with the
-        // tokens precomputed and spread across cores (localCheckpoint +
-        // repartition: the q_dedup_jaccard lesson; unstaged, each branch
-        // re-scans and re-tokenizes the corpus on one input split —
-        // measured 4.0 s vs ~1 s at sf0.1)
-        val d = Tables.documents(s, dir)
+        // sheet reports. Means of rounded per-doc scores use the integer
+        // micro-unit average (see q_lm_score) so the 4-decimal result is
+        // the same bit pattern in any engine.
+        //
+        // ONE map pass, ZERO joins (r18, guide §2.4): the old form exploded
+        // tokens AND bigrams into corpus-sized shuffles, re-aggregated each
+        // by doc_id, and joined three per-doc frames back together — five
+        // exchanges and two joins whose only purpose was to compute
+        // PER-DOCUMENT quantities. Both are row-local over the token array:
+        //   - entropy needs the token multiset's run-lengths — array_sort +
+        //     boundary scan gives the same counts the (doc_id, tok) groupBy
+        //     produced, and the Σ round(ln(n),6)·n accumulation is exact
+        //     DECIMAL, so regrouping addition cannot change a digit;
+        //   - has_dup ⟺ the bigram array has any duplicate ⟺
+        //     size(b) > size(array_distinct(b)).
+        // The only exchange left is the final (lang, split) rollup (partial
+        // map-side agg). At 100 TB the win is the same: no token-volume
+        // shuffle, no doc_id joins — one corpus pass. The repartition
+        // spreads the (now genuinely CPU-heavy) row-local pass; no
+        // checkpoint — the frame has a single consumer.
+        Tables.documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"), CorpusQueries.splitCol.as("split"),
             col("text"), tokens(col("text")).as("t"))
-          .localCheckpoint()
-        val base = d.select(
-          col("doc_id"), col("lang"), col("split"),
-          size(col("t")).as("n_toks"),
-          round(qualityFromStats(tokenStats(col("text"))) * 1e4)
-            .cast("long").as("q4"))
-        val ent = d
-          .select(col("doc_id"), explode(col("t")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id")
-          .agg(sum("n").as("nn"),
-            sum(round(log(col("n")), 6).cast(DecimalType(18, 6)) * col("n"))
-              .as("sl"))
-          .select(col("doc_id"),
-            round((log(col("nn")) - col("sl").cast("double") / col("nn")) * 1e4)
-              .cast("long").as("e4"))
-        val rep = d
-          .select(col("doc_id"), explode(shingles(col("t"), 2)).as("b"))
-          .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id")
-          .agg(max(when(col("n") >= 2, 1).otherwise(0)).as("has_dup"))
-        base.join(ent, "doc_id").join(rep, "doc_id")
+          .select(
+            col("lang"), col("split"),
+            size(col("t")).cast("long").as("nn"),
+            round(qualityFromStats(tokenStats(col("text"))) * 1e4)
+              .cast("long").as("q4"),
+            array_sort(col("t")).as("ts"),
+            shingles(col("t"), 2).as("bg"))
+          .select(
+            col("lang"), col("split"),
+            col("nn").as("n_toks"),
+            col("q4"),
+            round((log(col("nn")) -
+              lnSum(runCounts(col("ts"))).cast("double") / col("nn")) * 1e4)
+              .cast("long").as("e4"),
+            when(size(col("bg")) > size(array_distinct(col("bg"))), 1)
+              .otherwise(0).as("has_dup"))
           .groupBy("lang", "split")
           .agg(
             count(lit(1)).as("n_docs"),
