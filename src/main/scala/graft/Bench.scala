@@ -173,8 +173,11 @@ object Bench {
     // fold/vacuum per batch — what a deployment sizing the serving tier
     // pays). ONE untimed fixture (graph + pack) serves both probes —
     // building it twice was the bench's most expensive redundancy.
-    val (qpsWalk, walkPassSec, walkSentinel, qpsServe, qpsTenants) =
-      if (only.isDefined) (-1.0, Seq.empty[Double], -1.0, -1.0, -1.0)
+    val (qpsWalk, walkPassSec, walkSentinel, qpsServe, servePassSec,
+        qpsTenants, tenantsPassSec) =
+      if (only.isDefined)
+        (-1.0, Seq.empty[Double], -1.0, -1.0, Seq.empty[Double],
+          -1.0, Seq.empty[Double])
       else {
         val (gDir, pDir) = serveFixture(spark, sfDir)
         // 3 timed passes (one more than the other probes): this rate is
@@ -182,15 +185,18 @@ object Bench {
         // record — the extra pass materially stabilizes the min
         val (walk, passSec, sentAdj) =
           graphsearchThroughput(spark, sfDir, 3, pDir, cpus.toInt)
-        val serve = walkserveThroughput(spark, sfDir, pDir)
-        val tenants = walkserveTenantsThroughput(spark, sfDir, pDir)
+        val (serve, servePass) = walkserveThroughput(spark, sfDir, pDir)
+        val (tenants, tenantsPass) =
+          walkserveTenantsThroughput(spark, sfDir, pDir)
         Seq(gDir, pDir).foreach(d =>
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-        (walk, passSec, sentAdj, serve, tenants)
+        (walk, passSec, sentAdj, serve, servePass, tenants, tenantsPass)
       }
     val walkReceipt =
       s""""graphsearch_pass_sec":${walkPassSec.mkString("[", ",", "]")},""" +
-      s""""graphsearch_sentinel_sec":$walkSentinel,"""
+      s""""graphsearch_sentinel_sec":$walkSentinel,""" +
+      s""""walkserve_pass_sec":${servePassSec.mkString("[", ",", "]")},""" +
+      s""""walkserve_tenants_pass_sec":${tenantsPassSec.mkString("[", ",", "]")},"""
     val sha = gitSha() // once — both JSON lines carry it
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""failed":$failed,"pipeline_upserts_per_s":$ups,""" +
@@ -576,16 +582,12 @@ object Bench {
     * walks per batch; this loop would have priced it).
     */
   private def walkserveTenantsThroughput(spark: SparkSession, sfDir: String,
-      packDir: String): Double = {
+      packDir: String, passes: Int = 2): (Double, Seq[Double]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
     implicit val s: SparkSession = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import s.implicits._
-    val outDir =
-      java.nio.file.Files.createTempDirectory("bench_wserve_t_o").toString
-    val ckpt =
-      java.nio.file.Files.createTempDirectory("bench_wserve_t_c").toString
     val nT = 8
     val allows = (0 until nT).map(i => s"t$i" ->
       Tables.embeddings(spark, sfDir).select("vec_id")
@@ -593,31 +595,54 @@ object Bench {
     val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
       .filter(col("vec_id") < 200).collect()
       .map(_.getSeq[Float](1))
+    // one streaming run = one pass; fresh outDir/ckpt per run (the loop's
+    // stream-identity guard correctly rejects a reused outDir under a new
+    // checkpoint). foldEvery is 1 on the warm run so fold/vacuum codegen
+    // compiles there, 4 on timed runs (the deployment cadence).
+    def onePass(batches: Int, foldEvery: Int): Double = {
+      val outDir =
+        java.nio.file.Files.createTempDirectory("bench_wserve_t_o").toString
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("bench_wserve_t_c").toString
+      val n = batches * vecs.length
+      val before = graft.pipeline.Metrics.global
+        .value("graft_walkserve_queries_total")
+      def served(): Long = graft.pipeline.Metrics.global
+        .value("graft_walkserve_queries_total") - before
+      val src = MemoryStream[(Long, Seq[Float], String)]
+      val serving = graft.pipeline.WalkServe.startTenants(
+        src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
+        allowlists = allows, k = 5, triggerMs = 50, foldEvery = foldEvery)
+      val t0 = System.nanoTime()
+      try {
+        (0 until batches).foreach { b =>
+          src.addData(vecs.zipWithIndex.map { case (v, j) =>
+            (b * 1000L + j, v.toSeq, s"t${j % nT}") }.toSeq: _*)
+        }
+        val deadline = System.currentTimeMillis() + 120000
+        while (served() < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally serving.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Seq(outDir, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      if (served() < n) Double.MaxValue else secs
+    }
+    // UNTIMED warm (the graphsearchThroughput rationale, r18): the
+    // serving loop's codegen units — stream sink, batched tenant walk,
+    // fold, vacuum — compile on the first run, and the single-shot form
+    // recorded exactly that first-run penalty (tenants analog of the
+    // single-tenant 13.4 s cold vs 8.0 s warm measurement)
+    onePass(batches = 2, foldEvery = 1)
     val batches = 10
-    val n = batches * vecs.length
-    val before = graft.pipeline.Metrics.global
-      .value("graft_walkserve_queries_total")
-    def served(): Long = graft.pipeline.Metrics.global
-      .value("graft_walkserve_queries_total") - before
-    val src = MemoryStream[(Long, Seq[Float], String)]
-    val serving = graft.pipeline.WalkServe.startTenants(
-      src.toDS().toDF("q_id", "q_emb", "tenant"), packDir, outDir, ckpt,
-      allowlists = allows, k = 5, triggerMs = 50, foldEvery = 4)
-    val t0 = System.nanoTime()
-    try {
-      (0 until batches).foreach { b =>
-        src.addData(vecs.zipWithIndex.map { case (v, j) =>
-          (b * 1000L + j, v.toSeq, s"t${j % nT}") }.toSeq: _*)
-      }
-      val deadline = System.currentTimeMillis() + 120000
-      while (served() < n && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-    } finally serving.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val times = (1 to passes).map(_ => onePass(batches, foldEvery = 4))
     allows.values.foreach(graft.Release.checkpoint)
-    Seq(outDir, ckpt).foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-    if (served() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
+    val n = batches * vecs.length
+    val best = times.min
+    (if (best == Double.MaxValue) -1.0
+     else math.round(n / best * 10.0) / 10.0,
+     times.map(t => if (t == Double.MaxValue) -1.0
+       else math.round(t * 1000.0) / 1000.0))
   }
 
   /** The STREAMING serving loop's sustained rate: query micro-batches
@@ -632,43 +657,61 @@ object Bench {
     * the distinct-per-batch completion tally.
     */
   private def walkserveThroughput(spark: SparkSession, sfDir: String,
-      packDir: String): Double = {
+      packDir: String, passes: Int = 2): (Double, Seq[Double]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
     implicit val s: SparkSession = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import s.implicits._
-    val outDir =
-      java.nio.file.Files.createTempDirectory("bench_wserve_o").toString
-    val ckpt =
-      java.nio.file.Files.createTempDirectory("bench_wserve_c").toString
     val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
       .filter(col("vec_id") < 200).collect()
       .map(_.getSeq[Float](1))
+    def onePass(batches: Int, foldEvery: Int): Double = {
+      val outDir =
+        java.nio.file.Files.createTempDirectory("bench_wserve_o").toString
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("bench_wserve_c").toString
+      val n = batches * vecs.length
+      val before = graft.pipeline.Metrics.global
+        .value("graft_walkserve_queries_total")
+      def served(): Long = graft.pipeline.Metrics.global
+        .value("graft_walkserve_queries_total") - before
+      val src = MemoryStream[(Long, Seq[Float])]
+      val serving = graft.pipeline.WalkServe.start(
+        src.toDS().toDF("q_id", "q_emb"), packDir, outDir, ckpt,
+        k = 5, triggerMs = 50, foldEvery = foldEvery)
+      val t0 = System.nanoTime()
+      try {
+        (0 until batches).foreach { b =>
+          src.addData(vecs.zipWithIndex.map { case (v, j) =>
+            (b * 1000L + j, v.toSeq) }.toSeq: _*)
+        }
+        val deadline = System.currentTimeMillis() + 120000
+        while (served() < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally serving.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Seq(outDir, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      if (served() < n) Double.MaxValue else secs
+    }
+    // UNTIMED warm + best-of-passes (r18 measurement fix, declared in
+    // OPTIMIZATION_r18.md): the single-shot form recorded the serving
+    // loop's FIRST-run codegen/JIT penalty — measured 13.4 s cold vs
+    // 8.0 s warm for the identical run (rate 149 vs 249), which is the
+    // entire r17→r18 headline swing on this row. Warm compiles the loop
+    // (foldEvery = 1 so fold/vacuum compile too), then the timed passes
+    // get the pipeline probes' best-of treatment; the raw pass seconds
+    // ride the JSON as the noise receipt.
+    onePass(batches = 2, foldEvery = 1)
     val batches = 10
+    val times = (1 to passes).map(_ => onePass(batches, foldEvery = 4))
     val n = batches * vecs.length
-    val before = graft.pipeline.Metrics.global
-      .value("graft_walkserve_queries_total")
-    def served(): Long = graft.pipeline.Metrics.global
-      .value("graft_walkserve_queries_total") - before
-    val src = MemoryStream[(Long, Seq[Float])]
-    val serving = graft.pipeline.WalkServe.start(
-      src.toDS().toDF("q_id", "q_emb"), packDir, outDir, ckpt,
-      k = 5, triggerMs = 50, foldEvery = 4)
-    val t0 = System.nanoTime()
-    try {
-      (0 until batches).foreach { b =>
-        src.addData(vecs.zipWithIndex.map { case (v, j) =>
-          (b * 1000L + j, v.toSeq) }.toSeq: _*)
-      }
-      val deadline = System.currentTimeMillis() + 120000
-      while (served() < n && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-    } finally serving.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
-    Seq(outDir, ckpt).foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-    if (served() < n) -1.0 else math.round(n / secs * 10.0) / 10.0
+    val best = times.min
+    (if (best == Double.MaxValue) -1.0
+     else math.round(n / best * 10.0) / 10.0,
+     times.map(t => if (t == Double.MaxValue) -1.0
+       else math.round(t * 1000.0) / 1000.0))
   }
 
   /** The tree the record was taken from — SPARK_GRAFT_GIT_SHA when the

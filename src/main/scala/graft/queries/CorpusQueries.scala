@@ -160,7 +160,10 @@ object CorpusQueries {
     val nodes = e0.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     var e = e0.filter(col("u") =!= col("v")).localCheckpoint()
     var rounds = 0
-    var converged = e.isEmpty
+    // carried across rounds: this round's |e| is last round's |small| —
+    // re-counting the materialized frame was one redundant job per round
+    var nE = e.count()
+    var converged = nE == 0
     while (!converged) {
       // large-star over the symmetric adjacency: m(u) = min(N(u) ∪ {u});
       // every neighbor v > u re-links to m — (m, v) is already canonical
@@ -180,9 +183,11 @@ object CorpusQueries {
         .select(col("m").as("u"), col("x").as("v")).distinct()
         .localCheckpoint()
       // set equality on materialized frames: same size and same union size
-      val (nOld, nNew) = (e.count(), small.count())
-      converged = nOld == nNew && e.union(small).distinct().count() == nNew
+      // (&& short-circuits — the union job only runs when the counts match)
+      val nNew = small.count()
+      converged = nE == nNew && e.union(small).distinct().count() == nNew
       e = small
+      nE = nNew
       rounds += 1
     }
     val labels = nodes
