@@ -78,6 +78,23 @@ object TextFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** (v, n) runs of a SORTED array — the per-document value histogram an
+    * explode → groupBy(doc_id, value) used to produce, computed
+    * row-locally with zero exchanges (r18, guide §2.4): starts are the
+    * 1-based boundaries where the sorted value changes; pairing each
+    * start with the next gives (value, run length). `srt` must be a
+    * projected ATTRIBUTE (not an inline array_sort) so the sort runs
+    * once per row, not once per lambda element.
+    */
+  def runs(srt: Column): Column = {
+    val n = size(srt)
+    val starts = filter(sequence(lit(1), n),
+      i => (i === 1) || element_at(srt, i) =!= element_at(srt, i - 1))
+    zip_with(starts,
+      concat(slice(starts, lit(2), size(starts)), array(n + 1)),
+      (a, b) => struct(element_at(srt, a).as("v"), (b - a).cast("long").as("n")))
+  }
+
   /** Native PPJoin prefix over a distinct-token array ([[TokenPrefix]];
     * parity with the explode→df-join→window form asserted in
     * TokenPrefixSpec). `dfs` is the vocabulary-sized document-frequency

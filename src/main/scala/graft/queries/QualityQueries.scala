@@ -47,14 +47,8 @@ object QualityQueries {
     * projected ATTRIBUTE (not an inline array_sort) so the sort runs once
     * per row, not once per lambda element.
     */
-  private def runCounts(srt: Column): Column = {
-    val n = size(srt)
-    val starts = filter(sequence(lit(1), n),
-      i => (i === 1) || element_at(srt, i) =!= element_at(srt, i - 1))
-    zip_with(starts,
-      concat(slice(starts, lit(2), size(starts)), array(n + 1)),
-      (a, b) => (b - a).cast("long"))
-  }
+  private def runCounts(srt: Column): Column =
+    transform(TextFunctions.runs(srt), r => r.getField("n"))
 
   /** Σ round(ln n, 6)·n over run-length counts, accumulated in exact
     * DECIMAL — the same terms the doc_id groupBy summed; decimal addition

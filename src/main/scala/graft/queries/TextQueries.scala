@@ -720,36 +720,45 @@ object TextQueries {
         // Robertson/Lucene ln(1 + (N−df+0.5)/(df+0.5)) form, which never
         // goes negative. Top-10 docs per query, ties on doc_id.
         // repartition before tokenizing (the minhash_pairs rationale): the
-        // local scan is one split, which would run the CPU-bound tokenize+
-        // explode — and every consumer's map side over the 1-partition
-        // checkpoint — on a single core. CAPPED at 8: this checkpoint has
-        // FIVE concurrent consumers (dl, stats, tf, idf, qTok — their
-        // broadcast builds launch together), so partitions multiply across
-        // jobs and a full-width spread was measured task-overhead-bound
-        // (32-way: 1.65 s; 8-way: 1.30 s; 1-way: 1.43 s at sf0.1). The
-        // count stays cluster-proportional (cores/4, floor 8) so a real
-        // deployment still spreads — only the 5× fan-out factor is damped.
-        val toks = Tables.documents(s, dir)
+        // local scan is one split, which would run the CPU-bound tokenize
+        // on a single core. CAPPED at 8: the checkpoint has several
+        // concurrent consumers whose jobs launch together, so partitions
+        // multiply across jobs and a full-width spread measured
+        // task-overhead-bound; the count stays cluster-proportional.
+        //
+        // Per-doc tf and dl are ROW-LOCAL (r18, guide §2.4): the
+        // (doc_id, token) groupBy shuffled the corpus's full token volume
+        // and the dl groupBy + join shuffled it again, all to compute
+        // per-document counts — TextFunctions.runs over the sorted token
+        // array yields the identical (token, tf) integers with zero
+        // exchanges, and dl = size(ts) rides the tf frame so the dl join
+        // disappears. What stays distributed is exactly what is global:
+        // the df/idf aggregation (one exchange over DISTINCT (doc, token)
+        // pairs — strictly fewer bytes than the old token-instance
+        // shuffle), the query⨝postings join, and the top-k window.
+        val d = Tables.documents(s, dir)
           .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
-          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-          .localCheckpoint() // feeds dl, tf, df AND the query side
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"), array_sort(tokens(col("text"))).as("ts"))
+          .localCheckpoint() // feeds tf/dl, df AND the query side
+        val stats = d.agg(count(lit(1)).as("n_docs"),
+          (sum(size(col("ts"))).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = d.select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+            explode(TextFunctions.runs(col("ts"))).as("r"))
+          .select(col("doc_id"), col("dl"),
+            col("r.v").as("token"), col("r.n").as("tf"))
         val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(stats))
           .filter(InvertedIndex.underStopCap(col("df"), col("n_docs")))
           .withColumn("idf", InvertedIndex.idfOf(col("n_docs"), col("df")))
           .select("token", "idf", "avgdl")
-        val qTok = toks.filter(col("doc_id") < 3)
-          .select(col("doc_id").as("q_id"), col("token")).distinct()
+        val qTok = d.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"),
+            explode(array_distinct(col("ts"))).as("token"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("bm25").desc, col("doc_id").asc)
         qTok.join(tf, "token")
           .filter(col("doc_id") =!= col("q_id"))
           .join(idf, "token")
-          .join(dl, "doc_id")
           .withColumn("term_score", InvertedIndex.termScore(
             col("tf"), col("dl"), col("idf"), col("avgdl")))
           .groupBy("q_id", "doc_id").agg(sum("term_score").as("bm25"))
