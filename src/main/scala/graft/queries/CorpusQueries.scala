@@ -336,19 +336,30 @@ object CorpusQueries {
     GQuery(
       "q_text_tfidf",
       (s, dir) => {
-        // Per-document top TF-IDF term. tf/df from one explode+groupBy
-        // (shuffle on (doc_id, token) with map-side partial counts); the
-        // tiny df table broadcasts back onto tf. Ranking orders on the
+        // Per-document top TF-IDF term. Ranking orders on the
         // ROUNDED score so the DuckDB twin agrees even when ln() differs
         // in the last ulp, with the token as a total tie-break (hot tokens
         // in every doc score exactly 0.0 and would tie otherwise).
+        //
+        // tf is ROW-LOCAL (r18, guide §2.4 — the q_rank_bm25 shape): the
+        // old explode → groupBy(doc_id, token) shuffled the corpus's full
+        // token volume to compute a per-document histogram;
+        // TextFunctions.runs over the sorted token array yields the
+        // identical (token, tf) integers with zero exchanges. Only the
+        // genuinely global steps stay distributed: the df aggregation
+        // (one exchange over DISTINCT (doc, token) pairs), the corpus
+        // count, and the per-doc top-1 window. The checkpoint stages the
+        // tokenize once for the two consumers (tf pairs, df derivation).
+        // capped spread before the tokenize (the q_rank_bm25 rationale):
+        // the local scan is one split and the checkpoint has two
+        // concurrent consumers
         val d = Tables.documents(s, dir)
-        // tf feeds both the scoring join AND the df derivation — staged
-        // once (localCheckpoint) or Catalyst re-runs the explode+agg per
-        // consumer (the q_dedup_jaccard lesson)
-        val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
+          .select(col("doc_id"), array_sort(tokens(col("text"))).as("ts"))
           .localCheckpoint()
+        val tf = d.select(col("doc_id"),
+            explode(graft.functions.TextFunctions.runs(col("ts"))).as("r"))
+          .select(col("doc_id"), col("r.v").as("token"), col("r.n").as("tf"))
         val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val n = d.agg(count(lit(1)).as("n_total"))
         val scored = tf.join(broadcast(df), "token")

@@ -588,14 +588,27 @@ object TextQueries {
         // the SAME generated replace chain (BpeTokenizer.bpeCountSql),
         // byte-for-byte, rather than trusting the Spark encode.
         import graft.functions.BpeTokenizer
-        val words = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        val vocab = words.select("word").distinct()
+        // per-doc word multiplicities are ROW-LOCAL (r18, guide §2.4 —
+        // the q_rank_bm25 shape): explode (word, n) runs instead of every
+        // word instance, so the vocab distinct, the hash-join back, and
+        // the per-doc aggregation all move DISTINCT pairs; ws_tokens =
+        // size(t) rides the pair frame and Σ n·n_bpe_w reproduces the
+        // instance sum exactly (integers)
+        val d = Tables.documents(s, dir)
+          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
+          .select(col("doc_id"), array_sort(tokens(col("text"))).as("ts"))
+          .localCheckpoint() // feeds the vocab distinct AND the scoring join
+        val pairs = d.select(col("doc_id"),
+            size(col("ts")).cast("long").as("ws_tokens"),
+            explode(TextFunctions.runs(col("ts"))).as("r"))
+          .select(col("doc_id"), col("ws_tokens"),
+            col("r.v").as("word"), col("r.n").as("n"))
+        val vocab = pairs.select("word").distinct()
           .withColumn("n_bpe_w", BpeTokenizer.bpeCountCol(col("word")))
-        words.join(vocab, "word")
+        pairs.join(vocab, "word")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("ws_tokens"),
-            sum("n_bpe_w").cast("long").as("bpe_tokens"))
+          .agg(max("ws_tokens").as("ws_tokens"),
+            sum(col("n") * col("n_bpe_w")).cast("long").as("bpe_tokens"))
           .orderBy("doc_id")
       },
       Some(s"""WITH w AS (
