@@ -498,7 +498,17 @@ object CorpusQueries {
         // the score is order-independent and the DuckDB oracle hash-matches;
         // within a label |centroid| is constant, so ranking by dot/|v|
         // equals ranking by cosine and the centroid norm is never needed.
+        // capped spread before the posexplode (the q_rank_bm25 rationale):
+        // the local embeddings scan is ONE split, so the decimal-heavy
+        // explode + partial aggregations ran single-core (two 0.3-0.6 s
+        // one-task jobs). Exactness-safe here: every sum this query takes
+        // is per-(label[, vec]) in exact DECIMAL, so partition layout
+        // cannot change a digit (unlike the kmeans float paths, which
+        // stay unspread by policy). The identical repartition exchange
+        // appears in both consumers of `e` and is reused within the one
+        // executed plan.
         val e = Tables.embeddings(s, dir)
+          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
         val cent = e.groupBy("label", "dim")

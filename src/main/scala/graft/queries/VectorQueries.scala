@@ -898,10 +898,13 @@ object VectorQueries {
         val m = 8; val dim = 64; val kcb = 16; val shortlist = 320
         val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
         // spread the one-split local scan before the normalize/encode/ADC
-        // chain (the sigFrame rationale); a vector's m sub-rows stay
+        // chain — CAPPED at max(8, cores/4) (r18: full width measured
+        // 1.18-1.48 s vs 0.85-1.01 s capped at sf0.1 — the 16k-row
+        // subvector frame turns into core-count micro-tasks at full
+        // width, the knnGraphIvf lesson). A vector's m sub-rows stay
         // contiguous in one partition, so the per-(q, vec) ADC partial
         // sums combine the same 8 addends in the same order — bit-stable
-        val unit = e.repartition(s.sparkContext.defaultParallelism)
+        val unit = e.repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
           .withColumn("n", l2Norm(col("embedding")))
           .select(col("vec_id"),
             when(col("n") === 0, col("embedding").cast("array<double>"))
