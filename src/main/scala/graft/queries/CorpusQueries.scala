@@ -353,8 +353,8 @@ object CorpusQueries {
         // capped spread before the tokenize (the q_rank_bm25 rationale):
         // the local scan is one split and the checkpoint has two
         // concurrent consumers
-        val d = Tables.documents(s, dir)
-          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
+        val d = graft.Spread.ifNarrow(Tables.documents(s, dir),
+            math.max(8, s.sparkContext.defaultParallelism / 4))
           .select(col("doc_id"), array_sort(tokens(col("text"))).as("ts"))
           .localCheckpoint()
         val tf = d.select(col("doc_id"),
@@ -507,8 +507,8 @@ object CorpusQueries {
         // stay unspread by policy). The identical repartition exchange
         // appears in both consumers of `e` and is reused within the one
         // executed plan.
-        val e = Tables.embeddings(s, dir)
-          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
+        val e = graft.Spread.ifNarrow(Tables.embeddings(s, dir),
+            math.max(8, s.sparkContext.defaultParallelism / 4))
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
         val cent = e.groupBy("label", "dim")

@@ -231,8 +231,8 @@ object QualityQueries {
         // shuffle, no doc_id joins — one corpus pass. The repartition
         // spreads the (now genuinely CPU-heavy) row-local pass; no
         // checkpoint — the frame has a single consumer.
-        Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+        graft.Spread.ifNarrow(Tables.documents(s, dir),
+            s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"), CorpusQueries.splitCol.as("split"),
             col("text"), tokens(col("text")).as("t"))
           .select(

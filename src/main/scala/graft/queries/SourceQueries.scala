@@ -64,7 +64,7 @@ object SourceQueries {
         // parquet, so any fidelity loss in the custom parser (timestamp
         // micros, map entries, nulls) breaks the hash.
         val out = s"/tmp/graft_src/dsv2_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-        Tables.events(s, dir).select(
+        val export = Tables.events(s, dir).select(
             col("event_type"),
             col("event_id").as("event_seq"),
             col("ts"),
@@ -78,12 +78,13 @@ object SourceQueries {
             map(lit("u"), col("user_id").cast("string")).as("labels"),
             lit(null).cast("map<string,string>").as("annotations"),
             col("ts").as("createdAt"))
-          // repartition, not coalesce: the local events scan is ONE split
-          // and coalesce cannot raise a partition count, so the JSON encode
-          // ran single-core and the read-back saw one file. The spread also
-          // gives the DSv2 read one split per file. Row placement across
-          // files is irrelevant to the aggregation the query returns.
-          .repartition(s.sparkContext.defaultParallelism)
+        // spread, not coalesce: the local events scan is ONE split and
+        // coalesce cannot raise a partition count, so the JSON encode ran
+        // single-core and the read-back saw one file. The spread also gives
+        // the DSv2 read one split per file; a wide input passes through
+        // (Spread.ifNarrow) so a warehouse-scale export is never coalesced.
+        // Row placement across files is irrelevant to the aggregation.
+        graft.Spread.ifNarrow(export, s.sparkContext.defaultParallelism)
           .write.mode("overwrite").json(out)
         s.read.format("graft.sources.EventLogSource").load(out)
           .groupBy("kind")

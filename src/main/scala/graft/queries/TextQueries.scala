@@ -65,8 +65,8 @@ object TextQueries {
     */
   private[queries] def minhashSigs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread.ifNarrow(docs,
+        docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), minhashSigFast(col("text"), 5, 8).as("mh"))
 
   /** 4-band × 2-row banding of a signature frame. */
@@ -218,8 +218,8 @@ object TextQueries {
         // proves the banded plan equals the quadratic semantics it avoids.
         // Signatures are 32 md5-derived bit columns — materialized once
         // (localCheckpoint) for the two band sides + two verify joins.
-        val sigs = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+        val sigs = graft.Spread.ifNarrow(Tables.documents(s, dir),
+            s.sparkContext.defaultParallelism)
           .select(col("doc_id"), simhashFast(col("text"), 32).as("sh"))
           .localCheckpoint()
         val bands = sigs.select(col("doc_id"), posexplode(
@@ -285,8 +285,9 @@ object TextQueries {
         // repartition before tokenizing (same rationale as minhash_pairs):
         // the sampled scan is one input split locally, which would run the
         // CPU-bound tokenize projection on a single core
-        val d = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
-          .repartition(s.sparkContext.defaultParallelism)
+        val d = graft.Spread.ifNarrow(
+            Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+            s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"),
             array_distinct(tokens(col("text"))).as("toks"))
           .localCheckpoint()
@@ -594,8 +595,8 @@ object TextQueries {
         // the per-doc aggregation all move DISTINCT pairs; ws_tokens =
         // size(t) rides the pair frame and Σ n·n_bpe_w reproduces the
         // instance sum exactly (integers)
-        val d = Tables.documents(s, dir)
-          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
+        val d = graft.Spread.ifNarrow(Tables.documents(s, dir),
+            math.max(8, s.sparkContext.defaultParallelism / 4))
           .select(col("doc_id"), array_sort(tokens(col("text"))).as("ts"))
           .localCheckpoint() // feeds the vocab distinct AND the scoring join
         val pairs = d.select(col("doc_id"),
@@ -749,8 +750,8 @@ object TextQueries {
         // the df/idf aggregation (one exchange over DISTINCT (doc, token)
         // pairs — strictly fewer bytes than the old token-instance
         // shuffle), the query⨝postings join, and the top-k window.
-        val d = Tables.documents(s, dir)
-          .repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
+        val d = graft.Spread.ifNarrow(Tables.documents(s, dir),
+            math.max(8, s.sparkContext.defaultParallelism / 4))
           .select(col("doc_id"), array_sort(tokens(col("text"))).as("ts"))
           .localCheckpoint() // feeds tf/dl, df AND the query side
         val stats = d.agg(count(lit(1)).as("n_docs"),

@@ -34,19 +34,21 @@ object VectorQueries {
     * function is DETERMINISTIC in (bits, tables), which is what makes the
     * incremental build exact (KnnGraphBuild).
     *
-    * Repartition BEFORE the projection (the minhashSigs rationale): a
-    * small local corpus is one input split, which would run the CPU-bound
+    * Spread BEFORE the projection (the minhashSigs rationale): a small
+    * local corpus is one input split, which would run the CPU-bound
     * bits×tables hyperplane projections — and the whole downstream
     * explode/join map side up to the first exchange — on a single core.
-    * At warehouse scale the scan is already many splits and the
-    * round-robin spread is a cheap row-count-proportional shuffle. Safe
-    * for exactness: every signature/cosine is a per-row deterministic
-    * expression and cos_r rounds to 6 decimals before any top-k, so
-    * partitioning cannot reorder ties.
+    * Guarded by Spread.ifNarrow (r19): at warehouse scale the scan is
+    * already many splits, and an unconditional repartition(n) would
+    * COALESCE it to n and pay an unneeded full shuffle — the guard passes
+    * wide inputs through untouched. Safe for exactness: every
+    * signature/cosine is a per-row deterministic expression and cos_r
+    * rounds to 6 decimals before any top-k, so partitioning cannot
+    * reorder ties.
     */
   private[queries] def sigFrame(e: org.apache.spark.sql.DataFrame,
       bits: Int, tables: Int): org.apache.spark.sql.DataFrame =
-    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread.ifNarrow(e, e.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         l2Norm(col("embedding")).as("nrm"),
         lshSignatures(col("embedding"), bits, tables).as("sigs"))
@@ -904,7 +906,8 @@ object VectorQueries {
         // width, the knnGraphIvf lesson). A vector's m sub-rows stay
         // contiguous in one partition, so the per-(q, vec) ADC partial
         // sums combine the same 8 addends in the same order — bit-stable
-        val unit = e.repartition(math.max(8, s.sparkContext.defaultParallelism / 4))
+        val unit = graft.Spread.ifNarrow(e,
+            math.max(8, s.sparkContext.defaultParallelism / 4))
           .withColumn("n", l2Norm(col("embedding")))
           .select(col("vec_id"),
             when(col("n") === 0, col("embedding").cast("array<double>"))
