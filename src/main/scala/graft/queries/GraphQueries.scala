@@ -43,40 +43,42 @@ object GraphQueries {
     val off =
       if (replicaStride <= 0) lit(0L)
       else expr(s"(o_orderkey DIV ${replicaStride}L) * ${replicaStride}L")
-    // Mirror by EXPLODE before the dedup, then make the distinct's OWN
-    // exchange the full-width spread. Two problems with the old
-    // `cs.distinct()` + self-union form, one fix each:
-    //   - the union re-executed the whole join+distinct pipeline per
-    //     branch (Catalyst does not CSE across union branches) — the
-    //     explode emits both directions in one pass (same multiset:
-    //     cust ids are even, supplier ids odd, so a mirrored pair can
-    //     never collide with a forward pair in the dedup);
-    //   - AQE coalesced the distinct's output to ~5 partitions (the edge
-    //     frame is a few MB locally), and every Pregel round of BOTH graph
-    //     queries replays its map side over exactly those partitions —
-    //     measured 5-task rounds at 650-950 ms. An explicit
-    //     repartition(n, src, dst) immediately below the distinct
-    //     satisfies its ClusteredDistribution, so the plan carries ONE
-    //     exchange (user-pinned width, not AQE-coalescible) and the
-    //     checkpointed edges come out cluster-wide for every round.
+    // DEDUP the FORWARD pairs, then mirror by explode (r19; r18 mirrored
+    // before the distinct). The mirror map is injective and cust ids are
+    // even / supplier ids odd, so a mirrored pair can never collide with
+    // a forward pair: distinct∘mirror ≡ mirror∘distinct — same multiset —
+    // and deduping first HALVES the bytes through the distinct's exchange
+    // (the join's raw pair stream, the dominant shuffle of both graph
+    // queries). The explode runs above the distinct's reduce side, so the
+    // mirrored rows never cross the network at all. As in r18:
+    //   - one pass, no self-union (Catalyst does not CSE across union
+    //     branches — the r17 form re-executed the join+distinct per
+    //     branch);
+    //   - the explicit repartition(n, c, sn) immediately below the
+    //     distinct satisfies its ClusteredDistribution, so the plan
+    //     carries ONE exchange whose width is user-pinned (not
+    //     AQE-coalescible) and the checkpointed edges come out
+    //     cluster-wide for every Pregel round (AQE coalesced the few-MB
+    //     edge frame to ~5 partitions and every round replayed its map
+    //     side over exactly those — measured 5-task rounds at 650-950 ms).
     // `wide = false` (the components call: a highly selective edgePred)
     // keeps the plain AQE-coalesced distinct — for a subgraph of a few
     // thousand edges the pinned width is pure task overhead (measured
     // +0.5 s over 8 round-jobs), and AQE's size-derived coalesce IS the
     // scale-adaptive choice for whatever the predicate leaves.
-    val mirrored = li
+    val fwd = li
       .join(eo, col("l_orderkey") === col("o_orderkey"))
       .select(((col("o_custkey") + off) * 2).as("c"),
         ((col("l_suppkey") + off) * 2 + 1).as("sn"))
+    (if (wide)
+      fwd.repartition(
+        s.sparkContext.defaultParallelism, col("c"), col("sn"))
+     else fwd)
+      .distinct()
       .select(explode(array(
         struct(col("c").as("src"), col("sn").as("dst")),
         struct(col("sn").as("src"), col("c").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    (if (wide)
-      mirrored.repartition(
-        s.sparkContext.defaultParallelism, col("src"), col("dst"))
-     else mirrored)
-      .distinct()
       .localCheckpoint()
   }
 
@@ -109,8 +111,23 @@ object GraphQueries {
       // pass over the cached edges plus a partial-aggregated 16k-row
       // shuffle, no edge-set sort. (A graph whose census outgrows the
       // broadcast budget swaps these hints for co-partitioned SMJs —
-      // the shape is otherwise identical.) Rounds materialize so each
-      // broadcast builds from a computed frame, not a re-derivation.
+      // the shape is otherwise identical.) Rounds stay LAZY (r19): each
+      // round's census-sized rank frame is consumed exactly once — as
+      // the next round's broadcast build — so the broadcast machinery
+      // materializes it there; the r18 per-round localCheckpoint was a
+      // redundant extra materialization job per round (guide §1.2).
+      //
+      // The per-edge contribution sums in LONG, not DECIMAL (r19):
+      // round(r/deg, 12) is an exact ≤12-decimal value d ≤ 1, so d·1e12
+      // is an exact integer ≤ 1e12 (recovered by one more scale-0 round —
+      // the double product sits within ~1e-4 of it), and Σd ≤ Σ r(u) = 1
+      // bounds the per-dst long sum at ~1e12, 6 orders under overflow.
+      // Bit-identical to the DECIMAL(28,12) sum it replaces: both sum the
+      // same exact integers (scaled), and long→double is exact below 2^53
+      // with IEEE division by 1e12 correctly rounding to the same double
+      // the decimal cast produced. What it buys: the hot per-round edge
+      // pass aggregates machine longs in codegen instead of allocating a
+      // BigDecimal per edge (the pass was ~30 µs/row in ProfileJobs).
       var ranks = nodes
         .select(col("node"), col("deg"),
           round(lit(1.0) / lit(nn), 12).as("r"))
@@ -118,14 +135,13 @@ object GraphQueries {
         val contrib = broadcast(ranks)
           .join(edges, col("node") === col("src"))
           .withColumn("cb",
-            round(col("r") / col("deg"), 12).cast(DecimalType(28, 12)))
+            round(round(col("r") / col("deg"), 12) * 1e12).cast("long"))
           .groupBy("dst").agg(sum("cb").as("s"))
         ranks = nodes
           .join(broadcast(contrib), col("node") === col("dst"), "left")
           .select(col("node"), col("deg"),
             round(lit(0.15) / lit(nn) + lit(0.85) *
-              coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
-          .localCheckpoint()
+              coalesce(col("s").cast("double") / 1e12, lit(0.0)), 12).as("r"))
       }
       ranks.orderBy(col("r").desc, col("node").asc).limit(20)
         .select(col("node"),
