@@ -285,9 +285,13 @@ object MatView {
     val consolidated = mergedDf
       .filter(col("mv_cnt") =!= 0 ||
         vals.map(v => col(s"mv_sum_$v") =!= 0).foldLeft(lit(false))(_ || _))
-      .localCheckpoint()
-    val kept = consolidated.count()
+    // ONE materialization (r19, guide §1.2): write the consolidated frame
+    // directly and read `kept` back from the written files' parquet
+    // footers — a metadata-only job. The previous localCheckpoint +
+    // count + write computed the merge twice (checkpoint, then write
+    // from the checkpoint) to get the same number.
     consolidated.write.mode("overwrite").parquet(s"${deltaDir(outDir)}/e$next")
+    val kept = spark.read.parquet(s"${deltaDir(outDir)}/e$next").count()
     writeMeta(spark, outDir, next, next, keys, vals, hwm)
     // drop everything below the NEW floor — including sub-`floor` strays
     // a previous compact left when it crashed between its meta commit and

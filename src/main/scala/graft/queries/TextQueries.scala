@@ -320,10 +320,14 @@ object TextQueries {
           // the already-checkpointed d, so recomputing it on each self-join
           // side is cheaper than materializing it (the old window form
           // re-ran a shuffle+sort per consumer — THAT needed it)
+          // posexplode: `pos` is the token's 0-based rank in the doc's
+          // global (df, token) order — TokenPrefix emits the prefix in
+          // exactly that order — feeding the positional filter below
           d.select(col("doc_id"), col("lang"),
               size(col("toks")).cast("long").as("sz"),
-              explode(tokenPrefix(col("toks"), dfsMap, 0.6)).as("token"))
-            .select("doc_id", "lang", "token", "sz")
+              posexplode(tokenPrefix(col("toks"), dfsMap, 0.6))
+                .as(Seq("pos", "token")))
+            .select("doc_id", "lang", "token", "sz", "pos")
         } else {
           val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           d.select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
@@ -331,7 +335,9 @@ object TextQueries {
             .withColumn("pos", row_number().over(wDoc.orderBy("df", "token")))
             .withColumn("sz", count(lit(1)).over(wDoc))
             .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.6) + 1)
-            .select("doc_id", "lang", "token", "sz")
+            // 0-based like the kernel path's posexplode
+            .select(col("doc_id"), col("lang"), col("token"), col("sz"),
+              (col("pos") - 1).as("pos"))
             // materialize: both self-join sides reuse it, and unlike the
             // kernel form this subtree carries a shuffle+sort per consumer
             .localCheckpoint()
@@ -339,15 +345,28 @@ object TextQueries {
         // LENGTH FILTER (the SSJoin companion lemma): jac(A,B) ≥ t forces
         // t·|A| ≤ |B| ≤ |A|/t, so size-mismatched docs sharing a prefix
         // token never become candidates — carried on the prefix rows, it
-        // prunes inside the join before the distinct shuffle sees the pair
+        // prunes inside the join before the distinct shuffle sees the pair.
+        // POSITIONAL FILTER (PPJoin, r19): a shared token at 0-based rank
+        // p bounds the overlap at |X| − p (every common token sits at rank
+        // ≥ p of the doc whose first common token it is), and jac ≥ t
+        // needs o ≥ ⌈t/(1+t)·(|A|+|B|)⌉ = ⌈0.375·(a+b)⌉ (exact: 0.375 and
+        // its integer multiples are representable doubles). Zero false
+        // negatives: a true pair's FIRST common token is inside both
+        // prefixes (the prefix lemma) and passes this bound by
+        // construction, so the pair always reaches the distinct — the
+        // filter only deletes collision occurrences that cannot anymore
+        // reach the overlap the threshold demands.
         val cand = pfx.select(col("doc_id").as("a_id"), col("lang"),
-            col("token"), col("sz").as("a_sz"))
+            col("token"), col("sz").as("a_sz"), col("pos").as("a_pos"))
           .join(pfx.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-            col("token").as("b_token"), col("sz").as("b_sz")),
+            col("token").as("b_token"), col("sz").as("b_sz"),
+            col("pos").as("b_pos")),
             col("token") === col("b_token") && col("lang") === col("b_lang") &&
               col("a_id") < col("b_id") &&
               col("b_sz") >= ceil(col("a_sz") * 0.6) &&
-              col("a_sz") >= ceil(col("b_sz") * 0.6))
+              col("a_sz") >= ceil(col("b_sz") * 0.6) &&
+              least(col("a_sz") - col("a_pos"), col("b_sz") - col("b_pos")) >=
+                ceil((col("a_sz") + col("b_sz")) * 0.375))
           .select("a_id", "b_id")
           .distinct()
         cand

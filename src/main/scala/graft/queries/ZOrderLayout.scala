@@ -110,6 +110,13 @@ object ZOrderLayout {
       .setHandleInvalid("keep") // nulls land in the extra top bucket …
     def clamp(c: Column) = // … and clamp back into [0, 2^bits)
       greatest(lit(0L), least(lit(nb - 1L), c.cast("long")))
+    // NOT spread (r19, measured): forcing the scan's 3 local splits to 32
+    // before the bucketize+Morton chain regressed q_layout_zorder 2.04 →
+    // 3.1-3.4 s — the round-robin exchange pays a local sort plus a full
+    // extra materialization of the rows, and the Bucketizer's compiled
+    // binary search is too cheap for the added width to buy it back (the
+    // knnGraphIvf pre-spread lesson from r18). The range partitioner's
+    // sampling pass + shuffle write stay on the scan's own splits.
     buck.transform(df
         .withColumn("_zx", col(colX).cast("double"))
         .withColumn("_zy", col(colY).cast("double")))
@@ -125,6 +132,12 @@ object ZOrderLayout {
   private def trainBounds(df: DataFrame, colX: String, colY: String,
       bits: Int): (Array[Double], Array[Double]) = {
     val probes = (0 to (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    // NOT spread (r19, measured): widening the 3-split local scan to 32
+    // before the Greenwald–Khanna pass regressed the query — the sketch
+    // inserts ride the same pass as the scan decode, so the spread only
+    // adds a full shuffle plus 32-way sketch merges. relativeError stays
+    // 0.001: loosening it would coarsen the PINNED quantizer for every
+    // later append (the r18 hold, still held).
     val Array(bx, by) = df.na.drop(Seq(colX, colY))
       .stat.approxQuantile(Array(colX, colY), probes, 0.001)
     (bx, by)
