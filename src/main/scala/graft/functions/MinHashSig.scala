@@ -91,7 +91,15 @@ object MinHashSig {
       else Array.tabulate(toks.length - n + 1)(i =>
         toks.slice(i, i + n).mkString(" "))
     val md = java.security.MessageDigest.getInstance("MD5")
-    val mins = new Array[String](k)
+    // min-tracking on the RAW 16-byte digests (r19): unsigned byte order
+    // equals the hex-string order (hex is a monotone byte encoding and all
+    // digests are equal length), so only the k winners are hex-encoded at
+    // the end. The previous per-(shingle × seed) hex String was the
+    // kernel's dominant allocation — at 32 concurrent tasks the family's
+    // heavy rows were GC-bound, not md5-bound. The digest writes into one
+    // reused buffer; a new min is the only copy.
+    val mins = new Array[Array[Byte]](k)
+    val digest = new Array[Byte](16)
     val seedPrefix = prefixesFor(k)
     var si = 0
     while (si < shingles.length) {
@@ -101,13 +109,16 @@ object MinHashSig {
         md.reset()
         md.update(seedPrefix(seed))
         md.update(shingleBytes)
-        val hex = toHex(md.digest())
-        if (mins(seed) == null || hex.compareTo(mins(seed)) < 0) mins(seed) = hex
+        md.digest(digest, 0, 16)
+        if (mins(seed) == null ||
+            java.util.Arrays.compareUnsigned(digest, mins(seed)) < 0)
+          mins(seed) = digest.clone()
         seed += 1
       }
       si += 1
     }
-    new GenericArrayData(mins.map(UTF8String.fromString(_)).toArray[Any])
+    new GenericArrayData(
+      mins.map(b => UTF8String.fromString(toHex(b))).toArray[Any])
   }
 
   private def toHex(bytes: Array[Byte]): String = {

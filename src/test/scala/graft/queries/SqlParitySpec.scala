@@ -100,6 +100,9 @@ class SqlParitySpec extends SparkSpec {
     "q_agg_weighted", "q_corpus_budget", "q_corpus_decontam",
     "q_dedup_embcos", "q_dedup_jaccard", "q_dedup_minhash",
     "q_dedup_minhash_pairs", "q_dedup_semantic", "q_dedup_simhash",
+    // round 19: the core-scaling probe row (same mh dialect spellings as
+    // q_dedup_minhash, so the existing rewrites carry it)
+    "q_scale_cpu",
     "q_dedup_simhash_pairs", "q_emb_centroid", "q_emb_project", "q_emb_quant",
     "q_lm_score", "q_mm_audio", "q_mm_decode", "q_mm_frames", "q_mm_meta",
     "q_mm_resize", "q_sample_weighted", "q_sim_pairs", "q_sim_range",
@@ -143,9 +146,9 @@ class SqlParitySpec extends SparkSpec {
     // the catalog's headline counts, pinned HERE so the docs that quote
     // them (COVERAGE.md, the verify skill) cannot silently drift — a new
     // row must bump this assertion alongside the docs (VERDICT r14 #5)
-    assert(SparkEntry.queries.size == 138,
+    assert(SparkEntry.queries.size == 139,
       s"catalog is ${SparkEntry.queries.size} queries — update this pin AND the counts in COVERAGE.md / .claude/skills/verify/SKILL.md")
-    assert(SparkEntry.oracleSql.size == 128,
+    assert(SparkEntry.oracleSql.size == 129,
       s"oracle-backed count is ${SparkEntry.oracleSql.size} — update this pin AND the quoted docs")
   }
 
