@@ -268,27 +268,34 @@ object TextQueries {
         // proves the banded plan equals the quadratic semantics it avoids.
         // Signatures are 32 md5-derived bit columns — materialized once
         // (localCheckpoint) for the two band sides + two verify joins.
+        // The 8-byte signature RIDES the band rows (r19): the old form
+        // deduped bare (a_id, b_id) candidates and joined the signature
+        // table back TWICE to verify — two corpus-sized hash joins whose
+        // only purpose was to re-attach one LONG per side. Verifying
+        // INSIDE the band join (the signature is narrower than the row's
+        // key columns, unlike the minhash family's 8×32-byte arrays, which
+        // keep the dedup-on-bare-ids shape) kills both join-backs AND
+        // shrinks the distinct's input from every band collision to the
+        // true near-pairs. Same rows: hamming is a pure function of the
+        // pair, so deduping (a_id, b_id, hamming) ≡ deduping (a_id, b_id).
         val sigs = graft.Spread.ifNarrow(Tables.documents(s, dir),
             s.sparkContext.defaultParallelism)
           .select(col("doc_id"), simhashFast(col("text"), 32).as("sh"))
           .localCheckpoint()
-        val bands = sigs.select(col("doc_id"), posexplode(
+        val bands = sigs.select(col("doc_id"), col("sh"), posexplode(
           array((0 until 4).map(i =>
             shiftright(col("sh"), i * 8).bitwiseAND(lit(255L))): _*))
           .as(Seq("band", "bv")))
-        val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
-          .join(bands.select(col("doc_id").as("b_id"), col("band").as("b_band"),
-            col("bv").as("b_bv")),
+        bands.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+            col("band"), col("bv"))
+          .join(bands.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+            col("band").as("b_band"), col("bv").as("b_bv")),
             col("band") === col("b_band") && col("bv") === col("b_bv") &&
-              col("a_id") < col("b_id"))
-          .select("a_id", "b_id")
+              col("a_id") < col("b_id") &&
+              hammingDistance(col("a_sh"), col("b_sh")) <= 3)
+          .select(col("a_id"), col("b_id"),
+            hammingDistance(col("a_sh"), col("b_sh")).cast("int").as("hamming"))
           .distinct()
-        cand
-          .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-          .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-          .withColumn("hd", hammingDistance(col("a_sh"), col("b_sh")))
-          .filter(col("hd") <= 3)
-          .select(col("a_id"), col("b_id"), col("hd").cast("int").as("hamming"))
           .orderBy("a_id", "b_id")
       },
       Some {
