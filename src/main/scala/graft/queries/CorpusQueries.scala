@@ -158,7 +158,11 @@ object CorpusQueries {
     // lazy over the materialized canonical frame — consumed once at the
     // end, so an eager checkpoint here would only add a job
     val nodes = e0.select(explode(array(col("u"), col("v"))).as("id")).distinct()
-    var e = e0.filter(col("u") =!= col("v")).localCheckpoint()
+    // round 1's working set is a narrow FILTER over the e0 checkpoint —
+    // re-materializing it was one more full job for rows the checkpoint
+    // already holds (r19); later rounds still checkpoint (they carry real
+    // shuffled lineage)
+    var e = e0.filter(col("u") =!= col("v"))
     var rounds = 0
     // carried across rounds: this round's |e| is last round's |small| —
     // re-counting the materialized frame was one redundant job per round
