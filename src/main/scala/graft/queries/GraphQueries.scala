@@ -111,11 +111,13 @@ object GraphQueries {
       // pass over the cached edges plus a partial-aggregated 16k-row
       // shuffle, no edge-set sort. (A graph whose census outgrows the
       // broadcast budget swaps these hints for co-partitioned SMJs —
-      // the shape is otherwise identical.) Rounds stay LAZY (r19): each
-      // round's census-sized rank frame is consumed exactly once — as
-      // the next round's broadcast build — so the broadcast machinery
-      // materializes it there; the r18 per-round localCheckpoint was a
-      // redundant extra materialization job per round (guide §1.2).
+      // the shape is otherwise identical.) Rounds MATERIALIZE
+      // (localCheckpoint): r19 A/B'd the lazy form — each round consumed
+      // once by the next round's broadcast build, 3 fewer jobs — and it
+      // measured SLOWER at matched windows (3.66-3.97 s vs 3.16-3.32 s
+      // subset pairs): the nested broadcast-build cascade executes the
+      // round chain less efficiently than three small materialized
+      // actions. Measured, kept the checkpoint.
       //
       // The per-edge contribution sums in LONG, not DECIMAL (r19):
       // round(r/deg, 12) is an exact ≤12-decimal value d ≤ 1, so d·1e12
@@ -142,6 +144,7 @@ object GraphQueries {
           .select(col("node"), col("deg"),
             round(lit(0.15) / lit(nn) + lit(0.85) *
               coalesce(col("s").cast("double") / 1e12, lit(0.0)), 12).as("r"))
+          .localCheckpoint()
       }
       ranks.orderBy(col("r").desc, col("node").asc).limit(20)
         .select(col("node"),
