@@ -88,11 +88,21 @@ object TextFunctions {
     */
   def runs(srt: Column): Column = {
     val n = size(srt)
+    // null-SAFE boundary (ADVICE r18): a =!= b is null for a null element,
+    // which filter() treats as false — a null run would silently merge
+    // into its neighbor's count; <=> counts it as its own run instead.
     val starts = filter(sequence(lit(1), n),
-      i => (i === 1) || element_at(srt, i) =!= element_at(srt, i - 1))
-    zip_with(starts,
+      i => (i === 1) || !(element_at(srt, i) <=> element_at(srt, i - 1)))
+    val body = zip_with(starts,
       concat(slice(starts, lit(2), size(starts)), array(n + 1)),
       (a, b) => struct(element_at(srt, a).as("v"), (b - a).cast("long").as("n")))
+    // empty/null guard (ADVICE r18): n = 0 makes sequence(1, 0) the
+    // DESCENDING [1, 0] and element_at(srt, 0) a hard error — short-circuit
+    // to null (explode consumers skip the row, the old explode→groupBy
+    // semantics for an empty document; null text takes the same branch).
+    // For every non-empty array the branch condition is true and `body`
+    // is the unguarded r18 expression, bit for bit.
+    when(n > 0, body)
   }
 
   /** Native PPJoin prefix over a distinct-token array ([[TokenPrefix]];
